@@ -1,0 +1,182 @@
+"""Local sequence alignment kernels.
+
+Numpy re-implementation of the observable contract of the pinned C kernel
+``sciencebeam-alignment==0.0.5`` (``LocalSequenceMatcher`` with
+``SimpleScoring(match=2, mismatch=-1, gap=-2)``), used by the reference at
+``/root/reference/sciencebeam_trainer_grobid_tools/core/annotation/fuzzy_match.py:9-22``
+and ``utils/fuzzy.py:198-202``.  The contract is difflib-style
+``get_matching_blocks()`` output: ``[(a_index, b_index, size), ..., (len(a), len(b), 0)]``
+with blocks ordered left-to-right.  Equivalence is asserted against the
+reference's own test expectations (``tests/utils/fuzzy_test.py``).
+
+Also provides the word-level matcher used for short needles
+(``utils/fuzzy.py:160-195``).
+
+Design notes (Spark-first): these kernels run inside Arrow-batched
+``mapInPandas`` UDFs on executors.  The DP is vectorized along the haystack
+axis with a prefix-scan trick for the in-row gap dependency, so the per-row
+python overhead is O(len(needle)) numpy calls instead of O(n*m) python steps.
+"""
+
+from __future__ import annotations
+
+from difflib import SequenceMatcher
+from typing import List, Tuple
+
+import numpy as np
+
+MATCH_SCORE = 2
+MISMATCH_SCORE = -1
+GAP_SCORE = -2
+
+# Word separators of the short-needle word matcher
+# (reference: utils/fuzzy.py:19 DEFAULT_WORD_SEPARATORS)
+WORD_SEPARATORS = " .,-:;()[]\n\t"
+
+MatchingBlock = Tuple[int, int, int]
+MatchingBlocks = List[MatchingBlock]
+
+# Memory guard for the stored DP matrix (int32 cells). 64M cells = 256 MB.
+# The windowed search (fuzzy.auto_window) keeps real inputs far below this.
+MAX_DP_CELLS = 64_000_000
+
+
+def _smith_waterman_matrix(a_codes: np.ndarray, b_codes: np.ndarray) -> np.ndarray:
+    """Compute the Smith-Waterman score matrix H of shape (len(b)+1, len(a)+1).
+
+    H[j, i] is the best local-alignment score of suffix-aligned prefixes
+    a[:i], b[:j], clamped at 0.  Vectorized along the a (haystack) axis;
+    the within-row left-gap dependency is resolved with a prefix scan:
+    H[j,i] = max_k<=i (c[k] - 2*(i-k)) where c is the row candidate without
+    left gaps, which equals cummax(c[k] + 2k) - 2i because the gap penalty
+    is linear.
+    """
+    n = a_codes.shape[0]
+    m = b_codes.shape[0]
+    h = np.zeros((m + 1, n + 1), dtype=np.int32)
+    if n == 0 or m == 0:
+        return h
+    idx2 = 2 * np.arange(1, n + 1, dtype=np.int32)
+    for j in range(1, m + 1):
+        prev = h[j - 1]
+        sub = np.where(a_codes == b_codes[j - 1], MATCH_SCORE, MISMATCH_SCORE).astype(np.int32)
+        diag = prev[:-1] + sub
+        up = prev[1:] + GAP_SCORE
+        cand = np.maximum(0, np.maximum(diag, up))
+        h[j, 1:] = np.maximum.accumulate(cand + idx2) - idx2
+    return h
+
+
+def _pick_max_cell(h: np.ndarray) -> Tuple[int, int, int]:
+    """Return (a_index, b_index, score) of the maximum cell.
+
+    Ties break to the smallest (a_index, b_index) — i.e. the leftmost match in
+    the haystack — mirroring a row-major max scan over (a, b).
+    """
+    best = int(h.max())
+    if best <= 0:
+        return 0, 0, 0
+    # h is stored (b+1, a+1); we need argmax in a-major order.
+    cells = np.argwhere(h == best)  # rows of (j, i)
+    order = np.lexsort((cells[:, 0], cells[:, 1]))  # sort by i then j
+    j, i = cells[order[0]]
+    return int(i), int(j), best
+
+
+def _traceback_blocks(
+    h: np.ndarray, a_codes: np.ndarray, b_codes: np.ndarray, i: int, j: int
+) -> MatchingBlocks:
+    """Walk back from cell (a=i, b=j) while the score is positive.
+
+    Move preference on score ties: diagonal, then a-gap (up), then b-gap
+    (left).  Matched positions are diagonal steps whose characters are equal;
+    consecutive matched positions form difflib-style blocks.
+    """
+    matched: List[Tuple[int, int]] = []
+    while i > 0 and j > 0 and h[j, i] > 0:
+        score = h[j, i]
+        sub = MATCH_SCORE if a_codes[i - 1] == b_codes[j - 1] else MISMATCH_SCORE
+        if score == h[j - 1, i - 1] + sub:
+            if sub == MATCH_SCORE:
+                matched.append((i - 1, j - 1))
+            i -= 1
+            j -= 1
+        elif score == h[j - 1, i] + GAP_SCORE:
+            j -= 1
+        elif score == h[j, i - 1] + GAP_SCORE:
+            i -= 1
+        else:  # fresh start (score came from the 0 clamp)
+            break
+    matched.reverse()
+    blocks: MatchingBlocks = []
+    for ai, bi in matched:
+        if blocks and blocks[-1][0] + blocks[-1][2] == ai and blocks[-1][1] + blocks[-1][2] == bi:
+            blocks[-1] = (blocks[-1][0], blocks[-1][1], blocks[-1][2] + 1)
+        else:
+            blocks.append((ai, bi, 1))
+    return blocks
+
+
+def local_matching_blocks(haystack: str, needle: str) -> MatchingBlocks:
+    """Smith-Waterman local alignment matching blocks, difflib-style.
+
+    Returns ``[(a, b, size), ..., (len(a), len(b), 0)]`` (with terminator),
+    matching the contract of ``LocalSequenceMatcher.get_matching_blocks()``
+    (reference: utils/fuzzy.py:198-202).
+    """
+    a_codes = np.frombuffer(haystack.encode("utf-32-le"), dtype=np.uint32)
+    b_codes = np.frombuffer(needle.encode("utf-32-le"), dtype=np.uint32)
+    if a_codes.shape[0] * b_codes.shape[0] > MAX_DP_CELLS:
+        # Guard: bound memory by truncating the needle for the DP; the windowed
+        # driver (kernel.fuzzy) never reaches this for realistic inputs.
+        b_codes = b_codes[: max(1, MAX_DP_CELLS // max(1, a_codes.shape[0]))]
+    h = _smith_waterman_matrix(a_codes, b_codes)
+    i, j, score = _pick_max_cell(h)
+    blocks = _traceback_blocks(h, a_codes, b_codes, i, j) if score > 0 else []
+    blocks.append((len(haystack), len(needle), 0))
+    return blocks
+
+
+def split_with_offsets(s: str, separators: str) -> List[Tuple[int, str]]:
+    """Split ``s`` into (offset, fragment) pairs, keeping separator chars as
+    their own single-char fragments (reference: utils/fuzzy.py:132-144)."""
+    out: List[Tuple[int, str]] = []
+    start = 0
+    for i, ch in enumerate(s):
+        if ch in separators:
+            if start < i:
+                out.append((start, s[start:i]))
+            out.append((i, ch))
+            start = i + 1
+    if start < len(s):
+        out.append((start, s[start:]))
+    return out
+
+
+def word_matching_blocks(
+    haystack: str, needle: str, separators: str = WORD_SEPARATORS
+) -> MatchingBlocks:
+    """Word-level matching for short needles (< exact_word_match_threshold).
+
+    Words are matched exactly via difflib ``SequenceMatcher`` (autojunk off)
+    over the word lists; blocks are re-mapped to character offsets with size =
+    total matched word characters (reference: utils/fuzzy.py:160-195).
+    No terminator block is emitted (the reference's word path does not either).
+    """
+    a_parts = split_with_offsets(haystack, separators)
+    b_parts = split_with_offsets(needle, separators)
+    a_words = [w for _, w in a_parts]
+    b_words = [w for _, w in b_parts]
+    sm = SequenceMatcher(None, a_words, b_words, autojunk=False)
+    blocks: MatchingBlocks = []
+    for ai, bi, size in sm.get_matching_blocks():
+        if not size:
+            continue
+        blocks.append(
+            (
+                a_parts[ai][0],
+                b_parts[bi][0],
+                sum(len(a_words[ai + k]) for k in range(size)),
+            )
+        )
+    return blocks
