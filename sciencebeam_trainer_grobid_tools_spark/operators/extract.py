@@ -25,6 +25,7 @@ from typing import List, Optional, Union
 # containers whose entire subtree is boilerplate / non-content
 SKIPPED_ELEMENTS = frozenset(
     {
+        "head",
         "script",
         "style",
         "noscript",
@@ -72,7 +73,6 @@ BLOCK_ELEMENTS = frozenset(
         "dt",
         "dd",
         "address",
-        "title",
     }
 )
 

@@ -1,0 +1,228 @@
+"""The flagship extraction + alignment pipeline.
+
+Relational shell (vanilla Catalyst plan — column pruning, pushdown and AQE
+apply untouched)::
+
+    read documents (url, warc_ts, html, text, lang [, target_xml])
+      -> left_anti join against completed urls        (resume, reference S2)
+      -> repartition(n, xxhash64(url))                (salted spread vs skew)
+      -> mapInPandas(annotate_batch)                  (the custom kernel)
+      -> observe(metrics) / filtered writes (passed / failed)
+
+The per-document kernel reproduces the reference's operator chain:
+HTML/TEI -> lines (S3/S5), tokenize (F6), target extraction (P1-P6),
+fuzzy alignment + BIO tagging (J3-J8, W1/W2), checks (A7).  Errors are
+isolated per document and emitted on an ``error`` column instead of failing
+the task (reference: auto_annotate_utils.py:677-686).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Iterator, Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators.annotate import MatcherConfig, SimpleMatcher, extract_entity_spans, extract_sub_entity_spans
+from ..operators.checks import check_document
+from ..operators.extract import html_to_lines, text_to_lines
+from ..operators.targets import (
+    get_tag_config_map,
+    parse_xml_mapping_string,
+    xml_string_to_target_annotations,
+)
+from ..kernel.doc import tokenize_lines
+from ..sources.corpus import DEFAULT_XML_MAPPING
+
+SPAN_TYPE = "array<struct<field:string,start:int,end:int,text:string>>"
+
+ANNOTATED_SCHEMA = (
+    "url string, lang string, extracted_text string, "
+    "n_lines int, n_tokens int, "
+    "spans %s, sub_spans %s, "
+    "alignment_attempts int, alignment_hits int, "
+    "passed boolean, reason string, error string" % (SPAN_TYPE, SPAN_TYPE)
+)
+
+
+_observation_counter = 0
+
+
+@lru_cache(maxsize=8)
+def _parsed_mapping(mapping_text: str):
+    mapping = parse_xml_mapping_string(mapping_text)
+    tag_config_map = get_tag_config_map(mapping)
+    return mapping, tag_config_map
+
+
+def annotate_document_row(
+    url: str,
+    html: Optional[bytes],
+    text: Optional[str],
+    target_xml: Optional[str],
+    mapping_text: str,
+    threshold: float = 0.8,
+    lookahead_lines: int = 500,
+    use_sub_annotations: bool = True,
+    require_matching_fields: str = "title",
+) -> dict:
+    """Pure per-document kernel — unit-testable without Spark."""
+    mapping, tag_config_map = _parsed_mapping(mapping_text)
+    lines = html_to_lines(html) if html is not None else text_to_lines(text)
+    doc = tokenize_lines(lines)
+    targets = (
+        xml_string_to_target_annotations(target_xml, mapping) if target_xml else []
+    )
+    matcher = SimpleMatcher(
+        targets,
+        MatcherConfig(
+            threshold=threshold,
+            lookahead_sequence_count=lookahead_lines,
+            use_sub_annotations=use_sub_annotations,
+            tag_config_map=tag_config_map,
+        ),
+    )
+    matcher.annotate(doc)
+    spans = extract_entity_spans(doc)
+    sub_spans = extract_sub_entity_spans(doc)
+    required = {f for f in require_matching_fields.split(",") if f}
+    passed, reason = check_document(doc, targets, require_matching_fields=required)
+    target_fields = {t.name for t in targets}
+    hit_fields = {str(s["field"]) for s in spans}
+    return {
+        "url": url,
+        "extracted_text": doc.extracted_text,
+        "n_lines": len(doc.lines),
+        "n_tokens": sum(len(line) for line in doc.lines),
+        "spans": spans,
+        "sub_spans": sub_spans,
+        "alignment_attempts": len(target_fields),
+        "alignment_hits": len(target_fields & hit_fields),
+        "passed": passed,
+        "reason": reason,
+        "error": None,
+    }
+
+
+def annotate_documents(
+    docs: DataFrame,
+    mapping_text: str = DEFAULT_XML_MAPPING,
+    threshold: float = 0.8,
+    lookahead_lines: int = 500,
+    use_sub_annotations: bool = True,
+    require_matching_fields: str = "title",
+    repartition: Optional[int] = None,
+    use_html: bool = True,
+) -> DataFrame:
+    """documents -> annotated spans table (the north-star job)."""
+    import pandas as pd
+
+    columns = set(docs.columns)
+    has_target = "target_xml" in columns
+
+    def annotate_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                url = row.url
+                lang = getattr(row, "lang", None)
+                try:
+                    result = annotate_document_row(
+                        url=url,
+                        html=(row.html if use_html else None),
+                        text=getattr(row, "text", None),
+                        target_xml=(row.target_xml if has_target else None),
+                        mapping_text=mapping_text,
+                        threshold=threshold,
+                        lookahead_lines=lookahead_lines,
+                        use_sub_annotations=use_sub_annotations,
+                        require_matching_fields=require_matching_fields,
+                    )
+                    result["lang"] = lang
+                except Exception as exc:  # per-document error isolation
+                    result = {
+                        "url": url,
+                        "lang": lang,
+                        "extracted_text": None,
+                        "n_lines": 0,
+                        "n_tokens": 0,
+                        "spans": [],
+                        "sub_spans": [],
+                        "alignment_attempts": 0,
+                        "alignment_hits": 0,
+                        "passed": False,
+                        "reason": None,
+                        "error": "%s: %s" % (type(exc).__name__, exc),
+                    }
+                out.append(result)
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "url",
+                    "lang",
+                    "extracted_text",
+                    "n_lines",
+                    "n_tokens",
+                    "spans",
+                    "sub_spans",
+                    "alignment_attempts",
+                    "alignment_hits",
+                    "passed",
+                    "reason",
+                    "error",
+                ],
+            )
+
+    needed = [c for c in ("url", "warc_ts", "html", "text", "lang", "target_xml") if c in columns]
+    plan = docs.select(*needed)
+    if repartition:
+        # salted spread by url-hash: giant-HTML rows distribute uniformly
+        # instead of clustering in ingest order (north_star skew requirement)
+        plan = plan.repartition(repartition, F.xxhash64("url"))
+    annotated = plan.mapInPandas(annotate_batches, schema=ANNOTATED_SCHEMA)
+    global _observation_counter
+    _observation_counter += 1
+    return annotated.observe(
+        "annotate_metrics_%d" % _observation_counter,
+        F.count(F.lit(1)).alias("docs_processed"),
+        F.sum("alignment_attempts").alias("alignment_attempts"),
+        F.sum("alignment_hits").alias("alignment_hits"),
+        F.sum(F.length("extracted_text")).alias("chars_extracted"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errors"),
+    )
+
+
+def resume_filter(docs: DataFrame, completed: Optional[DataFrame]) -> DataFrame:
+    """Checkpoint/resume primitive: drop documents whose url already exists in
+    the completed output snapshot (reference S2/J2: resume anti-join,
+    auto_annotate_utils.py:517-529,701-716)."""
+    if completed is None:
+        return docs
+    return docs.join(completed.select("url"), on="url", how="left_anti")
+
+
+def spans_table(annotated: DataFrame) -> DataFrame:
+    """Explode the per-document span arrays into the flat spans output
+    ``(url, field, start, end, text)``."""
+    return annotated.select(
+        "url", F.explode("spans").alias("span")
+    ).select(
+        "url",
+        F.col("span.field").alias("field"),
+        F.col("span.start").alias("start"),
+        F.col("span.end").alias("end"),
+        F.col("span.text").alias("text"),
+    )
+
+
+def write_outputs(annotated: DataFrame, output_dir: str) -> None:
+    """Partitioned-by-outcome write: passing docs to ``annotated/``, failing
+    docs to ``failed/`` (reference S7: annotation/annotator.py:185-196)."""
+    annotated.cache()
+    annotated.filter(F.col("passed")).write.mode("overwrite").parquet(
+        output_dir.rstrip("/") + "/annotated"
+    )
+    annotated.filter(~F.col("passed")).write.mode("overwrite").parquet(
+        output_dir.rstrip("/") + "/failed"
+    )
+    annotated.unpersist()

@@ -1,0 +1,41 @@
+"""SparkSession construction with scale-oriented defaults.
+
+Settings chosen for the 100 TB design point and exercised on local[N]:
+- AQE on (runtime shuffle re-planning, skew-join splitting);
+- Arrow batches capped so one batch of giant HTML blobs stays bounded
+  (the skew axis of BASELINE.json north_star);
+- shuffle partitions sized to the parallelism level (the heavy stage is an
+  embarrassingly parallel mapInPandas — shuffles only carry plumbing).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "sciencebeam-spark",
+    cpus: Optional[int] = None,
+    shuffle_partitions: Optional[int] = None,
+    arrow_max_records: int = 256,
+) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus * 2, 8)
+    return (
+        SparkSession.builder.master("local[%d]" % cpus)
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_max_records))
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
