@@ -1,38 +1,655 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operator inventory over the driver's
+testdata tables; each oracle-checked entry has a matching ANSI-SQL string in
+``oracle_sql()`` executed by DuckDB on the same parquet — column names and
+rounding are aligned on both sides.  Kernel-backed queries (fuzzy alignment,
+minhash/simhash near-dup, the flagship extraction pipeline) that are not
+SQL-expressible omit the oracle (driver records rows-only checks).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from sciencebeam_trainer_grobid_tools_spark.operators import dedup, similarity, textstats
+from sciencebeam_trainer_grobid_tools_spark.operators.multimodal import (
+    attach_fake_media,
+    extract_media_features,
+)
+from sciencebeam_trainer_grobid_tools_spark.plans.pipeline import (
+    annotate_documents,
+    spans_table,
+)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet("%s/%s.parquet" % (sf_dir.rstrip("/"), name))
+
+
+def _register(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for name in names:
+        _load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# ---------------------------------------------------------------------------
+# relational shell (SURVEY.md §2: S/P/J/A/O operator classes)
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan + filter pushdown + hash aggregate (A-class)."""
+    _register(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(AVG(l_quantity), 4) AS avg_qty,
+               ROUND(AVG(l_discount), 6) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + top-k with deterministic tie-break (J/O-class)."""
+    customer = _load(spark, sf_dir, "customer")
+    orders = _load(spark, sf_dir, "orders")
+    lineitem = _load(spark, sf_dir, "lineitem")
+    return (
+        customer.filter(F.col("c_mktsegment") == "MACHINERY")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_orderdate", "revenue")
+    )
+
+
+def q_region_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join with broadcast dimensions (J-class; broadcast is explicit)."""
+    region = F.broadcast(_load(spark, sf_dir, "region"))
+    nation = F.broadcast(_load(spark, sf_dir, "nation"))
+    supplier = F.broadcast(_load(spark, sf_dir, "supplier"))
+    lineitem = _load(spark, sf_dir, "lineitem")
+    return (
+        region.filter(F.col("r_name") == "ASIA")
+        .join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(supplier, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(lineitem, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .select(F.col("n_name").alias("nation"), "revenue", "n_lineitems")
+    )
+
+
+def q_resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resume/checkpoint primitive (reference S2/J2): left-anti join."""
+    customer = _load(spark, sf_dir, "customer")
+    urgent = _load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        customer.join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def q_regex_rename_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 analogue: join via regex-derived key (utils/regex.py:17-37)."""
+    customer = _load(spark, sf_dir, "customer")
+    orders = _load(spark, sf_dir, "orders")
+    derived = customer.select(
+        F.regexp_extract(F.col("c_name"), r"([0-9]+)", 1).cast("bigint").alias("derived_key")
+    )
+    return (
+        derived.join(orders, F.col("o_custkey") == F.col("derived_key"))
+        .groupBy("derived_key")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/W-class analogue: ordered change-point detection via window lag +
+    running sum (sessionize events with a 30-minute gap rule)."""
+    _register(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        WITH deltas AS (
+            SELECT user_id, ts,
+                   CASE WHEN unix_timestamp(ts) - unix_timestamp(
+                            LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        ) > 1800 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        )
+        SELECT user_id,
+               CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+               COUNT(*) AS n_events
+        FROM deltas
+        GROUP BY user_id
+        """
+    )
+
+
+def q_event_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 analogue: per-partition majority vote with deterministic ties."""
+    _register(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        SELECT user_id, event_type AS top_event, cnt AS n_events
+        FROM (
+            SELECT user_id, event_type, COUNT(*) AS cnt,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type
+                   ) AS rn
+            FROM events GROUP BY user_id, event_type
+        ) WHERE rn = 1
+        """
+    )
+
+
+def q_event_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling time-window aggregate (streaming-shaped, batch-executed)."""
+    events = _load(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+def q_levenshtein_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/F14: built-in levenshtein as the quality-check ratio."""
+    customer = _load(spark, sf_dir, "customer")
+    ref = "Customer#000000000"
+    lev = F.levenshtein(F.col("c_name"), F.lit(ref))
+    return customer.select(
+        "c_custkey",
+        lev.alias("lev"),
+        F.round(
+            1.0 - lev / F.greatest(F.length("c_name"), F.lit(len(ref))), 6
+        ).alias("lev_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# documents: text analysis + dedup
+
+
+def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.replace(F.col("text"), F.lit("\n"), F.lit(" ")))).alias("fingerprint")
+    return (
+        docs.select("doc_id", fp)
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+def q_docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", textstats.lang_id(F.col("text")).alias("lang_guess"))
+
+
+def q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return textstats.quality_features(docs).drop("text")
+
+
+def q_docs_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textstats.whitespace_token_count(F.col("text")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\w+"), 0)).alias("word_tokens"),
+        F.length("text").alias("n_chars_computed"),
+    )
+
+
+def q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", textstats.normalized_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+def q_docs_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (kernel hash not SQL-portable: rows-only)."""
+    docs = _load(spark, sf_dir, "documents")
+    return dedup.minhash_candidate_pairs(docs, k=5, num_hashes=32, bands=8)
+
+
+def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures (xxhash64-based: rows-only)."""
+    docs = _load(spark, sf_dir, "documents")
+    return dedup.simhash_table(docs)
+
+
+def q_docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact bigram-shingle Jaccard pairs over a bounded id range (the
+    correctness baseline the LSH path verifies against)."""
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    return dedup.ngram_jaccard_pairs(docs, k=2, min_jaccard=0.05).select(
+        "doc_id_a", "doc_id_b", "jaccard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+
+
+def _query_vector(spark: SparkSession, sf_dir: str):
+    row = (
+        _load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0]
+    )
+    return [float(v) for v in row["embedding"]]
+
+
+def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embeddings = _load(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(
+        embeddings, _query_vector(spark, sf_dir), k=10, round_digits=4
+    )
+
+
+def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (scale path; approximate: rows-only)."""
+    embeddings = _load(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(embeddings, _query_vector(spark, sf_dir), k=10)
+
+
+def q_emb_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embeddings = _load(spark, sf_dir, "embeddings")
+    return embeddings.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg(F.col("embedding")[0]), 4).alias("c0"),
+        F.round(F.avg(similarity.embedding_norm(F.col("embedding"))), 4).alias("avg_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# alignment kernel against a SQL oracle
+
+
+def q_align_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fuzzy-alignment kernel located an exact needle: for each document,
+    the needle is text[100:140]; the kernel's span must equal the first
+    occurrence (DuckDB strpos).  Runs the real Smith-Waterman + masking +
+    windowing path inside mapInPandas."""
+    import pandas as pd
+    from sciencebeam_trainer_grobid_tools_spark.kernel.fuzzy import fuzzy_search
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("n_chars") >= 200).select(
+        "doc_id", "text"
+    )
+
+    def align_batches(batches):
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                text = row.text
+                needle = text[100:140]
+                fm = fuzzy_search(text, needle, threshold=1.0)
+                if fm is None:
+                    start, end = -1, -1
+                else:
+                    start, end = fm.a_index_range()
+                rows.append(
+                    {
+                        "doc_id": row.doc_id,
+                        "span_start": start,
+                        "span_end": end,
+                        "needle": needle,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "span_start", "span_end", "needle"])
+
+    return docs.mapInPandas(
+        align_batches, schema="doc_id long, span_start int, span_end int, needle string"
+    )
+
+
+# ---------------------------------------------------------------------------
+# flagship: full extraction + alignment pipeline
+
+
+def _documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wrap the driver's documents table into the Common-Crawl-style input
+    shape (url, warc_ts, html, text, lang, target_xml): html adds boilerplate
+    chrome around the text; the target title is the first 8 words."""
+    docs = _load(spark, sf_dir, "documents")
+    title = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ")
+    html = F.concat(
+        F.lit(
+            "<html><head><title>ignored</title><script>var x=1;</script></head>"
+            "<body><nav>Home | About</nav><div id='content'><p>"
+        ),
+        F.replace(F.col("text"), F.lit("\n"), F.lit("</p><p>")),
+        F.lit("</p></div><footer>Copyright</footer></body></html>"),
+    )
+    target_xml = F.concat(
+        F.lit(
+            "<article><front><article-meta><title-group><article-title>"
+        ),
+        title,
+        F.lit("</article-title></title-group></article-meta></front></article>"),
+    )
+    return docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+        target_xml.alias("target_xml"),
+    )
+
+
+def q_flagship_extract_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end: html parse -> tokenize -> target extraction -> fuzzy align
+    -> BIO spans + checks (rows-only; byte-identity is asserted in pytest)."""
+    corpus = _documents_as_corpus(spark, sf_dir)
+    annotated = annotate_documents(
+        corpus, repartition=spark.sparkContext.defaultParallelism
+    )
+    return annotated.select(
+        "url",
+        "n_lines",
+        "n_tokens",
+        F.size("spans").alias("n_spans"),
+        "alignment_hits",
+        "passed",
+    )
+
+
+def q_flagship_title_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship pipeline, title spans only — oracle-checkable: the title is
+    the first 8 words of the text, so the span is [0, len(first 8 words))."""
+    corpus = _documents_as_corpus(spark, sf_dir)
+    annotated = annotate_documents(
+        corpus, repartition=spark.sparkContext.defaultParallelism
+    )
+    flat = spans_table(annotated)
+    return (
+        flat.filter(F.col("field") == "title")
+        .select(
+            F.expr("CAST(substring(url, 7) AS BIGINT)").alias("doc_id"),
+            F.col("start").alias("span_start"),
+            F.col("end").alias("span_end"),
+            F.col("text").alias("span_text"),
+        )
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column -> Arrow-batched decode stub
+    -> typed features (rows-only; decode is deterministic-fake here)."""
+    docs = _load(spark, sf_dir, "documents")
+    return extract_media_features(attach_fake_media(docs))
+
+
+# ---------------------------------------------------------------------------
+# contract functions
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_flagship_extract_align(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_summary": q_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
+        "region_supplier_volume": q_region_supplier_volume,
+        "resume_anti_join": q_resume_anti_join,
+        "regex_rename_join": q_regex_rename_join,
+        "event_sessionization": q_event_sessionization,
+        "event_majority_vote": q_event_majority_vote,
+        "event_hourly_rollup": q_event_hourly_rollup,
+        "levenshtein_check": q_levenshtein_check,
+        "docs_exact_dedup": q_docs_exact_dedup,
+        "docs_lang_id": q_docs_lang_id,
+        "docs_quality": q_docs_quality,
+        "docs_token_counts": q_docs_token_counts,
+        "docs_fingerprint": q_docs_fingerprint,
+        "docs_minhash_near_dups": q_docs_minhash_near_dups,
+        "docs_simhash": q_docs_simhash,
+        "docs_ngram_jaccard": q_docs_ngram_jaccard,
+        "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_lsh_topk": q_emb_lsh_topk,
+        "emb_label_stats": q_emb_label_stats,
+        "align_exact_spans": q_align_exact_spans,
+        "flagship_extract_align": q_flagship_extract_align,
+        "flagship_title_spans": q_flagship_title_spans,
+        "media_features": q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   ROUND(AVG(l_quantity), 4) AS avg_qty,
+                   ROUND(AVG(l_discount), 6) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_revenue_orders": """
+            SELECT o.o_orderkey AS o_orderkey, o.o_orderdate AS o_orderdate,
+                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'MACHINERY'
+            GROUP BY o.o_orderkey, o.o_orderdate
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10
+        """,
+        "region_supplier_volume": """
+            SELECT n.n_name AS nation,
+                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                   COUNT(*) AS n_lineitems
+            FROM region r
+            JOIN nation n ON n.n_regionkey = r.r_regionkey
+            JOIN supplier s ON s.s_nationkey = n.n_nationkey
+            JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+            WHERE r.r_name = 'ASIA'
+            GROUP BY n.n_name
+        """,
+        "resume_anti_join": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+            )
+        """,
+        "regex_rename_join": """
+            SELECT CAST(regexp_extract(c.c_name, '([0-9]+)', 1) AS BIGINT) AS derived_key,
+                   COUNT(*) AS n_orders
+            FROM customer c
+            JOIN orders o ON o.o_custkey = CAST(regexp_extract(c.c_name, '([0-9]+)', 1) AS BIGINT)
+            GROUP BY 1
+        """,
+        "event_sessionization": """
+            WITH deltas AS (
+                SELECT user_id, ts,
+                       CASE WHEN epoch(ts) - epoch(
+                                LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            ) > 1800 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            )
+            SELECT user_id,
+                   CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+                   COUNT(*) AS n_events
+            FROM deltas
+            GROUP BY user_id
+        """,
+        "event_majority_vote": """
+            SELECT user_id, event_type AS top_event, cnt AS n_events
+            FROM (
+                SELECT user_id, event_type, COUNT(*) AS cnt,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type
+                       ) AS rn
+                FROM events GROUP BY user_id, event_type
+            ) t WHERE rn = 1
+        """,
+        "event_hourly_rollup": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "levenshtein_check": """
+            SELECT c_custkey,
+                   levenshtein(c_name, 'Customer#000000000') AS lev,
+                   ROUND(1.0 - levenshtein(c_name, 'Customer#000000000')
+                         / GREATEST(LENGTH(c_name), 18), 6) AS lev_ratio
+            FROM customer
+        """,
+        "docs_exact_dedup": """
+            SELECT md5(LOWER(REPLACE(text, chr(10), ' '))) AS fingerprint,
+                   COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+            FROM documents GROUP BY 1
+        """,
+        "docs_lang_id": """
+            SELECT doc_id, lang,
+                   CASE
+                     WHEN (' ' || LOWER(text) || ' ') LIKE '% der %'
+                       OR (' ' || LOWER(text) || ' ') LIKE '% und %'
+                       OR (' ' || LOWER(text) || ' ') LIKE '% die %'
+                       OR (' ' || LOWER(text) || ' ') LIKE '% nicht %'
+                       OR (' ' || LOWER(text) || ' ') LIKE '% das %' THEN 'de'
+                     WHEN (' ' || LOWER(text) || ' ') LIKE '% le %'
+                       OR (' ' || LOWER(text) || ' ') LIKE '% la %'
+                       OR (' ' || LOWER(text) || ' ') LIKE '% les %'
+                       OR (' ' || LOWER(text) || ' ') LIKE '% et %'
+                       OR (' ' || LOWER(text) || ' ') LIKE '% est %' THEN 'fr'
+                     WHEN (' ' || LOWER(text) || ' ') LIKE '% the %'
+                       OR (' ' || LOWER(text) || ' ') LIKE '% and %'
+                       OR (' ' || LOWER(text) || ' ') LIKE '% of %'
+                       OR (' ' || LOWER(text) || ' ') LIKE '% is %'
+                       OR (' ' || LOWER(text) || ' ') LIKE '% this %' THEN 'en'
+                     ELSE 'unknown'
+                   END AS lang_guess
+            FROM documents
+        """,
+        "docs_quality": """
+            SELECT doc_id,
+                   LENGTH(text) AS q_chars,
+                   CAST(LEN(string_split(text, ' ')) AS INT) AS q_tokens,
+                   ROUND((LENGTH(text) - (LEN(string_split(text, ' ')) - 1))
+                         / LEN(string_split(text, ' ')), 4) AS q_mean_word_len,
+                   ROUND(((LENGTH(text) - LENGTH(REPLACE(text, '.', '')))
+                          + (LENGTH(text) - LENGTH(REPLACE(text, ',', ''))))
+                         / GREATEST(LENGTH(text), 1), 6) AS q_punct_ratio,
+                   (LENGTH(text) >= 100
+                    AND ((LENGTH(text) - LENGTH(REPLACE(text, '.', '')))
+                         + (LENGTH(text) - LENGTH(REPLACE(text, ',', ''))))
+                        / GREATEST(LENGTH(text), 1) < 0.1
+                    AND (LENGTH(text) - (LEN(string_split(text, ' ')) - 1))
+                        / LEN(string_split(text, ' ')) >= 3
+                    AND (LENGTH(text) - (LEN(string_split(text, ' ')) - 1))
+                        / LEN(string_split(text, ' ')) <= 12) AS q_passed
+            FROM documents
+        """,
+        "docs_token_counts": """
+            SELECT doc_id,
+                   CAST(LEN(string_split(text, ' ')) AS INT) AS ws_tokens,
+                   CAST(LEN(regexp_extract_all(text, '\\w+')) AS INT) AS word_tokens,
+                   LENGTH(text) AS n_chars_computed
+            FROM documents
+        """,
+        "docs_fingerprint": """
+            SELECT doc_id,
+                   SUBSTRING(md5(LOWER(REPLACE(text, chr(10), ' '))), 1, 16) AS fingerprint
+            FROM documents
+        """,
+        "docs_ngram_jaccard": """
+            WITH shingled AS (
+                SELECT doc_id,
+                       list_distinct([
+                           array_to_string(tokens[i:i+1], ' ')
+                           for i in range(1, GREATEST(LEN(tokens) - 1, 0) + 1)
+                       ]) AS shingles
+                FROM (
+                    SELECT doc_id, string_split(LOWER(REPLACE(text, chr(10), ' ')), ' ') AS tokens
+                    FROM documents WHERE doc_id < 60
+                )
+            )
+            SELECT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b,
+                   ROUND(LEN(list_intersect(l.shingles, r.shingles))
+                         / LEN(list_distinct(list_concat(l.shingles, r.shingles))), 6) AS jaccard
+            FROM shingled l JOIN shingled r ON l.doc_id < r.doc_id
+            WHERE LEN(list_intersect(l.shingles, r.shingles))
+                  / LEN(list_distinct(list_concat(l.shingles, r.shingles))) >= 0.05
+        """,
+        "emb_cosine_topk": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   ROUND(list_dot_product(e.embedding, q.qe)
+                         / (SQRT(list_dot_product(e.embedding, e.embedding))
+                            * SQRT(list_dot_product(q.qe, q.qe))), 4) AS cosine
+            FROM embeddings e, q
+            ORDER BY list_dot_product(e.embedding, q.qe)
+                     / (SQRT(list_dot_product(e.embedding, e.embedding))
+                        * SQRT(list_dot_product(q.qe, q.qe))) DESC, e.vec_id
+            LIMIT 10
+        """,
+        "emb_label_stats": """
+            SELECT label, COUNT(*) AS n_vectors,
+                   ROUND(AVG(embedding[1]), 4) AS c0,
+                   ROUND(AVG(SQRT(list_dot_product(embedding, embedding))), 4) AS avg_norm
+            FROM embeddings GROUP BY label
+        """,
+        "align_exact_spans": """
+            -- the kernel masks whitespace before aligning, so a needle's
+            -- leading/trailing spaces are outside the matched range
+            WITH needles AS (
+                SELECT doc_id, text, SUBSTRING(text, 101, 40) AS needle
+                FROM documents WHERE n_chars >= 200
+            )
+            SELECT doc_id,
+                   CAST(strpos(text, needle) - 1
+                        + (40 - LENGTH(LTRIM(needle))) AS INT) AS span_start,
+                   CAST(strpos(text, needle) - 1
+                        + LENGTH(RTRIM(needle)) AS INT) AS span_end,
+                   needle
+            FROM needles
+        """,
+    }

@@ -1,0 +1,231 @@
+"""Deduplication operators for web-scale corpora.
+
+All stages are Catalyst expressions (whole-stage codegen; no Python UDFs):
+
+- exact:     hash-groupBy on a normalized md5 fingerprint;
+- minhash:   word-shingles -> per-seed xxhash64 minima -> LSH band buckets ->
+             candidate pairs -> exact Jaccard verification.  The only shuffle
+             is the band-bucket groupBy, keyed by (band, band_hash) — at
+             10^12 docs this is the textbook near-dup plan (band count and
+             rows/band trade recall vs shuffle width);
+- simhash:   per-token 64-bit hashes, bitwise majority vote folded to one
+             long; near-dups = small hamming distance (cheap xor+popcount
+             self-join within LSH-prefix buckets);
+- n-gram Jaccard: exact similarity on candidate pairs.
+
+Design note: a naive all-pairs similarity join is O(n^2) and unusable at
+scale; every operator here reduces to equality-keyed shuffles.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def normalized_text(text: Column) -> Column:
+    return F.lower(F.replace(text, F.lit("\n"), F.lit(" ")))
+
+
+def exact_duplicate_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of documents with byte-identical normalized text."""
+    fp = F.md5(normalized_text(F.col(text_col))).alias("fingerprint")
+    return (
+        df.select(F.col(id_col), fp)
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def word_shingles(text: Column, k: int = 5) -> Column:
+    """Distinct k-word shingles of the normalized text (JVM-side arrays)."""
+    tokens = F.split(normalized_text(text), " ")
+    n = F.size(tokens)
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", tokens)))
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature: per seed, the minimum xxhash64 over the shingles."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed)))
+            )
+            for seed in range(num_hashes)
+        ]
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs,
+    then candidates are verified with exact shingle Jaccard."""
+    rows_per_band = num_hashes // bands
+    with_sig = df.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.col(text_col), k).alias("shingles"),
+    ).withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    banded = with_sig.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("bucket"),
+    ).select("doc_id", "shingles", "bucket.band", "bucket.band_hash")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_id_a"),
+            F.col("r.doc_id").alias("doc_id_b"),
+            F.col("l.shingles").alias("shingles_a"),
+            F.col("r.shingles").alias("shingles_b"),
+        )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    return pairs.select(
+        "doc_id_a",
+        "doc_id_b",
+        F.round(
+            F.size(F.array_intersect("shingles_a", "shingles_b"))
+            / F.size(F.array_union("shingles_a", "shingles_b")),
+            6,
+        ).alias("jaccard"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_jaccard: float = 0.8,
+    join_df: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over all pairs (small inputs / verification).
+
+    For scale, feed ``minhash_candidate_pairs`` output instead of the cross
+    join — this exists as the correctness baseline the LSH path is verified
+    against.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), k).alias("shingles")
+    )
+    other = (join_df if join_df is not None else shingled).alias("r")
+    return (
+        shingled.alias("l")
+        .join(other, F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("doc_id_a"),
+            F.col("r.doc_id").alias("doc_id_b"),
+            F.round(
+                F.size(F.array_intersect("l.shingles", "r.shingles"))
+                / F.size(F.array_union("l.shingles", "r.shingles")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def simhash_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_bits: int = 64,
+) -> DataFrame:
+    """SimHash signatures: explode tokens -> per-token xxhash64 -> bitwise
+    majority vote (64 partial-aggregable sums, map-side combined) -> fold to
+    one long.  One shuffle keyed by the document id; at corpus scale this is
+    a plain aggregation, no UDF."""
+    tokens = F.filter(F.split(normalized_text(F.col(text_col)), " "), lambda t: t != "")
+    exploded = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens).alias("tok"))
+    hashed = exploded.select("doc_id", F.xxhash64("tok").alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias("bit%d" % i)
+            for i in range(num_bits)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(num_bits):
+        sig = sig.bitwiseOR(
+            F.when(F.col("bit%d" % i) > 0, F.lit(1 << i if i < 63 else -(1 << 63)).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 6,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance, bucketed by the signature's
+    high bits so the join is equality-keyed (docs differing inside the prefix
+    are traded for shuffle locality — standard multi-probe variants would
+    re-run with rotated prefixes)."""
+    sigs = simhash_table(df, id_col=id_col, text_col=text_col).select(
+        "doc_id", F.col("simhash").alias("sig")
+    ).withColumn("bucket", F.shiftrightunsigned("sig", 64 - prefix_bits))
+    left = sigs.alias("l")
+    right = sigs.alias("r")
+    hamming = F.bit_count(F.col("l.sig").bitwiseXOR(F.col("r.sig")))
+    return (
+        left.join(
+            right,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_id_a"),
+            F.col("r.doc_id").alias("doc_id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

