@@ -82,13 +82,17 @@ def minhash_candidate_pairs(
     """LSH banding: docs sharing any band bucket become candidate pairs,
     then candidates are verified with exact shingle Jaccard."""
     rows_per_band = num_hashes // bands
-    with_sig = df.select(
+    shingled = df.select(
         F.col(id_col).alias("doc_id"),
         word_shingles(F.col(text_col), k).alias("shingles"),
-    ).withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
-    banded = with_sig.select(
+    )
+    # band buckets carry ONLY (doc_id, band, band_hash): the heavy shingle
+    # arrays never enter the band shuffle — at corpus scale that is the
+    # difference between shuffling ids and shuffling the corpus
+    buckets = shingled.withColumn(
+        "sig", minhash_signature(F.col("shingles"), num_hashes)
+    ).select(
         "doc_id",
-        "shingles",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -106,12 +110,11 @@ def minhash_candidate_pairs(
                 ),
             )
         ).alias("bucket"),
-    ).select("doc_id", "shingles", "bucket.band", "bucket.band_hash")
-    left = banded.alias("l")
-    right = banded.alias("r")
+    ).select("doc_id", "bucket.band", "bucket.band_hash")
     pairs = (
-        left.join(
-            right,
+        buckets.alias("l")
+        .join(
+            buckets.alias("r"),
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.band_hash") == F.col("r.band_hash"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
@@ -119,19 +122,28 @@ def minhash_candidate_pairs(
         .select(
             F.col("l.doc_id").alias("doc_id_a"),
             F.col("r.doc_id").alias("doc_id_b"),
-            F.col("l.shingles").alias("shingles_a"),
-            F.col("r.shingles").alias("shingles_b"),
         )
         .dropDuplicates(["doc_id_a", "doc_id_b"])
     )
-    return pairs.select(
-        "doc_id_a",
-        "doc_id_b",
-        F.round(
-            F.size(F.array_intersect("shingles_a", "shingles_b"))
-            / F.size(F.array_union("shingles_a", "shingles_b")),
-            6,
-        ).alias("jaccard"),
+    # verification join re-attaches shingles only for the candidate set
+    return (
+        pairs.join(
+            shingled.select(F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("shingles_a")),
+            "doc_id_a",
+        )
+        .join(
+            shingled.select(F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("shingles_b")),
+            "doc_id_b",
+        )
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(
+                F.size(F.array_intersect("shingles_a", "shingles_b"))
+                / F.size(F.array_union("shingles_a", "shingles_b")),
+                6,
+            ).alias("jaccard"),
+        )
     )
 
 
