@@ -60,7 +60,11 @@ def word_shingles(text: Column, k: int = 5) -> Column:
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature: per seed, the minimum xxhash64 over the shingles."""
+    """MinHash signature as an array expression (per seed, the minimum
+    xxhash64 over the shingles).  NOTE: higher-order array functions are
+    interpreted, not codegen'd — prefer ``minhash_signature_table`` (explode +
+    grouped min aggregates, fully codegen'd with map-side combine) on large
+    inputs."""
     return F.array(
         *[
             F.array_min(
@@ -71,6 +75,24 @@ def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     )
 
 
+def minhash_signature_table(
+    shingled: DataFrame, num_hashes: int = 32
+) -> DataFrame:
+    """(doc_id, shingles) -> (doc_id, sig array): explode the shingles and
+    take per-seed grouped minima — whole-stage-codegen aggregation with
+    map-side partial combine, one shuffle keyed by doc_id."""
+    exploded = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+    mins = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias("h%d" % seed)
+            for seed in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        "doc_id", F.array(*[F.col("h%d" % seed) for seed in range(num_hashes)]).alias("sig")
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -78,6 +100,7 @@ def minhash_candidate_pairs(
     k: int = 5,
     num_hashes: int = 32,
     bands: int = 8,
+    persist_intermediate: bool = True,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs,
     then candidates are verified with exact shingle Jaccard."""
@@ -86,12 +109,15 @@ def minhash_candidate_pairs(
         F.col(id_col).alias("doc_id"),
         word_shingles(F.col(text_col), k).alias("shingles"),
     )
+    if persist_intermediate:
+        # the shingle table feeds the band buckets AND both verification
+        # joins; without materialization the plan rebuilds it three times
+        # (in a multi-stage production pipeline this is a written table)
+        shingled = shingled.persist()
     # band buckets carry ONLY (doc_id, band, band_hash): the heavy shingle
     # arrays never enter the band shuffle — at corpus scale that is the
     # difference between shuffling ids and shuffling the corpus
-    buckets = shingled.withColumn(
-        "sig", minhash_signature(F.col("shingles"), num_hashes)
-    ).select(
+    buckets = minhash_signature_table(shingled, num_hashes).select(
         "doc_id",
         F.explode(
             F.transform(
