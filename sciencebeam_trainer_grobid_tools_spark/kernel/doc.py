@@ -55,7 +55,9 @@ class Token:
     """A non-whitespace token with its following whitespace and absolute
     character offsets into the document's extracted text."""
 
-    __slots__ = ("text", "whitespace", "tag", "sub_tag", "start", "end", "line_index")
+    __slots__ = (
+        "text", "whitespace", "tag", "sub_tag", "preserved_tag", "start", "end", "line_index",
+    )
 
     def __init__(
         self,
@@ -69,6 +71,7 @@ class Token:
         self.whitespace = whitespace
         self.tag: Optional[str] = None
         self.sub_tag: Optional[str] = None
+        self.preserved_tag: Optional[str] = None
         self.start = start
         self.end = end
         self.line_index = line_index

@@ -1,0 +1,119 @@
+"""Two-parallelism scaling bench (the BASELINE.json north_rule criterion).
+
+No real cluster exists in this sandbox, so the N -> 4N executor scaling
+criterion is evidenced by running the identical flagship job on the identical
+pre-materialized input at local[8] (N) and local[32] (4N) and reporting
+docs/sec at both plus efficiency = (rate_32 / rate_8) / 4 (target >= 0.8).
+
+Protocol details that keep the measurement honest:
+- the corpus is generated once and written to parquet before any timing;
+- each parallelism level runs in a fresh subprocess (fresh JVM);
+- per level, a warm-up pass compiles codegen and forks the python worker
+  pool, then the median of 3 timed runs is used.
+
+Usage:
+    python scripts/scaling_bench.py            # orchestrates both levels
+    python scripts/scaling_bench.py --level 8  # single level (internal)
+"""
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_DOCS = int(os.environ.get("SCALING_BENCH_DOCS", "8000"))
+CORPUS_DIR = os.path.abspath(
+    os.environ.get("SCALING_BENCH_CORPUS", ".bench/scaling_corpus")
+)
+LEVELS = (8, 32)
+RUNS = int(os.environ.get("SCALING_BENCH_RUNS", "2"))
+
+
+def materialize_corpus() -> None:
+    from sciencebeam_trainer_grobid_tools_spark.plans.session import build_session
+    from sciencebeam_trainer_grobid_tools_spark.sources.corpus import corpus_dataframe
+
+    if os.path.exists(os.path.join(CORPUS_DIR, "_SUCCESS")):
+        return
+    spark = build_session("scaling-corpus", cpus=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus_dataframe(spark, N_DOCS, seed=42, partitions=64).write.mode(
+        "overwrite"
+    ).parquet(CORPUS_DIR)
+    spark.stop()
+
+
+def run_level(cpus: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from sciencebeam_trainer_grobid_tools_spark.plans.pipeline import annotate_documents
+    from sciencebeam_trainer_grobid_tools_spark.plans.session import build_session
+
+    spark = build_session("scaling-%d" % cpus, cpus=cpus, shuffle_partitions=cpus * 2)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(CORPUS_DIR)
+    n_docs = docs.count()
+    # warm-up: codegen + python worker pool, on a slice
+    annotate_documents(docs.limit(512), repartition=cpus * 2).count()
+    times = []
+    spans_total = 0
+    for _ in range(RUNS):
+        t0 = time.time()
+        annotated = annotate_documents(docs, repartition=cpus * 4)
+        agg = annotated.agg(
+            F.count(F.lit(1)).alias("docs"), F.sum(F.size("spans")).alias("spans")
+        ).collect()[0]
+        times.append(time.time() - t0)
+        assert agg["docs"] == n_docs
+        spans_total = int(agg["spans"])
+    spark.stop()
+    elapsed = statistics.median(times)
+    return {
+        "cpus": cpus,
+        "docs": n_docs,
+        "spans": spans_total,
+        "runs_sec": [round(t, 2) for t in times],
+        "median_sec": round(elapsed, 2),
+        "docs_per_sec": round(n_docs / elapsed, 1),
+    }
+
+
+def main() -> None:
+    if "--level" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--level") + 1])
+        print(json.dumps(run_level(cpus)))
+        return
+    materialize_corpus()
+    results = {}
+    for cpus in LEVELS:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--level", str(cpus)],
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+        print("local[%d]: %s" % (cpus, line))
+    rate_n = results[LEVELS[0]]["docs_per_sec"]
+    rate_4n = results[LEVELS[1]]["docs_per_sec"]
+    efficiency = (rate_4n / rate_n) / (LEVELS[1] / LEVELS[0])
+    summary = {
+        "docs": N_DOCS,
+        "rate_8": rate_n,
+        "rate_32": rate_4n,
+        "speedup": round(rate_4n / rate_n, 3),
+        "efficiency": round(efficiency, 3),
+        "target": 0.8,
+        "meets_target": efficiency >= 0.8,
+    }
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

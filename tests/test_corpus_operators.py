@@ -1,0 +1,178 @@
+"""Corpus-scale operator tests: dedup, similarity, textstats, multimodal,
+resumable execution."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sciencebeam_trainer_grobid_tools_spark.operators import dedup, similarity, textstats
+from sciencebeam_trainer_grobid_tools_spark.operators.multimodal import (
+    attach_fake_media,
+    extract_media_features,
+)
+from sciencebeam_trainer_grobid_tools_spark.plans.session import build_session
+
+
+@pytest.fixture(scope="module")
+def spark():
+    session = build_session("operator-tests", cpus=4, shuffle_partitions=8)
+    session.sparkContext.setLogLevel("ERROR")
+    yield session
+    session.stop()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (0, base),
+        (1, base),  # exact duplicate of 0
+        (2, base.replace("today", "tonight")),  # near-duplicate of 0
+        (3, "completely different content about spark query engines and shuffles"),
+        (4, "ein kurzer text der nicht englisch ist und anders aussieht"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestDedup:
+    def test_exact_duplicate_groups(self, docs):
+        groups = dedup.exact_duplicate_groups(docs).collect()
+        assert len(groups) == 1
+        assert groups[0]["n_docs"] == 2
+        assert groups[0]["keep_id"] == 0
+
+    def test_minhash_finds_near_duplicates(self, docs):
+        pairs = {
+            (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+            for r in dedup.minhash_candidate_pairs(
+                docs, k=3, num_hashes=16, bands=8
+            ).collect()
+        }
+        assert pairs.get((0, 1)) == 1.0
+        assert (0, 3) not in pairs
+        near = pairs.get((0, 2)) or pairs.get((1, 2))
+        assert near is not None and 0.3 < near < 1.0
+
+    def test_ngram_jaccard_exact_baseline(self, docs):
+        pairs = {
+            (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(docs, k=3, min_jaccard=0.3).collect()
+        }
+        assert pairs[(0, 1)] == 1.0
+
+    def test_simhash_hamming_close_for_near_dups(self, docs):
+        sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash_table(docs).collect()}
+        assert sigs[0] == sigs[1]
+        ham_near = bin((sigs[0] ^ sigs[2]) & ((1 << 64) - 1)).count("1")
+        ham_far = bin((sigs[0] ^ sigs[3]) & ((1 << 64) - 1)).count("1")
+        assert ham_near < ham_far
+
+    def test_simhash_near_duplicate_pairs(self, docs):
+        pairs = {
+            (r["doc_id_a"], r["doc_id_b"])
+            for r in dedup.simhash_near_duplicates(docs, max_hamming=10).collect()
+        }
+        assert (0, 1) in pairs
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def embeddings(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = []
+        for i in range(100):
+            vec = [rng.gauss(0, 1) for _ in range(16)]
+            rows.append((i, vec, i % 3))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+
+    def test_cosine_topk_exact(self, embeddings):
+        query = [float(v) for v in embeddings.filter("vec_id = 5").collect()[0]["embedding"]]
+        top = similarity.cosine_topk(embeddings, query, k=5).collect()
+        assert top[0]["vec_id"] == 5
+        assert abs(top[0]["cosine"] - 1.0) < 1e-4
+        cosines = [r["cosine"] for r in top]
+        assert cosines == sorted(cosines, reverse=True)
+
+    def test_lsh_topk_contains_query_vector(self, embeddings):
+        query = [float(v) for v in embeddings.filter("vec_id = 5").collect()[0]["embedding"]]
+        top = similarity.lsh_topk(embeddings, query, k=5).collect()
+        assert top[0]["vec_id"] == 5
+
+    def test_lsh_recall_vs_bruteforce(self, embeddings):
+        query = [float(v) for v in embeddings.filter("vec_id = 5").collect()[0]["embedding"]]
+        exact = {r["vec_id"] for r in similarity.cosine_topk(embeddings, query, k=10).collect()}
+        approx = {
+            r["vec_id"]
+            for r in similarity.lsh_topk(embeddings, query, k=10, n_planes=4).collect()
+        }
+        # with 4 planes + 1-bit multi-probe over 100 vectors the candidate set
+        # covers a meaningful share of the exact top-10
+        assert len(exact & approx) >= 3
+
+
+class TestTextstats:
+    def test_lang_id(self, docs):
+        langs = {r["doc_id"]: r["g"] for r in docs.select(
+            "doc_id", textstats.lang_id(F.col("text")).alias("g")
+        ).collect()}
+        assert langs[0] == "en"
+        assert langs[4] == "de"
+
+    def test_quality_features(self, docs):
+        row = textstats.quality_features(docs).filter("doc_id = 0").collect()[0]
+        assert row["q_chars"] == len(
+            "the quick brown fox jumps over the lazy dog near the river bank today"
+        )
+        assert row["q_tokens"] == 14
+
+    def test_fingerprint_stable_across_case_and_newlines(self, spark):
+        df = spark.createDataFrame(
+            [(0, "Hello World"), (1, "hello\nworld")], "doc_id long, text string"
+        )
+        fps = [
+            r["fp"]
+            for r in df.select(
+                textstats.normalized_fingerprint(F.col("text")).alias("fp")
+            ).collect()
+        ]
+        assert fps[0] == fps[1]
+
+
+class TestMultimodal:
+    def test_media_feature_plumbing(self, docs):
+        features = extract_media_features(attach_fake_media(docs)).collect()
+        assert len(features) == 5
+        for row in features:
+            assert row["n_bytes"] == 32  # md5 hex digest bytes
+            assert 64 <= row["width"] <= 64 + 255
+            assert row["channels"] == 3
+
+    def test_decode_stub_raises(self, docs):
+        with pytest.raises(Exception):
+            extract_media_features(
+                attach_fake_media(docs), decode_stub="raise"
+            ).collect()
+
+
+class TestResumable:
+    def test_run_resumable_chunks_and_manifest(self, spark, tmp_path):
+        from sciencebeam_trainer_grobid_tools_spark.sources.corpus import corpus_dataframe
+        from sciencebeam_trainer_grobid_tools_spark.streaming.resume import run_resumable
+
+        docs = corpus_dataframe(spark, 30, seed=42, partitions=2)
+        out = str(tmp_path / "out")
+        result = run_resumable(spark, docs, out, chunk_size=10)
+        assert result["rows"] == 30
+        assert result["chunks"] == 3
+        produced = spark.read.parquet(out + "/annotated")
+        assert produced.count() == 30
+        # resume after completion is a no-op
+        again = run_resumable(spark, docs, out, chunk_size=10)
+        assert again["rows"] == 0
+        manifest = (tmp_path / "out" / "manifest.jsonl").read_text().strip().splitlines()
+        assert len(manifest) == 3
