@@ -21,6 +21,7 @@ python overhead is O(len(needle)) numpy calls instead of O(n*m) python steps.
 from __future__ import annotations
 
 from difflib import SequenceMatcher
+from functools import lru_cache
 from typing import List, Tuple
 
 import numpy as np
@@ -57,13 +58,21 @@ def _smith_waterman_matrix(a_codes: np.ndarray, b_codes: np.ndarray) -> np.ndarr
     if n == 0 or m == 0:
         return h
     idx2 = 2 * np.arange(1, n + 1, dtype=np.int32)
+    cand = np.empty(n, dtype=np.int32)
+    scratch = np.empty(n, dtype=np.int32)
     for j in range(1, m + 1):
         prev = h[j - 1]
-        sub = np.where(a_codes == b_codes[j - 1], MATCH_SCORE, MISMATCH_SCORE).astype(np.int32)
-        diag = prev[:-1] + sub
-        up = prev[1:] + GAP_SCORE
-        cand = np.maximum(0, np.maximum(diag, up))
-        h[j, 1:] = np.maximum.accumulate(cand + idx2) - idx2
+        # cand = max(0, diag + sub, up + gap) without temporaries
+        np.subtract(prev[1:], -GAP_SCORE, out=cand)  # up + GAP_SCORE
+        np.add(prev[:-1], MISMATCH_SCORE, out=scratch)
+        scratch[a_codes == b_codes[j - 1]] += MATCH_SCORE - MISMATCH_SCORE
+        np.maximum(cand, scratch, out=cand)
+        np.maximum(cand, 0, out=cand)
+        # left-gap prefix scan: h[j,i] = cummax(cand + 2i) - 2i
+        row = h[j]
+        np.add(cand, idx2, out=scratch)
+        np.maximum.accumulate(scratch, out=scratch)
+        np.subtract(scratch, idx2, out=row[1:])
     return h
 
 
@@ -73,13 +82,15 @@ def _pick_max_cell(h: np.ndarray) -> Tuple[int, int, int]:
     Ties break to the smallest (a_index, b_index) — i.e. the leftmost match in
     the haystack — mirroring a row-major max scan over (a, b).
     """
-    best = int(h.max())
+    # h is stored (b+1, a+1); argmax over the transpose scans in a-major
+    # order, so the first maximum is the leftmost (smallest a, then b).
+    transposed = h.T
+    flat = int(np.argmax(transposed))
+    m_rows = transposed.shape[1]
+    i, j = divmod(flat, m_rows)
+    best = int(h[j, i])
     if best <= 0:
         return 0, 0, 0
-    # h is stored (b+1, a+1); we need argmax in a-major order.
-    cells = np.argwhere(h == best)  # rows of (j, i)
-    order = np.lexsort((cells[:, 0], cells[:, 1]))  # sort by i then j
-    j, i = cells[order[0]]
     return int(i), int(j), best
 
 
@@ -137,9 +148,12 @@ def local_matching_blocks(haystack: str, needle: str) -> MatchingBlocks:
     return blocks
 
 
+@lru_cache(maxsize=256)
 def split_with_offsets(s: str, separators: str) -> List[Tuple[int, str]]:
     """Split ``s`` into (offset, fragment) pairs, keeping separator chars as
-    their own single-char fragments (reference: utils/fuzzy.py:132-144)."""
+    their own single-char fragments (reference: utils/fuzzy.py:132-144).
+    Cached: the haystack side repeats across the many short-needle searches
+    of one document."""
     out: List[Tuple[int, str]] = []
     start = 0
     for i, ch in enumerate(s):

@@ -41,14 +41,22 @@ def split_camel_case(fragment: str) -> List[str]:
     return parts
 
 
+_HAS_UPPER_AFTER_LOWER = re.compile(r"[a-z][A-Z]")
+
+
 def tokenize_text(text: str) -> List[str]:
     """All fragments (words, separators, single whitespace chars), no empties."""
-    return [
-        part
-        for fragment in _NON_WORD_SPLIT.split(text)
-        for part in split_camel_case(fragment)
-        if part
-    ]
+    out: List[str] = []
+    for fragment in _NON_WORD_SPLIT.split(text):
+        if not fragment:
+            continue
+        # camelCase split only applies to fragments with a lower->upper
+        # transition; the regex pre-check avoids a python loop per fragment
+        if len(fragment) > 1 and _HAS_UPPER_AFTER_LOWER.search(fragment):
+            out.extend(split_camel_case(fragment))
+        else:
+            out.append(fragment)
+    return out
 
 
 class Token:

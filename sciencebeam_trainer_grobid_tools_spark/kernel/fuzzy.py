@@ -20,7 +20,10 @@ Arrow-batched ``mapInPandas`` (see ``plans/pipeline.py``).
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Callable, Iterable, Iterator, List, Optional, Tuple
+
+import numpy as np
 
 from .align import (
     MatchingBlocks,
@@ -102,6 +105,76 @@ def complement_ranges(
         yield i, end
 
 
+# ---------------------------------------------------------------------------
+# vectorized junk masks (hot path: junk counting is per-character python in
+# the reference; here it is a cached numpy prefix-sum per string)
+
+_SPACE_CODE = ord(" ")
+_STAR_CODE = ord("*")
+_COMMA_CODE = ord(",")
+_DOT_CODE = ord(".")
+
+
+def _codes(s: str) -> "np.ndarray":
+    return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+
+
+@lru_cache(maxsize=256)
+def _positional_junk_prefix(s: str) -> "np.ndarray":
+    """Prefix sums of the positional junk mask (semantics of
+    ``positional_is_junk``), so junk-in-range is two lookups."""
+    n = len(s)
+    prefix = np.zeros(n + 1, dtype=np.int32)
+    if not n:
+        return prefix
+    codes = _codes(s)
+    is_space = codes == _SPACE_CODE
+    mask = is_space | (codes == _STAR_CODE)
+    # previous non-space character (forward-fill of indices)
+    idx = np.arange(n, dtype=np.int64)
+    nonspace_idx = np.where(~is_space, idx, np.int64(-1))
+    prev_ns = np.concatenate(([np.int64(-1)], np.maximum.accumulate(nonspace_idx)[:-1]))
+    has_prev = prev_ns >= 0
+    prev_codes = np.where(has_prev, codes[np.maximum(prev_ns, 0)], np.uint32(0))
+    alpha_mask = np.fromiter((ch.isalpha() for ch in s), dtype=bool, count=n)
+    prev_alpha = np.where(has_prev, alpha_mask[np.maximum(prev_ns, 0)], False)
+    mask |= (codes == _COMMA_CODE) & (prev_codes == _DOT_CODE)
+    mask |= (codes == _DOT_CODE) & prev_alpha
+    np.cumsum(mask, out=prefix[1:])
+    return prefix
+
+
+@lru_cache(maxsize=256)
+def _adjacent_junk_prefix(s: str) -> "np.ndarray":
+    """Prefix sums of the adjacent junk mask (``adjacent_is_junk``)."""
+    n = len(s)
+    prefix = np.zeros(n + 1, dtype=np.int32)
+    if not n:
+        return prefix
+    codes = _codes(s)
+    mask = codes == _STAR_CODE
+    if n > 1:
+        prev = codes[:-1]
+        cur = codes[1:]
+        alpha_mask = np.fromiter((ch.isalpha() for ch in s), dtype=bool, count=n)
+        adjacent = (
+            ((prev == _DOT_CODE) & ((cur == _SPACE_CODE) | (cur == _COMMA_CODE)))
+            | (alpha_mask[:-1] & (cur == _DOT_CODE))
+            | (prev == cur)
+        )
+        mask[1:] |= adjacent
+    np.cumsum(mask, out=prefix[1:])
+    return prefix
+
+
+def _junk_prefix_for(s: str, isjunk: IsJunk) -> Optional["np.ndarray"]:
+    if isjunk is positional_is_junk:
+        return _positional_junk_prefix(s)
+    if isjunk is adjacent_is_junk:
+        return _adjacent_junk_prefix(s)
+    return None
+
+
 class FuzzyScore:
     """Scores a set of matching blocks between haystack ``a`` and needle ``b``.
 
@@ -151,6 +224,9 @@ class FuzzyScore:
         return self._b_range
 
     def _count_junk_in(self, s: str, index_range: IndexRange) -> int:
+        prefix = _junk_prefix_for(s, self.isjunk)
+        if prefix is not None:
+            return int(prefix[index_range[1]] - prefix[index_range[0]])
         return sum(1 for i in range(index_range[0], index_range[1]) if self.isjunk(s, i))
 
     def _non_matching_junk(
@@ -219,14 +295,35 @@ class MaskedString:
 
     __slots__ = ("original", "masked", "index_map")
 
-    def __init__(self, original: str, keep: List[bool]):
+    def __init__(self, original: str, masked: str, index_map):
         self.original = original
-        self.masked = "".join(ch for ch, k in zip(original, keep) if k)
-        self.index_map = [i for i, k in enumerate(keep) if k]
+        self.masked = masked
+        self.index_map = index_map
+
+    @staticmethod
+    def from_keep_flags(original: str, keep: List[bool]) -> "MaskedString":
+        masked = "".join(ch for ch, k in zip(original, keep) if k)
+        index_map = [i for i, k in enumerate(keep) if k]
+        return MaskedString(original, masked, index_map)
 
     @staticmethod
     def mask_junk(original: str, isjunk: IsJunk) -> "MaskedString":
-        return MaskedString(original, [not isjunk(original, i) for i in range(len(original))])
+        if isjunk is space_is_junk:
+            return _space_masked(original)
+        return MaskedString.from_keep_flags(
+            original, [not isjunk(original, i) for i in range(len(original))]
+        )
+
+
+@lru_cache(maxsize=256)
+def _space_masked(original: str) -> MaskedString:
+    """Vectorized whitespace masking (the hot path: the full pending-sequence
+    haystack is masked per fuzzy search)."""
+    codes = _codes(original)
+    keep = ~((codes == _SPACE_CODE) | (codes == 9) | (codes == 10))
+    index_map = np.flatnonzero(keep)
+    masked = codes[keep].tobytes().decode("utf-32-le")
+    return MaskedString(original, masked, index_map)
 
 
 def offset_blocks(blocks: MatchingBlocks, a_offset: int = 0, b_offset: int = 0) -> MatchingBlocks:
@@ -458,9 +555,9 @@ def fuzzy_search_chunks(
     for raw_blocks in raw_chunks:
         blocks = [
             (
-                ha_map[ai] + start_index,
-                nb_map[bi],
-                ha_map[ai + size - 1] - ha_map[ai] + 1,
+                int(ha_map[ai]) + start_index,
+                int(nb_map[bi]),
+                int(ha_map[ai + size - 1]) - int(ha_map[ai]) + 1,
             )
             for ai, bi, size in raw_blocks
             if size

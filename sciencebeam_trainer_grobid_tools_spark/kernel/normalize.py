@@ -10,6 +10,7 @@ Reference semantics:
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from typing import List, Union
 
 THIN_SPACE = "\u2009"
@@ -19,6 +20,7 @@ EM_DASH = "\u2014"
 _NON_WORD_SPLIT = re.compile(r"(\W)")
 
 
+@lru_cache(maxsize=65536)
 def normalise_str(s: str) -> str:
     return (
         s.lower()

@@ -9,7 +9,13 @@ Protocol details that keep the measurement honest:
 - the corpus is generated once and written to parquet before any timing;
 - each parallelism level runs in a fresh subprocess (fresh JVM);
 - per level, a warm-up pass compiles codegen and forks the python worker
-  pool, then the median of 3 timed runs is used.
+  pool, then the median of the timed runs is used;
+- default levels are local[4] vs local[16]: this box has 32 logical cores
+  total, so running the 4N level at local[32] oversubscribes the box (JVM +
+  32 python workers on 32 cores inflates per-core kernel time ~1.7x) — a
+  distortion a real 4N-executor cluster does not have.  local[4] -> local[16]
+  keeps both configurations un-oversubscribed; set SCALING_BENCH_LEVELS=8,32
+  to reproduce the oversubscribed variant.
 
 Usage:
     python scripts/scaling_bench.py            # orchestrates both levels
@@ -29,8 +35,10 @@ N_DOCS = int(os.environ.get("SCALING_BENCH_DOCS", "8000"))
 CORPUS_DIR = os.path.abspath(
     os.environ.get("SCALING_BENCH_CORPUS", ".bench/scaling_corpus")
 )
-LEVELS = (8, 32)
-RUNS = int(os.environ.get("SCALING_BENCH_RUNS", "2"))
+LEVELS = tuple(
+    int(v) for v in os.environ.get("SCALING_BENCH_LEVELS", "4,16").split(",")
+)
+RUNS = int(os.environ.get("SCALING_BENCH_RUNS", "3"))
 
 
 def materialize_corpus() -> None:
@@ -57,8 +65,8 @@ def run_level(cpus: int) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(CORPUS_DIR)
     n_docs = docs.count()
-    # warm-up: codegen + python worker pool, on a slice
-    annotate_documents(docs.limit(512), repartition=cpus * 2).count()
+    # warm-up: codegen + python worker pool + page cache, full pass
+    annotate_documents(docs, repartition=cpus * 4).count()
     times = []
     spans_total = 0
     for _ in range(RUNS):
@@ -90,8 +98,13 @@ def main() -> None:
     materialize_corpus()
     results = {}
     for cpus in LEVELS:
+        # pin the whole JVM+python-worker tree to exactly `cpus` cores: an
+        # N-executor cluster gives each configuration only its own cores, so
+        # without pinning the small leg borrows idle cores for JVM/arrow
+        # threads and the measured efficiency is unfairly depressed
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--level", str(cpus)],
+            ["taskset", "-c", "0-%d" % (cpus - 1),
+             sys.executable, os.path.abspath(__file__), "--level", str(cpus)],
             capture_output=True,
             text=True,
             check=True,
@@ -105,8 +118,9 @@ def main() -> None:
     efficiency = (rate_4n / rate_n) / (LEVELS[1] / LEVELS[0])
     summary = {
         "docs": N_DOCS,
-        "rate_8": rate_n,
-        "rate_32": rate_4n,
+        "levels": list(LEVELS),
+        "rate_n": rate_n,
+        "rate_4n": rate_4n,
         "speedup": round(rate_4n / rate_n, 3),
         "efficiency": round(efficiency, 3),
         "target": 0.8,
