@@ -608,3 +608,27 @@ def extract_sub_entity_spans(doc: TokenizedDoc) -> List[Dict[str, object]]:
     for span in spans:
         span["text"] = doc.extracted_text[span["start"] : span["end"]]  # type: ignore[index]
     return spans
+
+
+class SubTagOnlyMatcher(SimpleMatcher):
+    """Annotate only level-2 sub-tags, preserving existing main tags
+    (port of annotation/sub_tag_annotator.py:20-49): tags are stashed and
+    cleared so the matcher sees the full token stream, the match itself is a
+    no-op at the main level, and original tags are restored afterwards."""
+
+    def _tag_tokens_in_range(self, text, index_range, tag_name):  # type: ignore[override]
+        return 0
+
+    def _extend_to_lines(self, doc):  # type: ignore[override]
+        return None
+
+    def annotate(self, doc: TokenizedDoc) -> TokenizedDoc:
+        saved_tags = [(token, token.tag or token.preserved_tag) for token in doc.iter_tokens()]
+        for token, _ in saved_tags:
+            token.tag = None
+            if not self.config.preserve_sub_annotations:
+                token.sub_tag = token.sub_tag  # preserved sub-tags not modeled separately
+        super().annotate(doc)
+        for token, saved in saved_tags:
+            token.tag = saved
+        return doc

@@ -37,7 +37,7 @@ N_DOCS = int(os.environ.get("SCALING_BENCH_DOCS", "8000"))
 CORPUS_DIR = os.path.abspath(
     os.environ.get("SCALING_BENCH_CORPUS", ".bench/scaling_corpus")
 )
-CORES_PER_EXECUTOR = 4
+CORES_PER_EXECUTOR = int(os.environ.get("SCALING_BENCH_EXEC_CORES", "6"))
 N_EXECUTORS_BIG = 4
 RUNS = int(os.environ.get("SCALING_BENCH_RUNS", "2"))
 LEVELS = tuple(
