@@ -41,7 +41,8 @@ ANNOTATED_SCHEMA = (
     "n_lines int, n_tokens int, "
     "spans %s, sub_spans %s, "
     "alignment_attempts int, alignment_hits int, "
-    "passed boolean, reason string, error string" % (SPAN_TYPE, SPAN_TYPE)
+    "passed boolean, reason string, error string, tei_xml string"
+    % (SPAN_TYPE, SPAN_TYPE)
 )
 
 
@@ -65,6 +66,7 @@ def annotate_document_row(
     lookahead_lines: int = 500,
     use_sub_annotations: bool = True,
     require_matching_fields: str = "title",
+    render_tei: bool = False,
 ) -> dict:
     """Pure per-document kernel — unit-testable without Spark."""
     mapping, tag_config_map = _parsed_mapping(mapping_text)
@@ -89,6 +91,14 @@ def annotate_document_row(
     passed, reason = check_document(doc, targets, require_matching_fields=required)
     target_fields = {t.name for t in targets}
     hit_fields = {str(s["field"]) for s in spans}
+    tei_xml = None
+    if render_tei:
+        from ..operators.tei_render import HEADER_TAG_TO_TEI_PATH_MAPPING, render_tei_xml
+
+        tei_mapping = dict(HEADER_TAG_TO_TEI_PATH_MAPPING)
+        for field in target_fields:
+            tei_mapping.setdefault(field, 'note[@type="%s"]' % field)
+        tei_xml = render_tei_xml(doc, tei_mapping)
     return {
         "url": url,
         "extracted_text": doc.extracted_text,
@@ -101,6 +111,7 @@ def annotate_document_row(
         "passed": passed,
         "reason": reason,
         "error": None,
+        "tei_xml": tei_xml,
     }
 
 
@@ -113,6 +124,7 @@ def annotate_documents(
     require_matching_fields: str = "title",
     repartition: Optional[int] = None,
     use_html: bool = True,
+    render_tei: bool = False,
 ) -> DataFrame:
     """documents -> annotated spans table (the north-star job)."""
     import pandas as pd
@@ -137,6 +149,7 @@ def annotate_documents(
                         lookahead_lines=lookahead_lines,
                         use_sub_annotations=use_sub_annotations,
                         require_matching_fields=require_matching_fields,
+                        render_tei=render_tei,
                     )
                     result["lang"] = lang
                 except Exception as exc:  # per-document error isolation
@@ -153,6 +166,7 @@ def annotate_documents(
                         "passed": False,
                         "reason": None,
                         "error": "%s: %s" % (type(exc).__name__, exc),
+                        "tei_xml": None,
                     }
                 out.append(result)
             yield pd.DataFrame(
@@ -170,6 +184,7 @@ def annotate_documents(
                     "passed",
                     "reason",
                     "error",
+                    "tei_xml",
                 ],
             )
 
