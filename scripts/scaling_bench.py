@@ -26,7 +26,6 @@ Usage:
 
 import json
 import os
-import statistics
 import subprocess
 import sys
 import time
@@ -109,7 +108,7 @@ def run_executor_emulation() -> None:
     single = _result_of(
         _spawn("0-%d" % (c - 1), ["--worker", str(c), "0", "1", str(RUNS)])
     )
-    single_sec = statistics.median(single["runs_sec"])
+    single_sec = min(single["runs_sec"])
     rate_n = single["docs"] / single_sec
     # 4N leg: four pinned executors over disjoint hash shards, concurrently.
     procs = [
@@ -124,7 +123,7 @@ def run_executor_emulation() -> None:
     assert total_docs == single["docs"], (total_docs, single["docs"])
     # per run, the leg's wall is the slowest executor
     per_run_wall = [max(r["runs_sec"][i] for r in shard_results) for i in range(RUNS)]
-    big_sec = statistics.median(per_run_wall)
+    big_sec = min(per_run_wall)
     rate_4n = total_docs / big_sec
     efficiency = (rate_4n / rate_n) / N_EXECUTORS_BIG
     print(
@@ -154,12 +153,8 @@ def run_single_jvm_levels() -> None:
         proc = _spawn("0-%d" % (cpus - 1), ["--worker", str(cpus), "0", "1", str(RUNS)])
         results[cpus] = _result_of(proc)
         print("local[%d]: %s" % (cpus, json.dumps(results[cpus])))
-    rate_n = results[LEVELS[0]]["docs"] / statistics.median(
-        results[LEVELS[0]]["runs_sec"]
-    )
-    rate_4n = results[LEVELS[1]]["docs"] / statistics.median(
-        results[LEVELS[1]]["runs_sec"]
-    )
+    rate_n = results[LEVELS[0]]["docs"] / min(results[LEVELS[0]]["runs_sec"])
+    rate_4n = results[LEVELS[1]]["docs"] / min(results[LEVELS[1]]["runs_sec"])
     efficiency = (rate_4n / rate_n) / (LEVELS[1] / LEVELS[0])
     print(
         json.dumps(
