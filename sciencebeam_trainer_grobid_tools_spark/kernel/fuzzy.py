@@ -281,6 +281,90 @@ class FuzzyScore:
             a_gaps = max(0, a_gaps)
         return self.ratio_to(len(self.b) + a_gaps - a_junk - b_junk)
 
+    def a_start_index(self) -> Optional[int]:
+        return self.blocks[0][0] if self.blocks else None
+
+    def a_end_index(self) -> Optional[int]:
+        if not self.blocks:
+            return None
+        a, _, size = self.blocks[-1]
+        return a + size
+
+    def b_start_index(self) -> Optional[int]:
+        return self.blocks[0][1] if self.blocks else None
+
+    def b_end_index(self) -> Optional[int]:
+        if not self.blocks:
+            return None
+        _, b, size = self.blocks[-1]
+        return b + size
+
+    def a_split_at(self, index: int) -> Tuple["FuzzyScore", "FuzzyScore"]:
+        """Split on the haystack axis (core/annotation/fuzzy_match.py:212-233)."""
+        a_pre, a_post = self.a[:index], self.a[index:]
+        if not self.blocks or (self.a_end_index() or 0) <= index:
+            return (
+                FuzzyScore(a_pre, self.b, self.blocks, self.isjunk, self.clamp_a_gaps),
+                FuzzyScore(a_post, self.b, [], self.isjunk, self.clamp_a_gaps),
+            )
+        return (
+            FuzzyScore(
+                a_pre,
+                self.b,
+                [
+                    (a, b, min(size, index - a))
+                    for a, b, size in self.blocks
+                    if a < index
+                ],
+                self.isjunk,
+                self.clamp_a_gaps,
+            ),
+            FuzzyScore(
+                a_post,
+                self.b,
+                [
+                    (max(0, a - index), b, size if a >= index else size + a - index)
+                    for a, b, size in self.blocks
+                    if a + size > index
+                ],
+                self.isjunk,
+                self.clamp_a_gaps,
+            ),
+        )
+
+    def b_split_at(self, index: int) -> Tuple["FuzzyScore", "FuzzyScore"]:
+        """Split on the needle axis (core/annotation/fuzzy_match.py:235-257)."""
+        b_pre, b_post = self.b[:index], self.b[index:]
+        if not self.blocks or (self.b_end_index() or 0) <= index:
+            return (
+                FuzzyScore(self.a, b_pre, self.blocks, self.isjunk, self.clamp_a_gaps),
+                FuzzyScore(self.a, b_post, [], self.isjunk, self.clamp_a_gaps),
+            )
+        return (
+            FuzzyScore(
+                self.a,
+                b_pre,
+                [
+                    (a, b, min(size, index - b))
+                    for a, b, size in self.blocks
+                    if b < index
+                ],
+                self.isjunk,
+                self.clamp_a_gaps,
+            ),
+            FuzzyScore(
+                self.a,
+                b_post,
+                [
+                    (a, max(0, b - index), size if b >= index else size + b - index)
+                    for a, b, size in self.blocks
+                    if b + size > index
+                ],
+                self.isjunk,
+                self.clamp_a_gaps,
+            ),
+        )
+
     def __repr__(self) -> str:
         return "FuzzyScore(blocks=%r, match_count=%d, b_gap_ratio=%.3f)" % (
             self.blocks,
@@ -566,6 +650,19 @@ def fuzzy_search_chunks(
             FuzzyScore(original_haystack, needle, blocks, isjunk=isjunk or positional_is_junk)
         )
     return ChunkedMatch(chunks)
+
+
+def direct_fuzzy_match(
+    a: str, b: str, exact_word_match_threshold: int = EXACT_WORD_MATCH_THRESHOLD
+) -> FuzzyScore:
+    """Unwindowed full-string alignment with the complex matcher's scoring
+    (unclamped a_gaps, adjacent junk) — the ``fuzzy_match`` of
+    core/annotation/fuzzy_match.py:283-289."""
+    if min(len(a), len(b)) < exact_word_match_threshold:
+        blocks = word_matching_blocks(a, b, WORD_SEPARATORS)
+    else:
+        blocks = local_matching_blocks(a, b)
+    return FuzzyScore(a, b, blocks, isjunk=adjacent_is_junk, clamp_a_gaps=False)
 
 
 def fuzzy_search(*args, **kwargs) -> Optional[FuzzyScore]:
