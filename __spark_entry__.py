@@ -410,6 +410,68 @@ def q_flagship_title_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_flagship_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmentation flavor over the corpus: matcher -> per-line majority vote
+    -> merge FSM -> body default; emits per-url segment-class line counts
+    (rows-only: ordered per-document FSM is not SQL-expressible)."""
+    import pandas as pd
+    from sciencebeam_trainer_grobid_tools_spark.kernel.doc import tokenize_lines
+    from sciencebeam_trainer_grobid_tools_spark.operators.extract import html_to_lines
+    from sciencebeam_trainer_grobid_tools_spark.operators.annotate import strip_tag_prefix
+    from sciencebeam_trainer_grobid_tools_spark.operators.targets import (
+        parse_xml_mapping_string,
+        xml_string_to_target_annotations,
+    )
+    from sciencebeam_trainer_grobid_tools_spark.plans.flavors import segmentation_flavor
+    from sciencebeam_trainer_grobid_tools_spark.sources.corpus import DEFAULT_XML_MAPPING
+
+    corpus = _documents_as_corpus(spark, sf_dir)
+    mapping = parse_xml_mapping_string(DEFAULT_XML_MAPPING)
+    chain = segmentation_flavor()
+
+    def segment_batches(batches):
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                doc = tokenize_lines(html_to_lines(row.html))
+                targets = xml_string_to_target_annotations(row.target_xml, mapping)
+                chain(doc, targets)
+                counts = {}
+                for line in doc.lines:
+                    if not line:
+                        continue
+                    seg = strip_tag_prefix(line[0].tag) or "untagged"
+                    counts[seg] = counts.get(seg, 0) + 1
+                rows.append(
+                    {
+                        "url": row.url,
+                        "front_lines": counts.get("front", 0),
+                        "body_lines": counts.get("body", 0),
+                        "reference_lines": counts.get("reference", 0),
+                        "n_lines": len(doc.lines),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["url", "front_lines", "body_lines", "reference_lines", "n_lines"]
+            )
+
+    return corpus.repartition(
+        spark.sparkContext.defaultParallelism, F.xxhash64("url")
+    ).mapInPandas(
+        segment_batches,
+        schema="url string, front_lines int, body_lines int, reference_lines int, n_lines int",
+    )
+
+
+def q_tei_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship pipeline with TEI training-XML serialization (rows-only)."""
+    corpus = _documents_as_corpus(spark, sf_dir).limit(100)
+    annotated = annotate_documents(
+        corpus, repartition=spark.sparkContext.defaultParallelism, render_tei=True
+    )
+    return annotated.select("url", F.length("tei_xml").alias("tei_len"), "passed")
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column -> Arrow-batched decode stub
     -> typed features (rows-only; decode is deterministic-fake here)."""
@@ -451,6 +513,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "align_exact_spans": q_align_exact_spans,
         "flagship_extract_align": q_flagship_extract_align,
         "flagship_title_spans": q_flagship_title_spans,
+        "flagship_segmentation": q_flagship_segmentation,
+        "tei_render": q_tei_render,
         "media_features": q_media_features,
     }
 
