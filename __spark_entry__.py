@@ -392,8 +392,10 @@ def q_flagship_extract_align(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_flagship_title_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship pipeline, title spans only — oracle-checkable: the title is
-    the first 8 words of the text, so the span is [0, len(first 8 words))."""
+    """Flagship pipeline, title spans only — oracle-checked end-to-end: the
+    synthesized target title is the first 8 words of the text, the document
+    renders it at offset 0, so the emitted span must be exactly
+    [0, len(first 8 words)) with the title text."""
     corpus = _documents_as_corpus(spark, sf_dir)
     annotated = annotate_documents(
         corpus, repartition=spark.sparkContext.defaultParallelism
@@ -700,6 +702,14 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(embedding[1]), 4) AS c0,
                    ROUND(AVG(SQRT(list_dot_product(embedding, embedding))), 4) AS avg_norm
             FROM embeddings GROUP BY label
+        """,
+        "flagship_title_spans": """
+            SELECT doc_id,
+                   0 AS span_start,
+                   CAST(LENGTH(array_to_string((string_split(text, ' '))[1:8], ' ')) AS INT)
+                       AS span_end,
+                   array_to_string((string_split(text, ' '))[1:8], ' ') AS span_text
+            FROM documents
         """,
         "align_exact_spans": """
             -- the kernel masks whitespace before aligning, so a needle's
