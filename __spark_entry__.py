@@ -186,6 +186,18 @@ def q_event_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 analogue: structured field extraction from semi-structured
+    payloads (JSON props), aggregated per event type."""
+    events = _load(spark, sf_dir, "events")
+    k_value = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k_value).alias("k_sum"),
+        F.max(k_value).alias("k_max"),
+    )
+
+
 def q_levenshtein_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7/F14: built-in levenshtein as the quality-check ratio."""
     customer = _load(spark, sf_dir, "customer")
@@ -500,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessionization": q_event_sessionization,
         "event_majority_vote": q_event_majority_vote,
         "event_hourly_rollup": q_event_hourly_rollup,
+        "events_json_extraction": q_events_json_extraction,
         "levenshtein_check": q_levenshtein_check,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_lang_id": q_docs_lang_id,
@@ -600,6 +613,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_json_extraction": """
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(props->>'$.k' AS INT)) AS BIGINT) AS k_sum,
+                   MAX(CAST(props->>'$.k' AS INT)) AS k_max
+            FROM events GROUP BY event_type
         """,
         "levenshtein_check": """
             SELECT c_custkey,

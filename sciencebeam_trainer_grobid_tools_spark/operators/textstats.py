@@ -89,3 +89,28 @@ def normalized_fingerprint(text: Column, length: int = 16) -> Column:
     """Whitespace/case-insensitive content fingerprint (md5-based)."""
     normalized = F.lower(F.replace(text, F.lit("\n"), F.lit(" ")))
     return F.substring(F.md5(normalized), 1, length)
+
+
+# --- identifier extraction (the fix-jats scalar suite, reference F12:
+# fix_jats_xml.py:80-99,263-330) as portable column expressions ---
+
+DOI_PATTERN = r"\b(10\.\d{4,}(?:\.\d+)*/[^\s\"<>]+)"
+PMID_PATTERN = r"\bPMID[:\s]*(\d{1,10})\b"
+PMCID_PATTERN = r"\b(PMC\d{1,10})\b"
+ARXIV_PATTERN = r"\barXiv[:\s]*(\d{4}\.\d{4,5}(?:v\d+)?)\b"
+
+
+def extract_doi(text: Column) -> Column:
+    return F.regexp_extract(text, DOI_PATTERN, 1)
+
+
+def extract_pmid(text: Column) -> Column:
+    return F.regexp_extract(text, PMID_PATTERN, 1)
+
+
+def extract_pmcid(text: Column) -> Column:
+    return F.regexp_extract(text, PMCID_PATTERN, 1)
+
+
+def extract_arxiv_id(text: Column) -> Column:
+    return F.regexp_extract(text, ARXIV_PATTERN, 1)

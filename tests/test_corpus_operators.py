@@ -176,3 +176,26 @@ class TestResumable:
         assert again["rows"] == 0
         manifest = (tmp_path / "out" / "manifest.jsonl").read_text().strip().splitlines()
         assert len(manifest) == 3
+
+
+class TestIdentifierExtraction:
+    def test_extracts_ids_from_text(self, spark):
+        df = spark.createDataFrame(
+            [
+                (0, "see doi: 10.1234/abc.def and PMID: 12345 plus PMC67890"),
+                (1, "preprint arXiv:2101.12345v2 online"),
+                (2, "no identifiers here"),
+            ],
+            "doc_id long, text string",
+        )
+        row0, row1, row2 = df.select(
+            textstats.extract_doi(F.col("text")).alias("doi"),
+            textstats.extract_pmid(F.col("text")).alias("pmid"),
+            textstats.extract_pmcid(F.col("text")).alias("pmcid"),
+            textstats.extract_arxiv_id(F.col("text")).alias("arxiv"),
+        ).collect()
+        assert row0["doi"] == "10.1234/abc.def"
+        assert row0["pmid"] == "12345"
+        assert row0["pmcid"] == "PMC67890"
+        assert row1["arxiv"] == "2101.12345v2"
+        assert row2["doi"] == "" and row2["pmid"] == ""
