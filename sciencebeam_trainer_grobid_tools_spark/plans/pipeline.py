@@ -67,6 +67,7 @@ def annotate_document_row(
     use_sub_annotations: bool = True,
     require_matching_fields: str = "title",
     render_tei: bool = False,
+    matcher: str = "simple",
 ) -> dict:
     """Pure per-document kernel — unit-testable without Spark."""
     mapping, tag_config_map = _parsed_mapping(mapping_text)
@@ -75,16 +76,24 @@ def annotate_document_row(
     targets = (
         xml_string_to_target_annotations(target_xml, mapping) if target_xml else []
     )
-    matcher = SimpleMatcher(
-        targets,
-        MatcherConfig(
-            threshold=threshold,
-            lookahead_sequence_count=lookahead_lines,
-            use_sub_annotations=use_sub_annotations,
-            tag_config_map=tag_config_map,
-        ),
-    )
-    matcher.annotate(doc)
+    if matcher == "complex":
+        # the reference's legacy MatchingAnnotator (threshold 0.9, bonding /
+        # match_multiple / require_next semantics)
+        from ..operators.matching import MatchingAnnotator, MatchingAnnotatorConfig
+
+        MatchingAnnotator(
+            targets, MatchingAnnotatorConfig(use_tag_begin_prefix=True)
+        ).annotate(doc)
+    else:
+        SimpleMatcher(
+            targets,
+            MatcherConfig(
+                threshold=threshold,
+                lookahead_sequence_count=lookahead_lines,
+                use_sub_annotations=use_sub_annotations,
+                tag_config_map=tag_config_map,
+            ),
+        ).annotate(doc)
     spans = extract_entity_spans(doc)
     sub_spans = extract_sub_entity_spans(doc)
     required = {f for f in require_matching_fields.split(",") if f}

@@ -85,3 +85,22 @@ class TestTeiRender:
         doc = doc_for_texts(["a  b"])  # double space collapses in tokenizer join
         xml = render(doc)
         assert xpath_text(xml, 'text/front/note[@type="other"]') == "a b"
+
+
+class TestTeiRoundTrip:
+    def test_rendered_tei_reextracts_to_same_text(self):
+        """S3 parity: rendered training TEI (with <lb/> line breaks) fed back
+        through the extractor reproduces the same extracted text."""
+        from sciencebeam_trainer_grobid_tools_spark.kernel.doc import tokenize_lines
+        from sciencebeam_trainer_grobid_tools_spark.operators.extract import html_to_lines
+
+        doc = doc_for_texts(["The Title here", "by Mary Maison", "Abstract text."])
+        SimpleMatcher(
+            [
+                TargetAnnotation("The Title here", "title"),
+                TargetAnnotation(["Mary", "Maison"], "author"),
+            ]
+        ).annotate(doc)
+        xml = render(doc)
+        reextracted = tokenize_lines(html_to_lines(xml)).extracted_text
+        assert reextracted == doc.extracted_text
