@@ -159,7 +159,16 @@ def generate_document(seed: int, index: int) -> Dict[str, object]:
         )
 
     # ---- html wrapping with boilerplate chrome ----
-    content_html = "".join("<p>%s</p>" % escape(line) for line in lines)
+    # ~4% of documents get malformed markup (unclosed div, stray close tag,
+    # unterminated paragraph) to exercise the recovery parser — the fixture
+    # axis of the reference's FixingHtmlParser (utils/xml.py:163-250)
+    malformed = rng.random() < 0.04
+    if malformed:
+        content_html = "<div><span>" + "".join(
+            "<p>%s" % escape(line) for line in lines
+        ) + "</b>"
+    else:
+        content_html = "".join("<p>%s</p>" % escape(line) for line in lines)
     html = (
         "<html><head><title>%s</title><style>p{margin:0}</style>"
         "<script>var x=1;</script></head>"
