@@ -141,8 +141,16 @@ def local_matching_blocks(haystack: str, needle: str) -> MatchingBlocks:
         # Guard: bound memory by truncating the needle for the DP; the windowed
         # driver (kernel.fuzzy) never reaches this for realistic inputs.
         b_codes = b_codes[: max(1, MAX_DP_CELLS // max(1, a_codes.shape[0]))]
-    h = _smith_waterman_matrix(a_codes, b_codes)
-    i, j, score = _pick_max_cell(h)
+    # prefer the compiled kernel (kernel/native.py) — same contract as the
+    # reference's pinned C alignment kernel; numpy path is the fallback
+    from .native import native_pick_max, native_sw_matrix
+
+    h = native_sw_matrix(a_codes, b_codes)
+    if h is not None:
+        i, j, score = native_pick_max(h)  # type: ignore[misc]
+    else:
+        h = _smith_waterman_matrix(a_codes, b_codes)
+        i, j, score = _pick_max_cell(h)
     blocks = _traceback_blocks(h, a_codes, b_codes, i, j) if score > 0 else []
     blocks.append((len(haystack), len(needle), 0))
     return blocks

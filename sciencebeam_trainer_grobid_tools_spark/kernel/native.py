@@ -1,0 +1,168 @@
+"""Optional C acceleration for the Smith-Waterman inner loop.
+
+The reference pins a thin C alignment kernel (``sciencebeam-alignment``,
+requirements.txt:7) under python orchestration; this module mirrors that
+design: a ~30-line C function compiled once per machine with the system gcc
+(cached as a shared object), loaded via ctypes, releasing the GIL during the
+DP.  When no compiler is available (e.g. a locked-down executor image), the
+vectorized numpy path in ``align.py`` is used — identical results, ~5x
+slower on the DP.
+
+The compile cache lives under the repo (``.native_cache/``, gitignored); at
+cluster scale the .so would be baked into the executor image or shipped as an
+archive alongside the --py-files zip.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+from typing import Optional
+
+import numpy as np
+
+_C_SOURCE = r"""
+#include <stddef.h>
+#include <stdint.h>
+
+/* Smith-Waterman score matrix: h is (m+1) x (n+1) int32 row-major,
+   row 0 / col 0 pre-zeroed.  Scoring: match +2, mismatch -1, gap -2. */
+void sw_matrix(const uint32_t* a, int n, const uint32_t* b, int m, int32_t* h) {
+    for (int j = 1; j <= m; j++) {
+        const int32_t* prev = h + (size_t)(j - 1) * (n + 1);
+        int32_t* cur = h + (size_t)j * (n + 1);
+        uint32_t bj = b[j - 1];
+        int32_t left = 0;
+        cur[0] = 0;
+        for (int i = 1; i <= n; i++) {
+            int32_t best = prev[i - 1] + (a[i - 1] == bj ? 2 : -1);
+            int32_t up = prev[i] - 2;
+            if (up > best) best = up;
+            int32_t lft = left - 2;
+            if (lft > best) best = lft;
+            if (best < 0) best = 0;
+            cur[i] = best;
+            left = best;
+        }
+    }
+}
+
+/* First maximum cell in a-major order (smallest a, then smallest b). */
+void sw_best(const int32_t* h, int n, int m, int32_t* out) {
+    int32_t best = 0; int bi = 0; int bj = 0;
+    for (int j = 0; j <= m; j++) {
+        const int32_t* row = h + (size_t)j * (n + 1);
+        for (int i = 0; i <= n; i++) {
+            int32_t v = row[i];
+            if (v > best || (v == best && v > 0 && (i < bi || (i == bi && j < bj)))) {
+                best = v; bi = i; bj = j;
+            }
+        }
+    }
+    out[0] = bi; out[1] = bj; out[2] = best;
+}
+"""
+
+_CACHE_DIR = os.environ.get(
+    "SPARK_GRAFT_NATIVE_CACHE",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".native_cache"),
+)
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _compile() -> Optional[str]:
+    digest = hashlib.sha1(_C_SOURCE.encode()).hexdigest()[:16]
+    so_path = os.path.join(_CACHE_DIR, "swkernel_%s.so" % digest)
+    if os.path.exists(so_path):
+        return so_path
+    try:
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        with tempfile.NamedTemporaryFile(
+            "w", suffix=".c", dir=_CACHE_DIR, delete=False
+        ) as fh:
+            fh.write(_C_SOURCE)
+            c_path = fh.name
+        tmp_so = so_path + ".tmp.%d" % os.getpid()
+        subprocess.run(
+            ["gcc", "-O3", "-shared", "-fPIC", "-o", tmp_so, c_path],
+            check=True,
+            capture_output=True,
+            timeout=60,
+        )
+        os.replace(tmp_so, so_path)  # atomic vs concurrent workers
+        os.unlink(c_path)
+        return so_path
+    except Exception:
+        return None
+
+
+def get_native_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    so_path = _compile()
+    if not so_path:
+        return None
+    try:
+        lib = ctypes.CDLL(so_path)
+        lib.sw_matrix.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.sw_matrix.restype = None
+        lib.sw_best.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.sw_best.restype = None
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def native_sw_matrix(a_codes: np.ndarray, b_codes: np.ndarray) -> Optional[np.ndarray]:
+    """C-path score matrix; None when the native lib is unavailable."""
+    lib = get_native_lib()
+    if lib is None:
+        return None
+    n = a_codes.shape[0]
+    m = b_codes.shape[0]
+    h = np.zeros((m + 1, n + 1), dtype=np.int32)
+    if n and m:
+        a_contig = np.ascontiguousarray(a_codes, dtype=np.uint32)
+        b_contig = np.ascontiguousarray(b_codes, dtype=np.uint32)
+        lib.sw_matrix(
+            a_contig.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            n,
+            b_contig.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            m,
+            h.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+    return h
+
+
+def native_pick_max(h: np.ndarray) -> Optional[tuple]:
+    lib = get_native_lib()
+    if lib is None:
+        return None
+    m_plus, n_plus = h.shape
+    out = np.zeros(3, dtype=np.int32)
+    lib.sw_best(
+        np.ascontiguousarray(h).ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n_plus - 1,
+        m_plus - 1,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return int(out[0]), int(out[1]), int(out[2])
