@@ -143,11 +143,11 @@ def local_matching_blocks(haystack: str, needle: str) -> MatchingBlocks:
         b_codes = b_codes[: max(1, MAX_DP_CELLS // max(1, a_codes.shape[0]))]
     # prefer the compiled kernel (kernel/native.py) — same contract as the
     # reference's pinned C alignment kernel; numpy path is the fallback
-    from .native import native_pick_max, native_sw_matrix
+    from .native import native_sw_matrix_and_best
 
-    h = native_sw_matrix(a_codes, b_codes)
-    if h is not None:
-        i, j, score = native_pick_max(h)  # type: ignore[misc]
+    native_result = native_sw_matrix_and_best(a_codes, b_codes)
+    if native_result is not None:
+        h, (i, j, score) = native_result
     else:
         h = _smith_waterman_matrix(a_codes, b_codes)
         i, j, score = _pick_max_cell(h)

@@ -50,6 +50,37 @@ void sw_matrix(const uint32_t* a, int n, const uint32_t* b, int m, int32_t* h) {
     }
 }
 
+/* int16 variant with the best cell tracked during generation: halves the
+   memory traffic and saves the full re-scan — valid while 2*min(n,m) stays
+   below INT16_MAX (checked by the caller). */
+void sw_matrix16(const uint32_t* a, int n, const uint32_t* b, int m,
+                 int16_t* h, int32_t* out) {
+    int16_t best = 0; int bi = 0; int bj = 0;
+    for (int j = 1; j <= m; j++) {
+        const int16_t* prev = h + (size_t)(j - 1) * (n + 1);
+        int16_t* cur = h + (size_t)j * (n + 1);
+        uint32_t bj_code = b[j - 1];
+        int16_t left = 0;
+        cur[0] = 0;
+        for (int i = 1; i <= n; i++) {
+            int16_t v = prev[i - 1] + (a[i - 1] == bj_code ? 2 : -1);
+            int16_t up = prev[i] - 2;
+            if (up > v) v = up;
+            int16_t lft = left - 2;
+            if (lft > v) v = lft;
+            if (v < 0) v = 0;
+            cur[i] = v;
+            left = v;
+            /* first max in a-major order: prefer larger v; on ties prefer
+               smaller i, then smaller j */
+            if (v > best || (v == best && v > 0 && i < bi)) {
+                best = v; bi = i; bj = j;
+            }
+        }
+    }
+    out[0] = bi; out[1] = bj; out[2] = best;
+}
+
 /* First maximum cell in a-major order (smallest a, then smallest b). */
 void sw_best(const int32_t* h, int n, int m, int32_t* out) {
     int32_t best = 0; int bi = 0; int bj = 0;
@@ -126,10 +157,52 @@ def get_native_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32),
         ]
         lib.sw_best.restype = None
+        lib.sw_matrix16.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int16),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.sw_matrix16.restype = None
         _lib = lib
     except Exception:
         _lib = None
     return _lib
+
+
+def native_sw_matrix_and_best(
+    a_codes: np.ndarray, b_codes: np.ndarray
+) -> Optional[tuple]:
+    """C path returning (h, (i, j, score)): int16 fused-best variant when the
+    score range allows (halves memory traffic), int32 two-pass otherwise.
+    None when the native lib is unavailable."""
+    lib = get_native_lib()
+    if lib is None:
+        return None
+    n = a_codes.shape[0]
+    m = b_codes.shape[0]
+    if n == 0 or m == 0:
+        return np.zeros((m + 1, n + 1), dtype=np.int16), (0, 0, 0)
+    if 2 * min(n, m) < 32000:
+        h16 = np.zeros((m + 1, n + 1), dtype=np.int16)
+        out = np.zeros(3, dtype=np.int32)
+        a_contig = np.ascontiguousarray(a_codes, dtype=np.uint32)
+        b_contig = np.ascontiguousarray(b_codes, dtype=np.uint32)
+        lib.sw_matrix16(
+            a_contig.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            n,
+            b_contig.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            m,
+            h16.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return h16, (int(out[0]), int(out[1]), int(out[2]))
+    h = native_sw_matrix(a_codes, b_codes)
+    assert h is not None
+    best = native_pick_max(h)
+    return h, best
 
 
 def native_sw_matrix(a_codes: np.ndarray, b_codes: np.ndarray) -> Optional[np.ndarray]:
