@@ -63,7 +63,10 @@ author = front/article-meta/contrib-group/contrib/name
 author.children = .//*
 author.match-multiple = true
 author.merge = true
-author_aff = front/article-meta/aff
+author_aff =
+  front/article-meta/contrib-group/aff
+  front/article-meta/contrib-group/contrib/aff
+  front/article-meta/aff
 author_aff.children = .//*
 author_aff.unmatched-parent-text = true
 author_aff.sub.author_aff-label = ./label
