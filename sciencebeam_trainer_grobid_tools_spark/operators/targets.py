@@ -490,5 +490,12 @@ def xml_string_to_target_annotations(
 ) -> List[TargetAnnotation]:
     if isinstance(xml_text, bytes):
         xml_text = xml_text.decode("utf-8", errors="replace")
-    root = ET.fromstring(xml_text)
+    try:
+        root = ET.fromstring(xml_text)
+    except ET.ParseError:
+        # broken-XML recovery (reference S5/F13: utils/xml.py:163-234, used
+        # by the figure/table/fulltext flavors)
+        from .xmlfix import fix_xml
+
+        root = ET.fromstring(fix_xml(xml_text))
     return xml_root_to_target_annotations(root, xml_mapping)
