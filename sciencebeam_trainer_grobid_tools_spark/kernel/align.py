@@ -156,7 +156,7 @@ def local_matching_blocks(haystack: str, needle: str) -> MatchingBlocks:
     return blocks
 
 
-@lru_cache(maxsize=256)
+@lru_cache(maxsize=32)
 def split_with_offsets(s: str, separators: str) -> List[Tuple[int, str]]:
     """Split ``s`` into (offset, fragment) pairs, keeping separator chars as
     their own single-char fragments (reference: utils/fuzzy.py:132-144).

@@ -119,7 +119,7 @@ def _codes(s: str) -> "np.ndarray":
     return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
 
 
-@lru_cache(maxsize=256)
+@lru_cache(maxsize=32)
 def _positional_junk_prefix(s: str) -> "np.ndarray":
     """Prefix sums of the positional junk mask (semantics of
     ``positional_is_junk``), so junk-in-range is two lookups."""
@@ -144,7 +144,7 @@ def _positional_junk_prefix(s: str) -> "np.ndarray":
     return prefix
 
 
-@lru_cache(maxsize=256)
+@lru_cache(maxsize=32)
 def _adjacent_junk_prefix(s: str) -> "np.ndarray":
     """Prefix sums of the adjacent junk mask (``adjacent_is_junk``)."""
     n = len(s)
@@ -399,7 +399,7 @@ class MaskedString:
         )
 
 
-@lru_cache(maxsize=256)
+@lru_cache(maxsize=32)
 def _space_masked(original: str) -> MaskedString:
     """Vectorized whitespace masking (the hot path: the full pending-sequence
     haystack is masked per fuzzy search)."""
