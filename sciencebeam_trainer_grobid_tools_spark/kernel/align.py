@@ -143,7 +143,7 @@ def local_matching_blocks(haystack: str, needle: str) -> MatchingBlocks:
         b_codes = b_codes[: max(1, MAX_DP_CELLS // max(1, a_codes.shape[0]))]
     # prefer the compiled kernel (kernel/native.py) — same contract as the
     # reference's pinned C alignment kernel; numpy path is the fallback
-    from .native import native_sw_matrix_and_best
+    from .native import native_sw_matrix_and_best, native_traceback16
 
     native_result = native_sw_matrix_and_best(a_codes, b_codes)
     if native_result is not None:
@@ -151,28 +151,31 @@ def local_matching_blocks(haystack: str, needle: str) -> MatchingBlocks:
     else:
         h = _smith_waterman_matrix(a_codes, b_codes)
         i, j, score = _pick_max_cell(h)
-    blocks = _traceback_blocks(h, a_codes, b_codes, i, j) if score > 0 else []
+    if score > 0:
+        blocks = native_traceback16(a_codes, b_codes, h, i, j)
+        if blocks is None:
+            blocks = _traceback_blocks(h, a_codes, b_codes, i, j)
+    else:
+        blocks = []
     blocks.append((len(haystack), len(needle), 0))
     return blocks
+
+
+@lru_cache(maxsize=8)
+def _split_pattern(separators: str):
+    import re
+
+    escaped = re.escape(separators)
+    return re.compile("[%s]|[^%s]+" % (escaped, escaped))
 
 
 @lru_cache(maxsize=32)
 def split_with_offsets(s: str, separators: str) -> List[Tuple[int, str]]:
     """Split ``s`` into (offset, fragment) pairs, keeping separator chars as
     their own single-char fragments (reference: utils/fuzzy.py:132-144).
-    Cached: the haystack side repeats across the many short-needle searches
-    of one document."""
-    out: List[Tuple[int, str]] = []
-    start = 0
-    for i, ch in enumerate(s):
-        if ch in separators:
-            if start < i:
-                out.append((start, s[start:i]))
-            out.append((i, ch))
-            start = i + 1
-    if start < len(s):
-        out.append((start, s[start:]))
-    return out
+    Regex scan (C speed) instead of a per-character python loop; cached, as
+    the haystack side repeats across the short-needle searches of one doc."""
+    return [(m.start(), m.group()) for m in _split_pattern(separators).finditer(s)]
 
 
 def word_matching_blocks(

@@ -81,6 +81,55 @@ void sw_matrix16(const uint32_t* a, int n, const uint32_t* b, int m,
     out[0] = bi; out[1] = bj; out[2] = best;
 }
 
+/* Traceback from cell (a=i, b=j) while the score is positive, preferring
+   diagonal, then up (a-gap), then left (b-gap); writes difflib-style blocks
+   (ai, bi, size) ascending into `blocks` (capacity 3*(n+m) int32) and
+   returns the block count. */
+int sw_traceback16(const uint32_t* a, const uint32_t* b, const int16_t* h,
+                   int n, int m, int i, int j, int32_t* blocks) {
+    /* collect matched diagonal positions in reverse into the tail of the
+       buffer, then merge into blocks from the front */
+    int cap = n + m;
+    int32_t* pairs = blocks + cap;  /* reuse: pairs area holds 2*count ints */
+    int count = 0;
+    while (i > 0 && j > 0) {
+        int16_t score = h[(size_t)j * (n + 1) + i];
+        if (score <= 0) break;
+        int16_t sub = (a[i - 1] == b[j - 1]) ? 2 : -1;
+        if (score == h[(size_t)(j - 1) * (n + 1) + (i - 1)] + sub) {
+            if (sub == 2) {
+                pairs[2 * count] = i - 1;
+                pairs[2 * count + 1] = j - 1;
+                count++;
+            }
+            i--; j--;
+        } else if (score == h[(size_t)(j - 1) * (n + 1) + i] - 2) {
+            j--;
+        } else if (score == h[(size_t)j * (n + 1) + (i - 1)] - 2) {
+            i--;
+        } else {
+            break;
+        }
+    }
+    /* pairs are in reverse order; build ascending blocks */
+    int n_blocks = 0;
+    for (int k = count - 1; k >= 0; k--) {
+        int ai = pairs[2 * k];
+        int bi = pairs[2 * k + 1];
+        if (n_blocks > 0
+            && blocks[3 * (n_blocks - 1)] + blocks[3 * (n_blocks - 1) + 2] == ai
+            && blocks[3 * (n_blocks - 1) + 1] + blocks[3 * (n_blocks - 1) + 2] == bi) {
+            blocks[3 * (n_blocks - 1) + 2]++;
+        } else {
+            blocks[3 * n_blocks] = ai;
+            blocks[3 * n_blocks + 1] = bi;
+            blocks[3 * n_blocks + 2] = 1;
+            n_blocks++;
+        }
+    }
+    return n_blocks;
+}
+
 /* First maximum cell in a-major order (smallest a, then smallest b). */
 void sw_best(const int32_t* h, int n, int m, int32_t* out) {
     int32_t best = 0; int bi = 0; int bj = 0;
@@ -166,6 +215,17 @@ def get_native_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32),
         ]
         lib.sw_matrix16.restype = None
+        lib.sw_traceback16.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_int16),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.sw_traceback16.restype = ctypes.c_int
         _lib = lib
     except Exception:
         _lib = None
@@ -224,6 +284,36 @@ def native_sw_matrix(a_codes: np.ndarray, b_codes: np.ndarray) -> Optional[np.nd
             h.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         )
     return h
+
+
+def native_traceback16(
+    a_codes: np.ndarray, b_codes: np.ndarray, h16: np.ndarray, i: int, j: int
+):
+    """C traceback over an int16 matrix; None when unavailable or when the
+    matrix is not int16 (the int32 fallback paths keep the python walk)."""
+    lib = get_native_lib()
+    if lib is None or h16.dtype != np.int16:
+        return None
+    n = a_codes.shape[0]
+    m = b_codes.shape[0]
+    # blocks area (3 per block, <= n+m blocks) + pairs scratch (2 per match)
+    buffer = np.empty(3 * (n + m) + 2 * (n + m) + 8, dtype=np.int32)
+    a_contig = np.ascontiguousarray(a_codes, dtype=np.uint32)
+    b_contig = np.ascontiguousarray(b_codes, dtype=np.uint32)
+    n_blocks = lib.sw_traceback16(
+        a_contig.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        b_contig.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        np.ascontiguousarray(h16).ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        n,
+        m,
+        i,
+        j,
+        buffer.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return [
+        (int(buffer[3 * k]), int(buffer[3 * k + 1]), int(buffer[3 * k + 2]))
+        for k in range(n_blocks)
+    ]
 
 
 def native_pick_max(h: np.ndarray) -> Optional[tuple]:
