@@ -246,7 +246,10 @@ def native_sw_matrix_and_best(
     if n == 0 or m == 0:
         return np.zeros((m + 1, n + 1), dtype=np.int16), (0, 0, 0)
     if 2 * min(n, m) < 32000:
-        h16 = np.zeros((m + 1, n + 1), dtype=np.int16)
+        # only row 0 / col 0 need zeroing; the C loop writes every other cell
+        h16 = np.empty((m + 1, n + 1), dtype=np.int16)
+        h16[0, :] = 0
+        h16[:, 0] = 0
         out = np.zeros(3, dtype=np.int32)
         a_contig = np.ascontiguousarray(a_codes, dtype=np.uint32)
         b_contig = np.ascontiguousarray(b_codes, dtype=np.uint32)
