@@ -29,11 +29,9 @@ from ..plans.pipeline import annotate_documents, resume_filter
 
 
 def _read_completed(spark: SparkSession, output_dir: str) -> Optional[DataFrame]:
-    data_dir = output_dir.rstrip("/") + "/annotated"
-    try:
-        return spark.read.parquet(data_dir).select("url")
-    except Exception:
-        return None
+    from ..sources.tables import read_completed_urls
+
+    return read_completed_urls(spark, output_dir.rstrip("/") + "/annotated")
 
 
 def run_resumable(
