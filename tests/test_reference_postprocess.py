@@ -184,3 +184,38 @@ class TestPostProcessors:
         remaining = [t.text for t in doc.iter_tokens()]
         assert remaining == ["a"]
         assert len(doc.lines) == 1
+
+
+class TestMergeGroupTagsSubLevel:
+    def test_sub_level_merge_fills_gaps_between_sub_entities(self):
+        # affiliation flavor: MergeGroupTags on SUB_LEVEL
+        # (auto_annotate_affiliation_address.py:107-118) — untagged sub-gaps
+        # between address sub-fields of a tagged affiliation get the group tag
+        doc = doc_for_token_lines([["City", ",", "Country"]])
+        tokens = list(doc.iter_tokens())
+        for t in tokens:
+            t.tag = "i-author_aff"
+        tokens[0].sub_tag = "b-author_aff-address-city"
+        tokens[2].sub_tag = "b-author_aff-address-country"
+        merge_group_tags(
+            doc,
+            {
+                "author_aff-address-city": "author_aff-address",
+                "author_aff-address-country": "author_aff-address",
+            }.get,
+            sub_level=True,
+        )
+        assert tokens[1].sub_tag == "i-author_aff-address"
+
+    def test_sub_level_ignores_untagged_main_tokens(self):
+        doc = doc_for_token_lines([["City", "outside", "Country"]])
+        tokens = list(doc.iter_tokens())
+        tokens[0].tag = "i-author_aff"
+        tokens[2].tag = "i-author_aff"
+        tokens[0].sub_tag = "b-author_aff-address-city"
+        tokens[2].sub_tag = "b-author_aff-address-country"
+        merge_group_tags(
+            doc, {"author_aff-address-city": "author_aff-address"}.get, sub_level=True
+        )
+        # token without a main tag is skipped entirely at sub level
+        assert tokens[1].sub_tag is None
