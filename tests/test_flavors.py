@@ -58,3 +58,42 @@ class TestFlavors:
         tokens[4].tag = "i-list_item"
         fulltext_flavor(MatcherConfig(extend_to_line_enabled=False))(doc, [])
         assert tokens[2].tag == "i-list"
+
+
+class TestSegmentationFlavorRichDocument:
+    def test_full_document_segment_classes(self):
+        header = "Journal of Mice Research Volume 3"
+        doc = doc_for_texts(
+            [
+                header,                     # headnote (repeated line text)
+                "11",                       # page number (inferred from anchor)
+                "The Chocolate Study",      # front: title
+                "Some abstract sentence here today.",  # front: abstract
+                "Body paragraph one with words.",      # body (default)
+                header,                     # headnote (repeat)
+                "12",                       # page number (matched page_no)
+                "1. Maison M. A reference title. 2020.",  # reference
+            ]
+        )
+        from sciencebeam_trainer_grobid_tools_spark.operators.annotate import TargetAnnotation
+
+        segmentation_flavor()(
+            doc,
+            [
+                TargetAnnotation("The Chocolate Study", "title"),
+                TargetAnnotation("Some abstract sentence here today.", "abstract"),
+                TargetAnnotation("12", "page_no"),
+                TargetAnnotation("1. Maison M. A reference title. 2020.", "reference"),
+            ],
+        )
+        line_classes = [line[0].tag for line in doc.lines]
+        assert line_classes == [
+            "headnote",
+            "page",   # '11' inferred: all-digit line fitting before anchor '12'
+            "front",
+            "front",
+            "body",
+            "headnote",
+            "page",   # '12' matched page_no -> page class
+            "reference",
+        ]
