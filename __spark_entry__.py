@@ -486,6 +486,75 @@ def q_tei_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     return annotated.select("url", F.length("tei_xml").alias("tei_len"), "passed")
 
 
+_PREDICATE_MAPPING = """
+[article]
+author = front/article-meta/contrib-group/contrib[not(@contrib-type) or @contrib-type="author"]/name
+issn = front/journal-meta/issn[@pub-id-type="epub"]
+keyword = front/article-meta/kwd-group/kwd[@kwd-group-type='author-keywords' or not(@kwd-group-type)]
+second_keyword = front/article-meta/kwd-group/kwd[2]
+back_para = back//sec[not(ancestor::ack)]/p[not(ancestor::ack)]
+free_para = back//p[not(ancestor::sec) and not(ancestor::ack)]
+"""
+
+
+def q_targets_predicate_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full XPath-1.0 predicate evaluation (reference config/xml-mapping.conf
+    forms: or / not(@attr) / not(ancestor::..) / positional), oracle-checked:
+    a JATS doc is synthesized per documents row with known decoy nodes
+    (editor contribs, ppub issn, 'other' keywords, ack paragraphs) that the
+    predicates must exclude; DuckDB recomputes the expected values directly."""
+    import pandas as pd
+
+    from sciencebeam_trainer_grobid_tools_spark.operators.targets import (
+        parse_xml_mapping_string,
+        xml_string_to_target_annotations,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    jats = F.concat(
+        F.lit("<article><front><journal-meta>"
+              "<issn pub-id-type=\"ppub\">P"), i,
+        F.lit("</issn><issn pub-id-type=\"epub\">E"), i,
+        F.lit("</issn></journal-meta><article-meta><contrib-group>"
+              "<contrib contrib-type=\"author\"><name><surname>Smith"), i,
+        F.lit("</surname><given-names>John"), i,
+        F.lit("</given-names></name></contrib>"
+              "<contrib><name><surname>Anon"), i,
+        F.lit("</surname><given-names>Ano"), i,
+        F.lit("</given-names></name></contrib>"
+              "<contrib contrib-type=\"editor\"><name><surname>Nope"), i,
+        F.lit("</surname><given-names>Ed"), i,
+        F.lit("</given-names></name></contrib></contrib-group>"
+              "<kwd-group><kwd>kw"), i,
+        F.lit("</kwd><kwd kwd-group-type=\"author-keywords\">ak"), i,
+        F.lit("</kwd><kwd kwd-group-type=\"other\">no"), i,
+        F.lit("</kwd></kwd-group></article-meta></front><body/>"
+              "<back><ack><sec><p>ackpara"), i,
+        F.lit("</p></sec></ack><sec><p>secpara"), i,
+        F.lit("</p></sec><p>freepara"), i,
+        F.lit("</p></back></article>"),
+    )
+    mapping = parse_xml_mapping_string(_PREDICATE_MAPPING)
+
+    def extract_batches(batches):
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                for ann in xml_string_to_target_annotations(row.jats, mapping):
+                    value = (
+                        " ".join(ann.value) if isinstance(ann.value, list) else ann.value
+                    )
+                    rows.append(
+                        {"doc_id": row.doc_id, "field": ann.name, "value": value}
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "field", "value"])
+
+    return docs.select("doc_id", jats.alias("jats")).mapInPandas(
+        extract_batches, schema="doc_id long, field string, value string"
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column -> Arrow-batched decode stub
     -> typed features (rows-only; decode is deterministic-fake here)."""
@@ -530,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_title_spans": q_flagship_title_spans,
         "flagship_segmentation": q_flagship_segmentation,
         "tei_render": q_tei_render,
+        "targets_predicate_extract": q_targets_predicate_extract,
         "media_features": q_media_features,
     }
 
@@ -729,6 +799,25 @@ def oracle_sql() -> dict[str, str]:
                        AS span_end,
                    array_to_string((string_split(text, ' '))[1:8], ' ') AS span_text
             FROM documents
+        """,
+        "targets_predicate_extract": """
+            SELECT doc_id, field, value FROM (
+                SELECT doc_id, 'issn' AS field, 'E' || doc_id AS value FROM documents
+                UNION ALL
+                SELECT doc_id, 'author', 'Smith' || doc_id || ' John' || doc_id FROM documents
+                UNION ALL
+                SELECT doc_id, 'author', 'Anon' || doc_id || ' Ano' || doc_id FROM documents
+                UNION ALL
+                SELECT doc_id, 'keyword', 'kw' || doc_id FROM documents
+                UNION ALL
+                SELECT doc_id, 'keyword', 'ak' || doc_id FROM documents
+                UNION ALL
+                SELECT doc_id, 'second_keyword', 'ak' || doc_id FROM documents
+                UNION ALL
+                SELECT doc_id, 'back_para', 'secpara' || doc_id FROM documents
+                UNION ALL
+                SELECT doc_id, 'free_para', 'freepara' || doc_id FROM documents
+            )
         """,
         "align_exact_spans": """
             -- the kernel masks whitespace before aligning, so a needle's

@@ -10,10 +10,15 @@ matcher's per-tag options (``.match-prefix-regex``, ``.alternative-spellings``,
 ``.merge``, ``.extend-to-line``, ``.block``, ``.max_chunks`` —
 annotation/simple_matching_annotator.py:756-816).
 
-Uses stdlib ``xml.etree.ElementTree`` with a pragmatic XPath-subset rewriter
-(leading ``//``, unions via ``|``, parenthesized union groups, ``[@a="v"]``
-predicates) — the container environment has no lxml.  The config is parsed
-once on the driver and broadcast; extraction runs per row inside
+Uses stdlib ``xml.etree.ElementTree`` with a dedicated XPath-1.0-subset
+evaluator (``operators/xpath.py``) covering everything the reference's
+shipped ``config/xml-mapping.conf`` needs — ``or``/``and``/``not()``
+predicates, ``ancestor::``/``self::`` axes, unions, ``//`` — since the
+container environment has no lxml.  Also implements the reference's outer
+target-annotation semantics (annotation/target_annotation.py:36-130):
+``.ignore``, ``.use-raw-text``, ``contains_raw_text`` auto-detection and
+``get_raw_text_content`` word-boundary spacing.  The config is parsed once
+on the driver and broadcast; extraction runs per row inside
 ``mapInPandas``.
 """
 
@@ -28,6 +33,7 @@ from typing import Dict, List, Optional, Set, Tuple, Union
 
 from ..kernel.normalize import strip_whitespace
 from .annotate import TagConfig, TargetAnnotation
+from .xpath import XPathContext
 
 
 class MappingSuffix:
@@ -42,6 +48,9 @@ class MappingSuffix:
     UNMATCHED_PARENT_TEXT = ".unmatched-parent-text"
     PRIORITY = ".priority"
     SUB = ".sub"
+    # outer-module extensions (annotation/target_annotation.py:35-37)
+    USE_RAW_TEXT = ".use-raw-text"
+    IGNORE = ".ignore"
 
 
 # ---------------------------------------------------------------------------
@@ -112,47 +121,21 @@ def get_tag_config_map(xml_mapping: Dict[str, Dict[str, str]]) -> Dict[str, TagC
 
 
 # ---------------------------------------------------------------------------
-# XPath subset evaluation (ElementTree-based)
+# XPath evaluation (operators/xpath.py subset evaluator)
 
 
-def _rewrite_xpath(xpath: str) -> List[str]:
-    """Normalize to ElementTree syntax; expand top-level unions."""
-    xpath = xpath.strip()
-    # expand parenthesized union group prefix: (a | b)/rest
-    m = re.match(r"^\((.+?)\)(/.*)?$", xpath)
-    if m and "|" in m.group(1):
-        suffix = m.group(2) or ""
-        return [
-            sub
-            for part in m.group(1).split("|")
-            for sub in _rewrite_xpath(part.strip() + suffix)
-        ]
-    # top-level union
-    depth = 0
-    for i, ch in enumerate(xpath):
-        if ch in "([":
-            depth += 1
-        elif ch in ")]":
-            depth -= 1
-        elif ch == "|" and depth == 0:
-            return _rewrite_xpath(xpath[:i]) + _rewrite_xpath(xpath[i:][1:])
-    if xpath.startswith("//"):
-        xpath = "." + xpath
-    elif xpath.startswith("/"):
-        xpath = "." + xpath
-    return [xpath]
+def match_xpaths(
+    node: ET.Element, xpaths: List[str], ctx: Optional[XPathContext] = None
+) -> List[ET.Element]:
+    """Concatenation of per-xpath matches, each in document order
+    (annotation/target_annotation.py:59-62: ``chain(*[parent.xpath(s) ...])``).
 
-
-def match_xpaths(node: ET.Element, xpaths: List[str]) -> List[ET.Element]:
-    """Union of per-xpath matches, document order preserved per xpath
-    (target_annotation.py:217-218)."""
-    return list(
-        chain.from_iterable(
-            node.findall(rewritten)
-            for xpath in xpaths
-            for rewritten in _rewrite_xpath(xpath)
-        )
-    )
+    ``ctx`` carries parent pointers / document order for the whole tree;
+    when omitted, ``node`` is treated as the document root.
+    """
+    if ctx is None:
+        ctx = XPathContext(node)
+    return ctx.findall_multi(node, xpaths)
 
 
 def parse_xpaths(value: Optional[str]) -> Optional[List[str]]:
@@ -186,24 +169,78 @@ def stripped_text_content(node: ET.Element, exclude: Optional[Set[int]] = None) 
 
 
 # ---------------------------------------------------------------------------
+# raw text content (annotation/target_annotation.py:40-71)
+
+
+def contains_raw_text(element: ET.Element) -> bool:
+    """True if the element has meaningful direct text / child tails
+    (annotation/target_annotation.py:40-48) — i.e. mixed content that a
+    children-xpath decomposition would lose."""
+    if element.text and element.text.strip():
+        return True
+    for child in element:
+        if child.tail and child.tail.strip():
+            return True
+        if len(child) and contains_raw_text(child):
+            return True
+    return False
+
+
+def _iter_text_and_exclude(
+    node: ET.Element, exclude_ids: Optional[Set[int]]
+) -> "chain[str]":
+    """Text fragments of the subtree, skipping excluded elements' own text
+    (their tails still contribute) — utils/xml.py:26-38."""
+    if not exclude_ids:
+        return node.itertext()
+
+    def gen(n: ET.Element):
+        if n.text is not None:
+            yield n.text
+        for child in n:
+            if id(child) not in exclude_ids:
+                yield from gen(child)
+            if child.tail:
+                yield child.tail
+
+    return gen(node)
+
+
+_ENDS_WITH_WORD = re.compile(r".*\w$", re.DOTALL)
+_STARTS_WITH_WORD = re.compile(r"^\w")
+
+
+def get_raw_text_content(
+    node: ET.Element, exclude_ids: Optional[Set[int]] = None
+) -> str:
+    """Concatenate text fragments, inserting a space where a fragment ends
+    with a word char and the next begins with one — so ``<label>1</label>raw``
+    becomes ``1 raw`` but ``<label>1</label>, raw`` stays ``1, raw``
+    (annotation/target_annotation.py:51-71)."""
+    parts: List[str] = []
+    for text in _iter_text_and_exclude(node, exclude_ids):
+        if parts and _ENDS_WITH_WORD.match(parts[-1]) and _STARTS_WITH_WORD.match(text):
+            parts.append(" ")
+        parts.append(text)
+    return "".join(parts)
+
+
+def is_wildcard_children_xpaths(children_xpaths: Optional[List[str]]) -> bool:
+    return children_xpaths == [".//*"]
+
+
+# ---------------------------------------------------------------------------
 # children / concat / range extraction (target_annotation.py:137-252)
 
 
-def _build_parent_map(root: ET.Element) -> Dict[int, Optional[ET.Element]]:
-    parents: Dict[int, Optional[ET.Element]] = {id(root): None}
-    for parent in root.iter():
-        for child in parent:
-            parents[id(child)] = parent
-    return parents
-
-
 def exclude_parents(
-    children: List[ET.Element], parent_map: Dict[int, Optional[ET.Element]]
+    children: List[ET.Element], ctx: XPathContext
 ) -> List[ET.Element]:
     all_parents = {
-        id(parent_map[id(child)])
+        id(parent)
         for child in children
-        if parent_map.get(id(child)) is not None
+        for parent in (ctx.parent_of(child),)
+        if parent is not None
     }
     return [child for child in children if id(child) not in all_parents]
 
@@ -211,14 +248,14 @@ def exclude_parents(
 def _extract_children_source_list(
     parent: ET.Element,
     source_list: List[Dict[str, str]],
-    parent_map: Dict[int, Optional[ET.Element]],
+    ctx: XPathContext,
 ) -> Tuple[List[str], Set[int]]:
     used_nodes: Set[int] = set()
     values: List[str] = []
     for source in source_list:
         xpath = source.get("xpath")
         if xpath:
-            matching = exclude_parents(match_xpaths(parent, [xpath]), parent_map)
+            matching = exclude_parents(match_xpaths(parent, [xpath], ctx), ctx)
             if not matching:
                 return [], set()
             used_nodes |= {id(n) for n in matching}
@@ -232,12 +269,12 @@ def _extract_children_source_list(
 def _extract_children_concat(
     parent: ET.Element,
     children_concat: List[List[Dict[str, str]]],
-    parent_map: Dict[int, Optional[ET.Element]],
+    ctx: XPathContext,
 ) -> Tuple[List[str], Set[int]]:
     used_nodes: Set[int] = set()
     values: List[str] = []
     for concat_item in children_concat:
-        item_values, item_used = _extract_children_source_list(parent, concat_item, parent_map)
+        item_values, item_used = _extract_children_source_list(parent, concat_item, ctx)
         used_nodes |= item_used
         if item_values:
             values.append("".join(item_values))
@@ -247,14 +284,14 @@ def _extract_children_concat(
 def _extract_children_range(
     parent: ET.Element,
     children_range: List[Dict[str, Dict[str, str]]],
-    parent_map: Dict[int, Optional[ET.Element]],
+    ctx: XPathContext,
 ) -> Tuple[List[str], List[str], Set[int]]:
     used_nodes: Set[int] = set()
     values: List[str] = []
     standalone_values: List[str] = []
     for range_item in children_range:
         item_values, item_used = _extract_children_source_list(
-            parent, [range_item.get("min", {}), range_item.get("max", {})], parent_map
+            parent, [range_item.get("min", {}), range_item.get("max", {})], ctx
         )
         if len(item_values) == 2:
             item_values = [s.strip() for s in item_values]
@@ -275,17 +312,17 @@ def _extract_children(
     children_concat: List[List[Dict[str, str]]],
     children_range: List[Dict[str, Dict[str, str]]],
     unmatched_parent_text: bool,
-    parent_map: Dict[int, Optional[ET.Element]],
+    ctx: XPathContext,
 ) -> Tuple[List[str], List[str]]:
-    concat_values, concat_used = _extract_children_concat(parent, children_concat, parent_map)
+    concat_values, concat_used = _extract_children_concat(parent, children_concat, ctx)
     range_values, standalone_values, range_used = _extract_children_range(
-        parent, children_range, parent_map
+        parent, children_range, ctx
     )
     used_nodes = concat_used | range_used
     other_children = [
-        node for node in match_xpaths(parent, children_xpaths) if id(node) not in used_nodes
+        node for node in match_xpaths(parent, children_xpaths, ctx) if id(node) not in used_nodes
     ]
-    other_excl_parents = exclude_parents(other_children, parent_map)
+    other_excl_parents = exclude_parents(other_children, ctx)
     text_values = [
         s
         for s in (
@@ -368,6 +405,7 @@ def _extract_sub_annotations(
     sub_xpaths: Dict[str, str],
     mapping: Dict[str, str],
     parent_key: str,
+    ctx: XPathContext,
 ) -> List[TargetAnnotation]:
     if not sub_xpaths:
         return []
@@ -377,7 +415,7 @@ def _extract_sub_annotations(
             parent_key + MappingSuffix.SUB + "." + sub_tag + MappingSuffix.EXTRACT_REGEX
         )
         compiled = re.compile(extract_pattern) if extract_pattern else None
-        for node in match_xpaths(parent_node, [sub_xpath]):
+        for node in match_xpaths(parent_node, [sub_xpath], ctx):
             value: Union[str, List[str], None] = stripped_text_content(node)
             if value:
                 value = strip_whitespace(value).strip()
@@ -402,8 +440,7 @@ def xml_root_to_target_annotations(
         )
     mapping = xml_mapping[xml_root.tag]
     field_names = [k for k in mapping.keys() if "." not in k]
-    parent_map = _build_parent_map(xml_root)
-    node_positions = {id(node): i for i, node in enumerate(xml_root.iter())}
+    ctx = XPathContext(xml_root)
 
     def flag(key: str, suffix: str) -> bool:
         return mapping.get(key + suffix) == "true"
@@ -414,6 +451,7 @@ def xml_root_to_target_annotations(
         bonding = flag(field, MappingSuffix.BONDING)
         require_next = flag(field, MappingSuffix.REQUIRE_NEXT)
         unmatched_parent_text = flag(field, MappingSuffix.UNMATCHED_PARENT_TEXT)
+        ignore_xpaths = parse_xpaths(mapping.get(field + MappingSuffix.IGNORE))
         children_xpaths = parse_xpaths(mapping.get(field + MappingSuffix.CHILDREN))
         children_concat = json.loads(mapping.get(field + MappingSuffix.CHILDREN_CONCAT) or "[]")
         children_range = json.loads(mapping.get(field + MappingSuffix.CHILDREN_RANGE) or "[]")
@@ -423,23 +461,44 @@ def xml_root_to_target_annotations(
         extract_compiled = re.compile(extract_pattern) if extract_pattern else None
         priority = int(mapping.get(field + MappingSuffix.PRIORITY, "0"))
         sub_xpaths = _get_sub_mapping(mapping, field)
+        use_raw_text_value = mapping.get(field + MappingSuffix.USE_RAW_TEXT)
+        use_raw_text_config = (
+            _parse_bool(use_raw_text_value, False) if use_raw_text_value else None
+        )
         xpaths = parse_xpaths(mapping[field])
         if not xpaths:
             continue
-        for node in match_xpaths(xml_root, xpaths):
-            node_pos = node_positions.get(id(node))
-            sub_annotations = _extract_sub_annotations(node, sub_xpaths, mapping, field)
-            if children_xpaths:
+        for node in match_xpaths(xml_root, xpaths, ctx):
+            node_pos = ctx.doc_position(node)
+            sub_annotations = _extract_sub_annotations(node, sub_xpaths, mapping, field, ctx)
+            # wildcard children on mixed-content nodes fall back to raw text
+            # (annotation/target_annotation.py:150-168)
+            use_raw_text = (
+                use_raw_text_config
+                if use_raw_text_config is not None
+                else contains_raw_text(node)
+            )
+            should_use_children = children_xpaths and (
+                not is_wildcard_children_xpaths(children_xpaths) or not use_raw_text
+            )
+            if should_use_children:
                 text_values, standalone_values = _extract_children(
                     node,
                     children_xpaths,
                     children_concat,
                     children_range,
                     unmatched_parent_text,
-                    parent_map,
+                    ctx,
                 )
             else:
-                stripped = stripped_text_content(node).strip()
+                exclude_ids = (
+                    {id(n) for n in match_xpaths(node, ignore_xpaths, ctx)}
+                    if ignore_xpaths
+                    else None
+                )
+                stripped = strip_whitespace(
+                    get_raw_text_content(node, exclude_ids)
+                ).strip()
                 text_values = [stripped] if stripped else []
                 standalone_values = []
             if compiled:
