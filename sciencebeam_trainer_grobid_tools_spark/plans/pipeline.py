@@ -134,8 +134,18 @@ def annotate_documents(
     repartition: Optional[int] = None,
     use_html: bool = True,
     render_tei: bool = False,
+    observation=None,
+    kernel_counter=None,
 ) -> DataFrame:
-    """documents -> annotated spans table (the north-star job)."""
+    """documents -> annotated spans table (the north-star job).
+
+    ``observation``: optional ``pyspark.sql.Observation`` — lets a caller
+    read the run metrics from the SAME action that materializes the output
+    (no second kernel execution; see streaming/resume.py).
+    ``kernel_counter``: optional Spark accumulator incremented per document
+    actually fed through the kernel — used by tests to assert the expensive
+    stage runs exactly once per chunk.
+    """
     import pandas as pd
 
     columns = set(docs.columns)
@@ -143,6 +153,8 @@ def annotate_documents(
 
     def annotate_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
+            if kernel_counter is not None:
+                kernel_counter.add(len(pdf))
             out = []
             for row in pdf.itertuples(index=False):
                 url = row.url
@@ -204,16 +216,18 @@ def annotate_documents(
         # instead of clustering in ingest order (north_star skew requirement)
         plan = plan.repartition(repartition, F.xxhash64("url"))
     annotated = plan.mapInPandas(annotate_batches, schema=ANNOTATED_SCHEMA)
-    global _observation_counter
-    _observation_counter += 1
-    return annotated.observe(
-        "annotate_metrics_%d" % _observation_counter,
+    metrics = (
         F.count(F.lit(1)).alias("docs_processed"),
         F.sum("alignment_attempts").alias("alignment_attempts"),
         F.sum("alignment_hits").alias("alignment_hits"),
         F.sum(F.length("extracted_text")).alias("chars_extracted"),
         F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errors"),
     )
+    if observation is not None:
+        return annotated.observe(observation, *metrics)
+    global _observation_counter
+    _observation_counter += 1
+    return annotated.observe("annotate_metrics_%d" % _observation_counter, *metrics)
 
 
 def resume_filter(docs: DataFrame, completed: Optional[DataFrame]) -> DataFrame:

@@ -23,7 +23,7 @@ import os
 import time
 from typing import Optional
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession
 
 from ..plans.pipeline import annotate_documents, resume_filter
 
@@ -52,24 +52,29 @@ def run_resumable(
         completed = _read_completed(spark, output_dir)
         remaining = resume_filter(docs, completed)
         chunk = remaining.limit(chunk_size)
-        annotated = annotate_documents(chunk, **annotate_kwargs)
-        rows = annotated.count()
-        if rows == 0:
+        # cheap termination probe: anti-join + limit only — the kernel is
+        # NOT in this plan (annotate_documents is applied after), so the
+        # expensive stage below runs exactly once per chunk, inside the write
+        if chunk.isEmpty():
             break
+        observation = Observation()
+        annotated = annotate_documents(
+            chunk, observation=observation, **annotate_kwargs
+        )
         annotated.write.mode("append").parquet(data_dir)
-        stats = annotated.agg(
-            F.count(F.lit(1)).alias("docs"),
-            F.sum("alignment_hits").alias("hits"),
-            F.sum(F.length("extracted_text")).alias("chars"),
-        ).collect()[0]
+        # metrics come from the write job itself (Observation), not a second
+        # count()/agg() execution of the kernel
+        metrics = observation.get
+        rows = int(metrics["docs_processed"] or 0)
         with open(manifest_path, "a", encoding="utf-8") as fh:
             fh.write(
                 json.dumps(
                     {
                         "chunk": chunks_done,
                         "rows": rows,
-                        "alignment_hits": int(stats["hits"] or 0),
-                        "chars_extracted": int(stats["chars"] or 0),
+                        "alignment_hits": int(metrics["alignment_hits"] or 0),
+                        "chars_extracted": int(metrics["chars_extracted"] or 0),
+                        "errors": int(metrics["errors"] or 0),
                         "ts": time.time(),
                     }
                 )

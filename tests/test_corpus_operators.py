@@ -177,6 +177,32 @@ class TestResumable:
         manifest = (tmp_path / "out" / "manifest.jsonl").read_text().strip().splitlines()
         assert len(manifest) == 3
 
+    def test_kernel_runs_once_per_chunk(self, spark, tmp_path):
+        """The expensive mapInPandas stage must execute exactly once per
+        document (write-with-Observation, not count + write + agg — the
+        round-1 double-compute)."""
+        import json
+
+        from sciencebeam_trainer_grobid_tools_spark.sources.corpus import corpus_dataframe
+        from sciencebeam_trainer_grobid_tools_spark.streaming.resume import run_resumable
+
+        docs = corpus_dataframe(spark, 20, seed=7, partitions=2)
+        out = str(tmp_path / "out")
+        counter = spark.sparkContext.accumulator(0)
+        result = run_resumable(
+            spark, docs, out, chunk_size=10, kernel_counter=counter
+        )
+        assert result["rows"] == 20
+        # 20 documents total -> the kernel saw each exactly once
+        assert counter.value == 20
+        # manifest metrics came from the observed write job
+        manifest = [
+            json.loads(line)
+            for line in (tmp_path / "out" / "manifest.jsonl").read_text().splitlines()
+        ]
+        assert [m["rows"] for m in manifest] == [10, 10]
+        assert all(m["alignment_hits"] >= 0 and "errors" in m for m in manifest)
+
 
 class TestIdentifierExtraction:
     def test_extracts_ids_from_text(self, spark):
