@@ -34,6 +34,21 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet("%s/%s.parquet" % (sf_dir.rstrip("/"), name))
 
 
+def _spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Widen an under-partitioned scan before a compute-heavy map stage.
+
+    The local testdata tables are single parquet files (one row group ->
+    one input partition), which serializes per-row work like shingling or
+    regexp extraction onto one core.  On a production corpus the table's
+    file/row-group layout provides the parallelism and this is a no-op; the
+    repartition only fires when the scan has fewer partitions than cores.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _register(spark: SparkSession, sf_dir: str, *names: str) -> None:
     for name in names:
         _load(spark, sf_dir, name).createOrReplaceTempView(name)
@@ -237,7 +252,7 @@ def q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_docs_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _load(spark, sf_dir, "documents")
+    docs = _spread(_load(spark, sf_dir, "documents"), spark)
     return docs.select(
         "doc_id",
         textstats.whitespace_token_count(F.col("text")).alias("ws_tokens"),
@@ -255,14 +270,27 @@ def q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_docs_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates (kernel hash not SQL-portable: rows-only)."""
-    docs = _load(spark, sf_dir, "documents")
+    docs = _spread(_load(spark, sf_dir, "documents"), spark)
     return dedup.minhash_candidate_pairs(docs, k=5, num_hashes=32, bands=8)
 
 
 def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures (xxhash64-based: rows-only)."""
-    docs = _load(spark, sf_dir, "documents")
-    return dedup.simhash_table(docs)
+    """SimHash signatures, oracle-portable form: per-token md5 top-bits,
+    bitwise majority vote, '0'/'1' bit-string output (DuckDB-reproducible).
+    Same one-shuffle aggregation shape as the production 64-bit
+    xxhash64 variant (dedup.simhash_table)."""
+    docs = _spread(_load(spark, sf_dir, "documents"), spark)
+    return dedup.portable_simhash_table(docs)
+
+
+def q_docs_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full MinHash+LSH banding pipeline with an oracle-portable hash
+    family (md5 minima, md5 band keys): signatures -> band buckets ->
+    candidate pairs -> exact-Jaccard verification, every value reproducible
+    in DuckDB.  Verifies the banding LOGIC the production xxhash64 path
+    (docs_minhash_near_dups) shares."""
+    docs = _spread(_load(spark, sf_dir, "documents"), spark)
+    return dedup.portable_minhash_pairs(docs, k=5, num_hashes=8, bands=4)
 
 
 def q_docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -296,9 +324,14 @@ def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (scale path; approximate: rows-only)."""
+    """LSH-bucketed ANN — oracle-checked: hyperplanes are deterministic
+    (seed 42), so DuckDB recomputes the exact bucket assignments, the
+    hamming<=1 probe set, and the candidate re-rank; the gate verifies the
+    bucketing machinery itself, not a recall proxy."""
     embeddings = _load(spark, sf_dir, "embeddings")
-    return similarity.lsh_topk(embeddings, _query_vector(spark, sf_dir), k=10)
+    return similarity.lsh_topk(
+        embeddings, _query_vector(spark, sf_dir), k=10, round_digits=4
+    )
 
 
 def q_emb_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -589,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_counts": q_docs_token_counts,
         "docs_fingerprint": q_docs_fingerprint,
         "docs_minhash_near_dups": q_docs_minhash_near_dups,
+        "docs_minhash_portable": q_docs_minhash_portable,
         "docs_simhash": q_docs_simhash,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "emb_cosine_topk": q_emb_cosine_topk,
@@ -602,6 +636,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "targets_predicate_extract": q_targets_predicate_extract,
         "media_features": q_media_features,
     }
+
+
+def _lsh_topk_oracle_sql() -> str:
+    """DuckDB replica of q_emb_lsh_topk: the seed-42 hyperplanes are inlined
+    as literals; buckets, the hamming<=1 probe set and the cosine re-rank
+    are recomputed in SQL (dim=64 per TESTDATA.md)."""
+    from sciencebeam_trainer_grobid_tools_spark.operators.similarity import (
+        random_hyperplanes,
+    )
+
+    planes = random_hyperplanes(dim=64, n_planes=8, seed=42)
+    plane_rows = ",\n".join(
+        "(%d, [%s]::DOUBLE[])" % (i, ", ".join("%.17g" % v for v in plane))
+        for i, plane in enumerate(planes)
+    )
+    return """
+        WITH planes(plane_id, plane) AS (VALUES %s),
+        buckets AS (
+            SELECT e.vec_id, e.embedding,
+                   CAST(SUM(
+                       CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.plane) >= 0
+                            THEN 1 << p.plane_id ELSE 0 END
+                   ) AS BIGINT) AS bucket
+            FROM embeddings e, planes p
+            GROUP BY e.vec_id, e.embedding
+        ),
+        q AS (
+            SELECT b.bucket AS qbucket, e.embedding AS qe
+            FROM buckets b JOIN embeddings e ON e.vec_id = b.vec_id
+            WHERE b.vec_id = 0
+        ),
+        candidates AS (
+            SELECT b.vec_id,
+                   list_dot_product(b.embedding::DOUBLE[], q.qe::DOUBLE[])
+                   / (SQRT(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))
+                      * SQRT(list_dot_product(q.qe::DOUBLE[], q.qe::DOUBLE[]))) AS cos
+            FROM buckets b, q
+            WHERE bit_count(xor(b.bucket, q.qbucket)) <= 1
+        )
+        SELECT vec_id, ROUND(cos, 4) AS cosine
+        FROM candidates
+        ORDER BY cos DESC, vec_id
+        LIMIT 10
+    """ % plane_rows
 
 
 def oracle_sql() -> dict[str, str]:
@@ -773,6 +851,65 @@ def oracle_sql() -> dict[str, str]:
             FROM shingled l JOIN shingled r ON l.doc_id < r.doc_id
             WHERE LEN(list_intersect(l.shingles, r.shingles))
                   / LEN(list_distinct(list_concat(l.shingles, r.shingles))) >= 0.05
+        """,
+        "emb_lsh_topk": _lsh_topk_oracle_sql(),
+        "docs_simhash": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(string_split(LOWER(REPLACE(text, chr(10), ' ')), ' ')) AS tok
+                FROM documents
+            ),
+            h AS (SELECT doc_id, md5(tok) AS h FROM tok WHERE tok <> ''),
+            votes AS (
+                SELECT doc_id, j,
+                       SUM(CASE WHEN substr(h, j, 1) >= '8' THEN 1 ELSE -1 END) AS v
+                FROM h, range(1, 33) t(j)
+                GROUP BY doc_id, j
+            )
+            SELECT doc_id,
+                   string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY j)
+                       AS simhash_bits
+            FROM votes GROUP BY doc_id
+        """,
+        "docs_minhash_portable": """
+            WITH tok AS (
+                SELECT doc_id,
+                       string_split(LOWER(REPLACE(text, chr(10), ' ')), ' ') AS tokens
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                       list_distinct(CASE WHEN LEN(tokens) >= 5 THEN
+                           [array_to_string(tokens[i:i+4], ' ')
+                            for i in range(1, LEN(tokens) - 5 + 2)]
+                         ELSE [array_to_string(tokens, ' ')] END) AS shingles
+                FROM tok
+            ),
+            sig AS (
+                SELECT doc_id, shingles,
+                       [list_aggregate(
+                            list_transform(shingles, s -> md5(seed::VARCHAR || ':' || s)),
+                            'min')
+                        for seed in [0, 1, 2, 3, 4, 5, 6, 7]] AS sig
+                FROM sh
+            ),
+            buckets AS (
+                SELECT doc_id, b.band AS band,
+                       md5(sig[2 * b.band + 1] || ',' || sig[2 * b.band + 2]) AS band_key
+                FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b
+            ),
+            pairs AS (
+                SELECT DISTINCT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b
+                FROM buckets l JOIN buckets r
+                  ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+            )
+            SELECT p.doc_id_a, p.doc_id_b,
+                   ROUND(LEN(list_intersect(a.shingles, b.shingles))
+                         / LEN(list_distinct(list_concat(a.shingles, b.shingles))), 6)
+                       AS jaccard
+            FROM pairs p
+            JOIN sig a ON a.doc_id = p.doc_id_a
+            JOIN sig b ON b.doc_id = p.doc_id_b
         """,
         "emb_cosine_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

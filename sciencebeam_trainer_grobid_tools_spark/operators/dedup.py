@@ -45,7 +45,12 @@ def exact_duplicate_groups(
 
 
 def word_shingles(text: Column, k: int = 5) -> Column:
-    """Distinct k-word shingles of the normalized text (JVM-side arrays)."""
+    """Distinct k-word shingles of the normalized text (JVM-side arrays).
+
+    String-building form — kept as the exact/portable baseline (the
+    ``docs_ngram_jaccard`` oracle compares these strings with DuckDB).  The
+    minhash scale path uses :func:`shingle_hashes` instead.
+    """
     tokens = F.split(normalized_text(text), " ")
     n = F.size(tokens)
     return F.array_distinct(
@@ -57,6 +62,28 @@ def word_shingles(text: Column, k: int = 5) -> Column:
             ),
         ).otherwise(F.array(F.concat_ws(" ", tokens)))
     )
+
+
+def shingle_hashes(text: Column, k: int = 5) -> Column:
+    """64-bit shingle identities without building shingle strings: one
+    multi-argument ``xxhash64`` over the k token positions per offset.
+
+    Versus the string form this skips the per-shingle ``slice`` +
+    ``concat_ws`` allocation (the round-1 hot spot: ~2.5s/5000 docs), and —
+    unlike an explode+window construction — stays map-side: nothing is
+    shuffled until the per-document signature minima, which combine
+    partially.  MinHash minima are identical over a multiset, so no
+    ``array_distinct`` is needed.
+    """
+    tokens = F.split(normalized_text(text), " ")
+    n = F.size(tokens)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.xxhash64(*[F.element_at(tokens, i + j) for j in range(k)]),
+        ),
+    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", tokens))))
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
@@ -76,12 +103,13 @@ def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
 
 
 def minhash_signature_table(
-    shingled: DataFrame, num_hashes: int = 32
+    shingled: DataFrame, num_hashes: int = 32, shingle_col: str = "shingles"
 ) -> DataFrame:
-    """(doc_id, shingles) -> (doc_id, sig array): explode the shingles and
-    take per-seed grouped minima — whole-stage-codegen aggregation with
-    map-side partial combine, one shuffle keyed by doc_id."""
-    exploded = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+    """(doc_id, shingles) -> (doc_id, sig array): explode the shingles
+    (string or 64-bit hash identities) and take per-seed grouped minima —
+    whole-stage-codegen aggregation with map-side partial combine, one
+    shuffle keyed by doc_id."""
+    exploded = shingled.select("doc_id", F.explode(shingle_col).alias("shingle"))
     mins = exploded.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias("h%d" % seed)
@@ -103,11 +131,16 @@ def minhash_candidate_pairs(
     persist_intermediate: bool = True,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs,
-    then candidates are verified with exact shingle Jaccard."""
+    then candidates are verified with exact shingle Jaccard.
+
+    Shingles are 64-bit hash identities (:func:`shingle_hashes`) — Jaccard
+    over hashed shingles equals string-shingle Jaccard up to negligible
+    collision probability, and the construction skips per-shingle string
+    allocation."""
     rows_per_band = num_hashes // bands
     shingled = df.select(
         F.col(id_col).alias("doc_id"),
-        word_shingles(F.col(text_col), k).alias("shingles"),
+        F.array_distinct(shingle_hashes(F.col(text_col), k)).alias("shingles"),
     )
     if persist_intermediate:
         # the shingle table feeds the band buckets AND both verification
@@ -159,6 +192,98 @@ def minhash_candidate_pairs(
         )
         .join(
             shingled.select(F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("shingles_b")),
+            "doc_id_b",
+        )
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(
+                F.size(F.array_intersect("shingles_a", "shingles_b"))
+                / F.size(F.array_union("shingles_a", "shingles_b")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def portable_minhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash+LSH with an oracle-portable hash family: per-seed minima of
+    ``md5(seed || ':' || shingle)`` hex strings (lexicographic min), band
+    keys ``md5(minima joined by ',')``.
+
+    Same plan shape as :func:`minhash_candidate_pairs` (band shuffle carries
+    only ids+band keys; exact-Jaccard verification joins) but every value is
+    reproducible in ANSI SQL/DuckDB — this is the variant the driver's
+    correctness gate hash-checks; production uses the xxhash64 path.
+    """
+    rows_per_band = num_hashes // bands
+    shingled = df.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.col(text_col), k).alias("shingles"),
+    ).persist()
+    exploded = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+    sig = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat_ws(":", F.lit(str(seed)), F.col("shingle")))
+            ).alias("h%d" % seed)
+            for seed in range(num_hashes)
+        ]
+    )
+    buckets = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("h%d" % (b * rows_per_band + r))
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bucket"),
+    ).select("doc_id", "bucket.band", "bucket.band_key")
+    pairs = (
+        buckets.alias("l")
+        .join(
+            buckets.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_id_a"),
+            F.col("r.doc_id").alias("doc_id_b"),
+        )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    return (
+        pairs.join(
+            shingled.select(
+                F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("shingles_a")
+            ),
+            "doc_id_a",
+        )
+        .join(
+            shingled.select(
+                F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("shingles_b")
+            ),
             "doc_id_b",
         )
         .select(
@@ -237,27 +362,95 @@ def simhash_table(
     return votes.select("doc_id", sig.alias("simhash"))
 
 
+def portable_simhash_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_bits: int = 32,
+) -> DataFrame:
+    """Oracle-portable simhash: per-token ``md5`` hex, bit j = top bit of hex
+    digit j (equivalently ``substr(md5(tok), j, 1) >= '8'`` — identical in
+    any engine with lowercase-hex md5), majority vote per document, emitted
+    as a '0'/'1' bit-string column.
+
+    Same aggregation shape as :func:`simhash_table` (num_bits partial-
+    aggregable sums, one shuffle keyed by doc_id) but every value is
+    reproducible in DuckDB, so the driver's gate can hash-check it.
+    Ties (vote sum == 0) resolve to '0' in both engines.
+    """
+    tokens = F.filter(
+        F.split(normalized_text(F.col(text_col)), " "), lambda t: t != ""
+    )
+    exploded = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens).alias("tok"))
+    hashed = exploded.select("doc_id", F.md5("tok").alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.substring(F.col("h"), j + 1, 1) >= "8", 1).otherwise(-1)
+            ).alias("bit%d" % j)
+            for j in range(num_bits)
+        ]
+    )
+    return votes.select(
+        "doc_id",
+        F.concat(
+            *[
+                F.when(F.col("bit%d" % j) > 0, F.lit("1")).otherwise(F.lit("0"))
+                for j in range(num_bits)
+            ]
+        ).alias("simhash_bits"),
+    )
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 6,
     prefix_bits: int = 16,
+    num_probes: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs by simhash hamming distance, bucketed by the signature's
-    high bits so the join is equality-keyed (docs differing inside the prefix
-    are traded for shuffle locality — standard multi-probe variants would
-    re-run with rotated prefixes)."""
+    """Near-dup pairs by simhash hamming distance, equality-keyed via
+    multi-probe rotated-prefix buckets.
+
+    Probe p buckets on the top ``prefix_bits`` of the signature rotated left
+    by ``p * 64 / num_probes`` bits; a pair collides in probe p iff its
+    differing bits all avoid that probe's window.  With the default 4 probes
+    of 16 bits the windows tile all 64 bits, so any pair with hamming
+    distance <= 3 is GUARANTEED to share at least one bucket (pigeonhole:
+    3 differing bits cannot hit all 4 disjoint windows); beyond that recall
+    degrades gracefully instead of the round-1 fixed-prefix cliff.  Each
+    probe is an equality join — no similarity cross-join at any scale.
+    """
     sigs = simhash_table(df, id_col=id_col, text_col=text_col).select(
         "doc_id", F.col("simhash").alias("sig")
-    ).withColumn("bucket", F.shiftrightunsigned("sig", 64 - prefix_bits))
-    left = sigs.alias("l")
-    right = sigs.alias("r")
+    )
+    step = 64 // num_probes
+    rot = []
+    for p in range(num_probes):
+        r = p * step
+        rotated = (
+            F.col("sig")
+            if r == 0
+            else F.shiftleft("sig", r).bitwiseOR(F.shiftrightunsigned("sig", 64 - r))
+        )
+        rot.append(
+            F.struct(
+                F.lit(p).alias("probe"),
+                F.shiftrightunsigned(rotated, 64 - prefix_bits).alias("bucket"),
+            )
+        )
+    probed = sigs.select(
+        "doc_id", "sig", F.explode(F.array(*rot)).alias("pb")
+    ).select("doc_id", "sig", "pb.probe", "pb.bucket")
+    left = probed.alias("l")
+    right = probed.alias("r")
     hamming = F.bit_count(F.col("l.sig").bitwiseXOR(F.col("r.sig")))
     return (
         left.join(
             right,
-            (F.col("l.bucket") == F.col("r.bucket"))
+            (F.col("l.probe") == F.col("r.probe"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
         .select(
@@ -266,4 +459,5 @@ def simhash_near_duplicates(
             hamming.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
     )

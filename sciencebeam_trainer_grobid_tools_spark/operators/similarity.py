@@ -86,6 +86,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multi_probe_bits: int = 1,
+    round_digits: int = 6,
 ) -> DataFrame:
     """Approximate top-k: filter to the query's LSH bucket (plus single-bit
     probe neighbours), then exact cosine re-rank of the candidates."""
@@ -103,7 +104,10 @@ def lsh_topk(
     candidates = df.withColumn("bucket", lsh_bucket(F.col(vec_col), planes)).filter(
         F.col("bucket").isin(*sorted(probe_buckets))
     )
-    return cosine_topk(candidates, query_vector, k=k, id_col=id_col, vec_col=vec_col)
+    return cosine_topk(
+        candidates, query_vector, k=k, id_col=id_col, vec_col=vec_col,
+        round_digits=round_digits,
+    )
 
 
 def pairwise_topk_by_label(

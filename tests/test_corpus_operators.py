@@ -75,6 +75,40 @@ class TestDedup:
         }
         assert (0, 1) in pairs
 
+    def test_simhash_multiprobe_guaranteed_recall(self, spark):
+        """4 probes x 16 disjoint rotated windows tile all 64 bits, so every
+        pair at hamming <= 3 MUST share a bucket (pigeonhole) — the round-1
+        fixed-prefix version missed pairs differing in the top 16 bits.
+        Verified against exact all-pairs hamming on a seeded corpus."""
+        import itertools
+        import random
+
+        rng = random.Random(99)
+        words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+        rows = []
+        for i in range(40):
+            base = [words[rng.randrange(len(words))] for _ in range(60)]
+            rows.append((i, " ".join(base)))
+            # a near-clone with a couple of word swaps (small hamming)
+            clone = list(base)
+            for _ in range(2):
+                clone[rng.randrange(len(clone))] = words[rng.randrange(len(words))]
+            rows.append((100 + i, " ".join(clone)))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash_table(docs).collect()}
+        exact = {
+            (a, b)
+            for a, b in itertools.combinations(sorted(sigs), 2)
+            if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= 3
+        }
+        assert exact, "seeded corpus must contain hamming<=3 pairs"
+        found = {
+            (r["doc_id_a"], r["doc_id_b"])
+            for r in dedup.simhash_near_duplicates(docs, max_hamming=3).collect()
+        }
+        assert exact <= found
+        assert found == exact  # max_hamming filter makes them equal
+
 
 class TestSimilarity:
     @pytest.fixture(scope="class")
