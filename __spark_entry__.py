@@ -588,6 +588,201 @@ def q_targets_predicate_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _run_flavor_query(
+    spark: SparkSession,
+    sf_dir: str,
+    mapping_text: str,
+    load_mapping: dict,
+    tei_fmt: str,
+    jats_fmt: str,
+    flavor_factory,
+    tei_render_mapping: dict,
+    out_fields: list,
+    container_path: str = "text/front",
+) -> DataFrame:
+    """Shared driver for the flavor gate queries: synthesize (TEI, JATS)
+    per documents row from doc_id literals, run the full chain
+    (load TEI -> extract targets -> flavor annotate -> TEI render), emit the
+    rendered field texts — DuckDB recomputes the expected literals."""
+    import pandas as pd
+    import xml.etree.ElementTree as ET
+
+    from sciencebeam_trainer_grobid_tools_spark.operators.annotate import MatcherConfig
+    from sciencebeam_trainer_grobid_tools_spark.operators.targets import (
+        get_tag_config_map,
+        parse_xml_mapping_string,
+        xml_string_to_target_annotations,
+    )
+    from sciencebeam_trainer_grobid_tools_spark.operators.tei_render import (
+        render_tagged_lines,
+    )
+    from sciencebeam_trainer_grobid_tools_spark.sources.tei import load_tei_doc
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    mapping = parse_xml_mapping_string(mapping_text)
+    matcher_config = MatcherConfig(
+        use_sub_annotations=True,
+        extend_to_line_enabled=False,
+        tag_config_map=get_tag_config_map(mapping),
+    )
+    chain = flavor_factory(matcher_config)
+    schema = "doc_id long, " + ", ".join("%s string" % f for f, _ in out_fields)
+
+    def extract_batches(batches):
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                i = str(row.doc_id)
+                doc = load_tei_doc(
+                    tei_fmt.format(i=i), load_mapping, container_path=container_path
+                )
+                targets = xml_string_to_target_annotations(
+                    jats_fmt.format(i=i), mapping
+                )
+                chain(doc, targets)
+                container = ET.Element("text")
+                render_tagged_lines(container, doc, tei_render_mapping)
+                out = {"doc_id": row.doc_id}
+                for field, xpath in out_fields:
+                    node = container.find(xpath)
+                    out[field] = "".join(node.itertext()) if node is not None else None
+                rows.append(out)
+            yield pd.DataFrame(
+                rows, columns=["doc_id"] + [f for f, _ in out_fields]
+            )
+
+    return docs.mapInPandas(extract_batches, schema=schema)
+
+
+def q_flavor_refseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-segmenter flavor gate (auto_annotate_reference_segmenter.py):
+    label + citation per doc -> listBibl/bibl with label sub field."""
+    from sciencebeam_trainer_grobid_tools_spark.plans.flavors import (
+        reference_segmenter_flavor,
+    )
+
+    return _run_flavor_query(
+        spark,
+        sf_dir,
+        mapping_text="""
+[article]
+reference = back/ref-list/ref
+reference.children = .//*
+reference.use-raw-text = true
+reference.sub.reference-label = ./label
+""",
+        load_mapping={},
+        tei_fmt="<tei><text><note>{i} Ref title {i} words</note></text></tei>",
+        jats_fmt=(
+            "<article><front/><body/><back><ref-list><ref><label>{i}</label>"
+            "<mixed-citation>Ref title {i} words</mixed-citation></ref>"
+            "</ref-list></back></article>"
+        ),
+        flavor_factory=lambda cfg: reference_segmenter_flavor(cfg),
+        tei_render_mapping={
+            "DEFAULT": 'note[@type="other"]',
+            "reference": "listBibl/bibl",
+            "reference-label": "listBibl/bibl/label",
+        },
+        out_fields=[
+            ("bibl", ".//listBibl/bibl"),
+            ("label", ".//listBibl/bibl/label"),
+        ],
+        container_path="text",
+    )
+
+
+def q_flavor_affiliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Affiliation flavor gate (auto_annotate_affiliation_address.py):
+    preserved affiliation + sub fields incl. the address group merge."""
+    from sciencebeam_trainer_grobid_tools_spark.plans.flavors import affiliation_flavor
+
+    return _run_flavor_query(
+        spark,
+        sf_dir,
+        mapping_text="""
+[article]
+author_aff = front/article-meta/contrib-group/aff
+author_aff.children = .//*
+author_aff.unmatched-parent-text = true
+author_aff.sub.author_aff-label = ./label
+author_aff.sub.author_aff-institution = ./institution
+author_aff.sub.author_aff-address-city = ./addr-line/named-content[@content-type="city"]
+author_aff.sub.author_aff-address-country = ./country
+author_aff.match-prefix-regex = ({author_aff-label})\\s*[\\.-]*\\s*$
+""",
+        load_mapping={"author_aff": "affiliation"},
+        tei_fmt=(
+            "<tei><text><front><affiliation>{i} Institute{i}, City{i}, Country{i}"
+            "</affiliation></front></text></tei>"
+        ),
+        jats_fmt=(
+            "<article><front><article-meta><contrib-group>"
+            "<aff><label>{i}</label> <institution>Institute{i}</institution>, "
+            '<addr-line><named-content content-type="city">City{i}</named-content>'
+            "</addr-line>, <country>Country{i}</country></aff>"
+            "</contrib-group></article-meta></front><body/><back/></article>"
+        ),
+        flavor_factory=lambda cfg: affiliation_flavor(cfg),
+        tei_render_mapping={
+            "DEFAULT": 'note[@type="other"]',
+            "author_aff": "affiliation",
+            "author_aff-label": "affiliation/marker",
+            "author_aff-institution": 'affiliation/orgName[@type="institution"]',
+            "author_aff-address": "affiliation/address",
+            "author_aff-address-city": "affiliation/address/settlement",
+            "author_aff-address-country": "affiliation/address/country",
+        },
+        out_fields=[
+            ("marker", ".//affiliation/marker"),
+            ("institution", './/affiliation/orgName[@type="institution"]'),
+            ("city", ".//affiliation/address/settlement"),
+            ("country", ".//affiliation/address/country"),
+        ],
+    )
+
+
+def q_flavor_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table flavor gate (auto_annotate_table.py): label/caption sub fields
+    within the preserved table figure."""
+    from sciencebeam_trainer_grobid_tools_spark.plans.flavors import table_flavor
+
+    return _run_flavor_query(
+        spark,
+        sf_dir,
+        mapping_text="""
+[article]
+table = //table-wrap
+table.children = ./label | ./caption
+table.children.concat = [[{"xpath": "./label"}, {"value": " "}, {"xpath": "./caption"}]]
+table.sub.table-label = ./label
+table.sub.table-caption = ./caption
+""",
+        load_mapping={"table": 'figure[@type="table"]'},
+        tei_fmt=(
+            '<tei><text><figure type="table">Table {i} Caption text {i}</figure>'
+            "</text></tei>"
+        ),
+        jats_fmt=(
+            "<article><front/><body><table-wrap><label>Table {i}</label>"
+            "<caption><p>Caption text {i}</p></caption></table-wrap></body>"
+            "<back/></article>"
+        ),
+        flavor_factory=lambda cfg: table_flavor(cfg),
+        tei_render_mapping={
+            "DEFAULT": 'note[@type="other"]',
+            "table": 'figure[@type="table"]',
+            "table-label": 'figure[@type="table"]/head/label',
+            "table-caption": 'figure[@type="table"]/figDesc',
+        },
+        out_fields=[
+            ("label", './/figure[@type="table"]/head/label'),
+            ("caption", './/figure[@type="table"]/figDesc'),
+        ],
+        container_path="text",
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column -> Arrow-batched decode stub
     -> typed features (rows-only; decode is deterministic-fake here)."""
@@ -634,6 +829,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_segmentation": q_flagship_segmentation,
         "tei_render": q_tei_render,
         "targets_predicate_extract": q_targets_predicate_extract,
+        "flavor_refseg": q_flavor_refseg,
+        "flavor_affiliation": q_flavor_affiliation,
+        "flavor_table": q_flavor_table,
         "media_features": q_media_features,
     }
 
@@ -955,6 +1153,26 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT doc_id, 'free_para', 'freepara' || doc_id FROM documents
             )
+        """,
+        "flavor_refseg": """
+            SELECT doc_id,
+                   doc_id || ' Ref title ' || doc_id || ' words' AS bibl,
+                   doc_id::VARCHAR AS label
+            FROM documents
+        """,
+        "flavor_affiliation": """
+            SELECT doc_id,
+                   doc_id::VARCHAR AS marker,
+                   'Institute' || doc_id AS institution,
+                   'City' || doc_id AS city,
+                   'Country' || doc_id AS country
+            FROM documents
+        """,
+        "flavor_table": """
+            SELECT doc_id,
+                   'Table ' || doc_id AS label,
+                   'Caption text ' || doc_id AS caption
+            FROM documents
         """,
         "align_exact_spans": """
             -- the kernel masks whitespace before aligning, so a needle's
