@@ -783,6 +783,58 @@ table.sub.table-caption = ./caption
     )
 
 
+def q_jats_fix_identifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JATS repair pipeline (reference fix_jats_xml.py), oracle-checked: a
+    deliberately-broken citation is synthesized per documents row (upper-case
+    pub-id-type, doi: prefix + [doi] suffix, PMID: label inside the pmid
+    value, un-annotated PMCID in a child tail, two concatenated urls in one
+    ext-link); after ``fix_jats_xml_column`` the repaired identifiers are
+    extracted JVM-side (regexp over the serialized XML) and must equal the
+    literals DuckDB derives from doc_id."""
+    from sciencebeam_trainer_grobid_tools_spark.operators.jats_fix import (
+        fix_jats_xml_column,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    url_a = F.concat(F.lit("https://doi.org/10.1/a"), i)
+    url_b = F.concat(F.lit("https://doi.org/10.1/b"), i)
+    jats = F.concat(
+        F.lit(
+            '<article xmlns:xlink="http://www.w3.org/1999/xlink">'
+            "<back><ref-list><ref><mixed-citation>Some title "
+        ),
+        i,
+        F.lit('. <pub-id pub-id-type="DOI">doi:10.1234/j.x.'),
+        i,
+        F.lit(" [doi]</pub-id> PMCID: PMC77"),
+        i,
+        F.lit('; <pub-id pub-id-type="pmid">PMID: 99'),
+        i,
+        F.lit('</pub-id> <ext-link xlink:href="'),
+        url_a, url_b,
+        F.lit('">'),
+        url_a, url_b,
+        F.lit("</ext-link></mixed-citation></ref></ref-list></back></article>"),
+    )
+    fixed = fix_jats_xml_column(
+        docs.select("doc_id", jats.alias("jats_xml")), xml_col="jats_xml"
+    )
+    pub_id = lambda t: F.regexp_extract(  # noqa: E731
+        F.col("fixed_xml"), '<pub-id pub-id-type="%s">([^<]*)</pub-id>' % t, 1
+    )
+    return fixed.select(
+        "doc_id",
+        pub_id("doi").alias("doi"),
+        pub_id("pmid").alias("pmid"),
+        pub_id("pmcid").alias("pmcid"),
+        F.array_join(
+            F.regexp_extract_all(F.col("fixed_xml"), F.lit("<ext-link[^>]*>([^<]*)</ext-link>"), 1),
+            "|",
+        ).alias("ext_links"),
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column -> Arrow-batched decode stub
     -> typed features (rows-only; decode is deterministic-fake here)."""
@@ -832,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flavor_refseg": q_flavor_refseg,
         "flavor_affiliation": q_flavor_affiliation,
         "flavor_table": q_flavor_table,
+        "jats_fix_identifiers": q_jats_fix_identifiers,
         "media_features": q_media_features,
     }
 
@@ -1172,6 +1225,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    'Table ' || doc_id AS label,
                    'Caption text ' || doc_id AS caption
+            FROM documents
+        """,
+        "jats_fix_identifiers": """
+            SELECT doc_id,
+                   '10.1234/j.x.' || doc_id AS doi,
+                   '99' || doc_id AS pmid,
+                   'PMC77' || doc_id AS pmcid,
+                   'https://doi.org/10.1/a' || doc_id || '|'
+                       || 'https://doi.org/10.1/b' || doc_id AS ext_links
             FROM documents
         """,
         "align_exact_spans": """
