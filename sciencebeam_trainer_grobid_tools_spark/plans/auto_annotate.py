@@ -1,0 +1,169 @@
+"""File-based auto-annotate driver: the reference's ``auto_annotate_*`` main
+entry points (auto_annotate_utils.py:560-716) re-expressed as one Spark job.
+
+The reference iterates a source file list, and per TEI file derives the
+matching target-XML filename via a sed-style substitution pattern
+(utils/regex.py:17-37), loads both, annotates, and writes the result to the
+output (or failed-output) directory.  Here the same contract is a dataflow:
+
+    binaryFile scan (TEI)  --regexp_replace(J1 rename, JVM-side)-->
+    join on derived xml filename with binaryFile scan (target XML) -->
+    Arrow-batched annotate (load TEI -> targets -> flavor chain -> render)
+    --> executor-side per-file writes + passed/failed counters
+
+Both scans prune to (path, content); the join key is the derived filename
+(tiny, uniform — no skew), and the per-document kernel is the same chain the
+flagship pipeline runs, so the job is embarrassingly parallel after the join.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Dict, List, Optional, Set, Tuple
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.annotate import TargetAnnotation
+from ..operators.checks import check_document
+from ..operators.targets import parse_xml_mapping_string, xml_string_to_target_annotations
+from ..operators.tei_render import render_tei_xml
+from ..plans.flavors import AnnotatorChain
+from ..sources.tei import load_tei_doc
+
+
+def parse_substitution_pattern(pattern: str) -> Tuple[str, str]:
+    """Parse a sed-style ``/match/replace/`` pattern (reference
+    utils/regex.py:17-37: the first character is the delimiter)."""
+    if not pattern:
+        raise ValueError("empty substitution pattern")
+    delimiter = pattern[0]
+    fragments = pattern.split(delimiter)
+    if len(fragments) != 4:
+        raise ValueError("invalid substitution pattern (want /match/replace/): %r" % pattern)
+    _, match_pattern, replace_pattern, _ = fragments
+    return match_pattern, replace_pattern
+
+
+def regex_change_name(name: str, pattern: str) -> str:
+    """Reference utils/regex.py:40-47: apply the substitution to a filename."""
+    match_pattern, replace_pattern = parse_substitution_pattern(pattern)
+    return re.sub(match_pattern, replace_pattern, name)
+
+
+def _jvm_replacement(replace_pattern: str) -> str:
+    r"""Python ``\1`` backrefs -> Java ``$1`` (for JVM-side regexp_replace)."""
+    return re.sub(r"\\(\d+)", r"$\1", replace_pattern)
+
+
+def _scan_files(spark: SparkSession, base_path: str, glob: str) -> DataFrame:
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+        .load(os.path.abspath(base_path))
+        .select(
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+            F.col("content"),
+        )
+    )
+
+
+def run_auto_annotate(
+    spark: SparkSession,
+    source_base_path: str,
+    output_path: str,
+    xml_path: str,
+    xml_filename_regex: str,
+    flavor_chain: AnnotatorChain,
+    xml_mapping_text: str,
+    tag_to_tei_path_mapping: Dict[str, str],
+    container_path: str = "text/front",
+    fields: Optional[Set[str]] = None,
+    failed_output_path: Optional[str] = None,
+    require_matching_fields: Optional[Set[str]] = None,
+    required_fields: Optional[Set[str]] = None,
+    source_pattern: str = "*.tei.xml",
+    preserve_tags: bool = True,
+) -> Dict[str, int]:
+    """Run a flavor over a directory of raw training-TEI files paired with
+    target-XML files, writing annotated TEI per input file.
+
+    Returns ``{"passed": n, "failed": m}``; failing documents (per the
+    reference's checks, annotation/checks.py:137-175) are written to
+    ``failed_output_path`` when given, mirroring the reference's
+    failed-output sink (S7).
+    """
+    match_pattern, replace_pattern = parse_substitution_pattern(xml_filename_regex)
+    tei_files = _scan_files(spark, source_base_path, source_pattern)
+    xml_files = _scan_files(spark, xml_path, "*.xml").select(
+        F.col("file_name").alias("xml_name"), F.col("content").alias("xml_content")
+    )
+    paired = tei_files.withColumn(
+        "xml_name",
+        F.regexp_replace(
+            "file_name", F.lit(match_pattern), F.lit(_jvm_replacement(replace_pattern))
+        ),
+    ).join(xml_files, on="xml_name", how="inner")
+
+    mapping = parse_xml_mapping_string(xml_mapping_text)
+    out_root = os.path.abspath(output_path)
+    failed_root = os.path.abspath(failed_output_path) if failed_output_path else None
+    render_container = tuple(container_path.split("/"))
+
+    def annotate_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_rows = []
+            for row in pdf.itertuples(index=False):
+                passed, error = True, None
+                try:
+                    doc = load_tei_doc(
+                        bytes(row.content),
+                        tag_to_tei_path_mapping,
+                        container_path=container_path,
+                        preserve_tags=preserve_tags,
+                    )
+                    targets: List[TargetAnnotation] = [
+                        t
+                        for t in xml_string_to_target_annotations(
+                            bytes(row.xml_content).decode("utf-8"), mapping
+                        )
+                        if fields is None or t.name in fields
+                    ]
+                    flavor_chain(doc, targets)
+                    passed, reason = check_document(
+                        doc,
+                        targets,
+                        require_matching_fields=require_matching_fields,
+                        required_fields=required_fields,
+                    )
+                    tei_out = render_tei_xml(
+                        doc, tag_to_tei_path_mapping, container_path=render_container
+                    )
+                    root = out_root if passed else (failed_root or out_root)
+                    target_file = os.path.join(root, row.file_name)
+                    os.makedirs(os.path.dirname(target_file), exist_ok=True)
+                    with open(target_file, "w", encoding="utf-8") as handle:
+                        handle.write(tei_out)
+                    error = reason
+                except Exception as exc:  # per-document isolation (flagship policy)
+                    passed, error = False, "%s: %s" % (type(exc).__name__, exc)
+                out_rows.append(
+                    {"file_name": row.file_name, "passed": passed, "error": error}
+                )
+            yield pd.DataFrame(out_rows, columns=["file_name", "passed", "error"])
+
+    outcome = (
+        paired.mapInPandas(
+            annotate_batches, schema="file_name string, passed boolean, error string"
+        )
+        .groupBy("passed")
+        .count()
+        .collect()
+    )
+    counters = {"passed": 0, "failed": 0}
+    for row in outcome:
+        counters["passed" if row["passed"] else "failed"] = row["count"]
+    return counters

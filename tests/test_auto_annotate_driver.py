@@ -1,0 +1,186 @@
+"""File-level end-to-end cases for the auto-annotate driver, ported from
+the reference's tests/auto_annotate_header_test.py e2e matrix (TestMain /
+TestEndToEnd): raw training-TEI files + target-XML files on disk -> one
+Spark job -> annotated TEI output files, matched by the sed-style filename
+substitution (J1 regex rename, utils/regex.py:17-37)."""
+
+import xml.etree.ElementTree as ET
+
+import pytest
+
+from sciencebeam_trainer_grobid_tools_spark.operators.annotate import MatcherConfig
+from sciencebeam_trainer_grobid_tools_spark.operators.targets import (
+    get_tag_config_map,
+    parse_xml_mapping_string,
+)
+from sciencebeam_trainer_grobid_tools_spark.operators.tei_render import (
+    HEADER_TAG_TO_TEI_PATH_MAPPING,
+)
+from sciencebeam_trainer_grobid_tools_spark.plans.auto_annotate import (
+    parse_substitution_pattern,
+    regex_change_name,
+    run_auto_annotate,
+)
+from sciencebeam_trainer_grobid_tools_spark.plans.flavors import header_flavor
+from sciencebeam_trainer_grobid_tools_spark.sources.corpus import DEFAULT_XML_MAPPING
+
+TEI_FILENAME_1 = "document1.header.tei.xml"
+TEI_FILENAME_REGEX = r"/(.*).header.tei.xml/\1.xml/"
+TITLE_1 = "Chocolate bars for mice"
+ABSTRACT_1 = "This study explores the nutritious value of chocolate bars for mice."
+
+
+class TestRegexChangeName:
+    def test_should_derive_xml_filename(self):
+        assert (
+            regex_change_name(TEI_FILENAME_1, TEI_FILENAME_REGEX) == "document1.xml"
+        )
+
+    def test_should_keep_name_without_match(self):
+        assert regex_change_name("other.txt", TEI_FILENAME_REGEX) == "other.txt"
+
+    def test_should_reject_invalid_pattern(self):
+        with pytest.raises(ValueError):
+            parse_substitution_pattern("/only-two-parts/")
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from sciencebeam_trainer_grobid_tools_spark.plans.session import build_session
+
+    session = build_session("auto-annotate-tests", cpus=4, shuffle_partitions=8)
+    session.sparkContext.setLogLevel("ERROR")
+    yield session
+    session.stop()
+
+
+def header_tei(front_inner: str) -> str:
+    return "<tei><text><front>%s</front></text></tei>" % front_inner
+
+
+def target_xml(title: str = "", extra: str = "") -> str:
+    return (
+        "<article><front><article-meta>"
+        "<title-group><article-title>%s</article-title></title-group>%s"
+        "</article-meta></front></article>" % (title, extra)
+    )
+
+
+def xpath_text(xml_str: str, path: str) -> str:
+    root = ET.fromstring(xml_str)
+    return " ".join("".join(node.itertext()) for node in root.findall(path))
+
+
+def run_header_job(spark, tmp_path, **kwargs):
+    mapping_text = kwargs.pop("xml_mapping_text", DEFAULT_XML_MAPPING)
+    mapping = parse_xml_mapping_string(mapping_text)
+    config = MatcherConfig(
+        use_sub_annotations=False, tag_config_map=get_tag_config_map(mapping)
+    )
+    defaults = dict(
+        source_base_path=str(tmp_path / "tei-raw"),
+        output_path=str(tmp_path / "tei-auto"),
+        xml_path=str(tmp_path / "xml"),
+        xml_filename_regex=TEI_FILENAME_REGEX,
+        flavor_chain=header_flavor(config),
+        xml_mapping_text=mapping_text,
+        tag_to_tei_path_mapping=HEADER_TAG_TO_TEI_PATH_MAPPING,
+        source_pattern="*.header.tei.xml",
+    )
+    defaults.update(kwargs)
+    return run_auto_annotate(spark, **defaults)
+
+
+def write_pair(tmp_path, tei: str, xml: str, stem: str = "document1"):
+    (tmp_path / "tei-raw").mkdir(exist_ok=True)
+    (tmp_path / "xml").mkdir(exist_ok=True)
+    (tmp_path / "tei-raw" / ("%s.header.tei.xml" % stem)).write_text(tei)
+    (tmp_path / "xml" / ("%s.xml" % stem)).write_text(xml)
+
+
+class TestRunAutoAnnotateHeader:
+    def test_should_auto_annotate_title(self, spark, tmp_path):
+        # reference auto_annotate_header_test.py:63-76
+        write_pair(tmp_path, header_tei("<note>%s</note>" % TITLE_1), target_xml(TITLE_1))
+        counters = run_header_job(spark, tmp_path)
+        assert counters == {"passed": 1, "failed": 0}
+        out = (tmp_path / "tei-auto" / TEI_FILENAME_1).read_text()
+        assert xpath_text(out, ".//docTitle/titlePart") == TITLE_1
+
+    def test_should_extend_title_annotation_to_whole_line(self, spark, tmp_path):
+        # reference auto_annotate_header_test.py:94-109 (extend-to-line)
+        write_pair(
+            tmp_path, header_tei("<note>Title: %s</note>" % TITLE_1), target_xml(TITLE_1)
+        )
+        mapping_with_extend = DEFAULT_XML_MAPPING.replace(
+            "title.extend-to-line = false", "title.extend-to-line = true"
+        )
+        run_header_job(spark, tmp_path, xml_mapping_text=mapping_with_extend)
+        out = (tmp_path / "tei-auto" / TEI_FILENAME_1).read_text()
+        assert xpath_text(out, ".//docTitle/titlePart") == "Title: " + TITLE_1
+
+    def test_should_auto_annotate_multiple_fields(self, spark, tmp_path):
+        # reference auto_annotate_header_test.py:111-166 (restricted fields)
+        tei = header_tei(
+            "<note>%s</note><lb/><note>%s</note>" % (TITLE_1, ABSTRACT_1)
+        )
+        xml = target_xml(TITLE_1, extra="<abstract><p>%s</p></abstract>" % ABSTRACT_1)
+        write_pair(tmp_path, tei, xml)
+        counters = run_header_job(spark, tmp_path, fields={"title", "abstract"})
+        assert counters == {"passed": 1, "failed": 0}
+        out = (tmp_path / "tei-auto" / TEI_FILENAME_1).read_text()
+        assert xpath_text(out, ".//docTitle/titlePart") == TITLE_1
+        assert xpath_text(out, './/div[@type="abstract"]') == ABSTRACT_1
+
+    def test_should_restrict_to_requested_fields(self, spark, tmp_path):
+        tei = header_tei(
+            "<note>%s</note><lb/><note>%s</note>" % (TITLE_1, ABSTRACT_1)
+        )
+        xml = target_xml(TITLE_1, extra="<abstract><p>%s</p></abstract>" % ABSTRACT_1)
+        write_pair(tmp_path, tei, xml)
+        run_header_job(spark, tmp_path, fields={"title"})
+        out = (tmp_path / "tei-auto" / TEI_FILENAME_1).read_text()
+        assert xpath_text(out, ".//docTitle/titlePart") == TITLE_1
+        assert xpath_text(out, './/div[@type="abstract"]') == ""
+
+    def test_should_annotate_multiple_file_pairs(self, spark, tmp_path):
+        for stem, title in [("document1", TITLE_1), ("document2", "Another title")]:
+            write_pair(
+                tmp_path, header_tei("<note>%s</note>" % title), target_xml(title), stem
+            )
+        counters = run_header_job(spark, tmp_path)
+        assert counters == {"passed": 2, "failed": 0}
+        out2 = (tmp_path / "tei-auto" / "document2.header.tei.xml").read_text()
+        assert xpath_text(out2, ".//docTitle/titlePart") == "Another title"
+
+    def test_should_skip_tei_file_without_matching_xml(self, spark, tmp_path):
+        write_pair(tmp_path, header_tei("<note>%s</note>" % TITLE_1), target_xml(TITLE_1))
+        (tmp_path / "tei-raw" / "orphan.header.tei.xml").write_text(
+            header_tei("<note>x</note>")
+        )
+        counters = run_header_job(spark, tmp_path)
+        assert counters == {"passed": 1, "failed": 0}
+        assert not (tmp_path / "tei-auto" / "orphan.header.tei.xml").exists()
+
+    def test_should_route_failing_checks_to_failed_output(self, spark, tmp_path):
+        # reference S7 failed-output sink via require-matching checks
+        write_pair(
+            tmp_path,
+            header_tei("<note>Entirely unrelated text</note>"),
+            target_xml(TITLE_1),
+        )
+        counters = run_header_job(
+            spark,
+            tmp_path,
+            failed_output_path=str(tmp_path / "tei-auto-failed"),
+            require_matching_fields={"title"},
+        )
+        assert counters == {"passed": 0, "failed": 1}
+        assert not (tmp_path / "tei-auto" / TEI_FILENAME_1).exists()
+        failed = (tmp_path / "tei-auto-failed" / TEI_FILENAME_1).read_text()
+        assert xpath_text(failed, ".//docTitle/titlePart") == ""
+
+    def test_should_isolate_broken_tei_file(self, spark, tmp_path):
+        write_pair(tmp_path, "<tei><unclosed>", target_xml(TITLE_1))
+        counters = run_header_job(spark, tmp_path)
+        assert counters == {"passed": 0, "failed": 1}
