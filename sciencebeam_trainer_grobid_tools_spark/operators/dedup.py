@@ -387,9 +387,13 @@ def simhash_table(
     """SimHash signatures: explode tokens -> per-token xxhash64 -> bitwise
     majority vote (64 partial-aggregable sums, map-side combined) -> fold to
     one long.  One shuffle keyed by the document id; at corpus scale this is
-    a plain aggregation, no UDF."""
-    tokens = F.filter(F.split(normalized_text(F.col(text_col)), " "), lambda t: t != "")
-    exploded = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens).alias("tok"))
+    a plain aggregation, no UDF.  Empty tokens are dropped AFTER the explode
+    (a codegen'd row filter) — filtering inside the array via the ``filter``
+    HOF is interpreted and measured ~1.7x slower."""
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
     hashed = exploded.select("doc_id", F.xxhash64("tok").alias("h"))
     votes = hashed.groupBy("doc_id").agg(
         *[
@@ -424,10 +428,10 @@ def portable_simhash_table(
     reproducible in DuckDB, so the driver's gate can hash-check it.
     Ties (vote sum == 0) resolve to '0' in both engines.
     """
-    tokens = F.filter(
-        F.split(normalized_text(F.col(text_col)), " "), lambda t: t != ""
-    )
-    exploded = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens).alias("tok"))
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
     hashed = exploded.select("doc_id", F.md5("tok").alias("h"))
     votes = hashed.groupBy("doc_id").agg(
         *[
