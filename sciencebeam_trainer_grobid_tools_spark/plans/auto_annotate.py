@@ -51,6 +51,39 @@ def regex_change_name(name: str, pattern: str) -> str:
     return re.sub(match_pattern, replace_pattern, name)
 
 
+def comma_separated_str_to_list(value: str) -> List[str]:
+    """Reference utils/string.py: ``'a, b' -> ['a', 'b']``, empty -> []."""
+    value = value.strip()
+    if not value:
+        return []
+    return [item.strip() for item in value.split(",")]
+
+
+def plus_minus_comma_separated_str_to_list(
+    value: str, default_values: List[str]
+) -> List[str]:
+    """The auto-annotate ``--fields`` selection syntax (reference
+    utils/string.py:24-42): if the FIRST item starts with ``+``/``-`` the
+    defaults are modified (the sign mode carries over following plain
+    items); otherwise the list replaces the defaults outright."""
+    items = comma_separated_str_to_list(value)
+    if not items or not items[0] or items[0][0] not in "+-":
+        return items
+    result = list(default_values)
+    mode = None
+    for item in items:
+        if not item:
+            continue
+        if item[0] in "+-":
+            mode = item[0]
+            item = item[1:]
+        if mode == "+":
+            result.append(item)
+        elif mode == "-":
+            result.remove(item)
+    return result
+
+
 def _jvm_replacement(replace_pattern: str) -> str:
     r"""Python ``\1`` backrefs -> Java ``$1`` (for JVM-side regexp_replace)."""
     return re.sub(r"\\(\d+)", r"$\1", replace_pattern)

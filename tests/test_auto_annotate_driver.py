@@ -184,3 +184,42 @@ class TestRunAutoAnnotateHeader:
         write_pair(tmp_path, "<tei><unclosed>", target_xml(TITLE_1))
         counters = run_header_job(spark, tmp_path)
         assert counters == {"passed": 0, "failed": 1}
+
+
+class TestFieldSelectionSyntax:
+    """Ported reference utils/string_test.py (the --fields syntax)."""
+
+    def test_comma_separated(self):
+        from sciencebeam_trainer_grobid_tools_spark.plans.auto_annotate import (
+            comma_separated_str_to_list as parse,
+        )
+
+        assert parse("") == []
+        assert parse("abc") == ["abc"]
+        assert parse("abc,xyz,123") == ["abc", "xyz", "123"]
+        assert parse(" abc , xyz , 123 ") == ["abc", "xyz", "123"]
+
+    def test_plus_minus(self):
+        from sciencebeam_trainer_grobid_tools_spark.plans.auto_annotate import (
+            plus_minus_comma_separated_str_to_list as parse,
+        )
+
+        defaults = ["def1", "def2"]
+        assert parse("", defaults) == []
+        assert parse("abc", defaults) == ["abc"]
+        assert parse("abc,xyz,123", defaults) == ["abc", "xyz", "123"]
+        assert parse(" abc , xyz , 123 ", defaults) == ["abc", "xyz", "123"]
+        assert parse("+abc,xyz", defaults) == ["def1", "def2", "abc", "xyz"]
+        assert parse("-def2", defaults) == ["def1"]
+        assert parse("+abc,xyz,-def2", defaults) == ["def1", "abc", "xyz"]
+
+    def test_regex_change_name_gz(self):
+        # reference utils/regex_test.py
+        from sciencebeam_trainer_grobid_tools_spark.plans.auto_annotate import (
+            regex_change_name,
+        )
+
+        assert (
+            regex_change_name("file1-suffix.tei.xml", r"/(.*)-suffix.*/\1.xml.gz/")
+            == "file1.xml.gz"
+        )
