@@ -55,6 +55,19 @@ class TestTokenizer:
     def test_keeps_separators_and_splits_camel_case(self):
         assert tokenize_text("fooBar baz-1") == ["foo", "Bar", " ", "baz", "-", "1"]
 
+    def test_reference_tokenize_text_cases(self):
+        """Ported verbatim from the reference's TestTokenizeText
+        (tests/structured_document/grobid_training_tei_test.py:71-98)."""
+        assert tokenize_text("A") == ["A"]
+        assert tokenize_text("A B") == ["A", " ", "B"]
+        assert tokenize_text(" A") == [" ", "A"]
+        assert tokenize_text("A ") == ["A", " "]
+        assert tokenize_text(" ,A, ") == [" ", ",", "A", ",", " "]
+        assert tokenize_text(" .A. ") == [" ", ".", "A", ".", " "]
+        assert tokenize_text(" <{[(A)]}> ") == list(" <{[(A)]}> ")
+        assert tokenize_text("Abc") == ["Abc"]
+        assert tokenize_text("abcDEF") == ["abc", "DEF"]
+
     def test_extracted_text_is_fixpoint(self):
         """Tokenizing the extracted text again reproduces it byte-identically
         (the canonical-form property behind the per-url invariant)."""
