@@ -239,3 +239,68 @@ class TestReferenceConfigParses:
                     parse_xpath(xpath)
                     checked += 1
         assert checked > 40
+
+
+class TestEtFastPathParity:
+    """The ET fast path must return exactly what the generic evaluator
+    returns — same nodes, same order — for every xpath it claims."""
+
+    DOC = (
+        "<article><front><journal-meta>"
+        '<issn pub-id-type="ppub">P1</issn><issn pub-id-type="epub">E1</issn>'
+        "</journal-meta><article-meta><title-group><article-title>T"
+        "</article-title></title-group><contrib-group>"
+        '<contrib contrib-type="author"><name><surname>S1</surname></name></contrib>'
+        "<contrib><name><surname>S2</surname></name></contrib>"
+        "<aff><label>1</label><institution>I1</institution></aff>"
+        "</contrib-group><kwd-group><kwd>k1</kwd><kwd>k2</kwd></kwd-group>"
+        "</article-meta></front><body><sec><p>p1</p><p>p2</p></sec></body>"
+        "<back><ref-list><ref><label>L</label><mixed-citation>"
+        "<article-title>RT</article-title><year>2001</year></mixed-citation>"
+        "</ref></ref-list></back></article>"
+    )
+
+    XPATHS = [
+        "front/article-meta/title-group/article-title",
+        ".//article-title",
+        "./label",
+        ".//*",
+        "kwd",
+        ".//year",
+        'front/journal-meta/issn[@pub-id-type="epub"]',
+        "front/article-meta/kwd-group/kwd[2]",
+        "back/ref-list/ref",
+        ".//contrib[@contrib-type]",
+        "front//surname",
+        "*",
+    ]
+
+    def test_fast_path_matches_evaluator(self):
+        import xml.etree.ElementTree as ET
+
+        from sciencebeam_trainer_grobid_tools_spark.operators.xpath import (
+            XPathContext,
+            _is_et_fast_path,
+        )
+
+        root = ET.fromstring(self.DOC)
+        ctx = XPathContext(root)
+        claimed = 0
+        for xpath in self.XPATHS:
+            for node in [root] + root.findall(".//*"):
+                expected = [
+                    n
+                    for n in ctx._eval_union(
+                        __import__(
+                            "sciencebeam_trainer_grobid_tools_spark.operators.xpath",
+                            fromlist=["parse_xpath"],
+                        ).parse_xpath(xpath),
+                        (node,),
+                    )
+                ]
+                actual = ctx.findall(node, xpath)
+                assert actual == expected, (xpath, node.tag)
+            if _is_et_fast_path(xpath):
+                claimed += 1
+        # the point of the fast path: it must cover the common forms
+        assert claimed >= 10
