@@ -223,3 +223,84 @@ class TestFieldSelectionSyntax:
             regex_change_name("file1-suffix.tei.xml", r"/(.*)-suffix.*/\1.xml.gz/")
             == "file1.xml.gz"
         )
+
+
+SEGMENTATION_TAG_TO_TEI_PATH_MAPPING = {
+    # reference auto_annotate_segmentation.py:48-57
+    "DEFAULT": "body",
+    "front": "front",
+    "body": "body",
+    "headnote": 'note[@place="headnote"]',
+    "acknowledgment": 'div[@type="acknowledgment"]',
+    "annex": 'div[@type="annex"]',
+    "page": "page",
+    "reference": "listBibl",
+}
+
+
+class TestRunAutoAnnotateSegmentation:
+    """Segmentation flavor through the file driver (reference
+    auto_annotate_segmentation_test.py e2e: title -> //text/front)."""
+
+    def test_should_auto_annotate_title_as_front(self, spark, tmp_path):
+        from sciencebeam_trainer_grobid_tools_spark.plans.flavors import (
+            segmentation_flavor,
+        )
+
+        (tmp_path / "tei-raw").mkdir()
+        (tmp_path / "xml").mkdir()
+        (tmp_path / "tei-raw" / "document1.segmentation.tei.xml").write_text(
+            "<tei><text><note>%s</note></text></tei>" % TITLE_1
+        )
+        (tmp_path / "xml" / "document1.xml").write_text(target_xml(TITLE_1))
+        mapping = parse_xml_mapping_string(DEFAULT_XML_MAPPING)
+        config = MatcherConfig(
+            use_sub_annotations=False, tag_config_map=get_tag_config_map(mapping)
+        )
+        counters = run_auto_annotate(
+            spark,
+            source_base_path=str(tmp_path / "tei-raw"),
+            output_path=str(tmp_path / "tei-auto"),
+            xml_path=str(tmp_path / "xml"),
+            xml_filename_regex=r"/(.*).segmentation.tei.xml/\1.xml/",
+            flavor_chain=segmentation_flavor(config),
+            xml_mapping_text=DEFAULT_XML_MAPPING,
+            tag_to_tei_path_mapping=SEGMENTATION_TAG_TO_TEI_PATH_MAPPING,
+            container_path="text",
+            source_pattern="*.segmentation.tei.xml",
+        )
+        assert counters == {"passed": 1, "failed": 0}
+        out = (tmp_path / "tei-auto" / "document1.segmentation.tei.xml").read_text()
+        assert xpath_text(out, ".//text/front") == TITLE_1
+
+    def test_should_default_unmatched_to_body(self, spark, tmp_path):
+        from sciencebeam_trainer_grobid_tools_spark.plans.flavors import (
+            segmentation_flavor,
+        )
+
+        (tmp_path / "tei-raw").mkdir()
+        (tmp_path / "xml").mkdir()
+        (tmp_path / "tei-raw" / "document1.segmentation.tei.xml").write_text(
+            "<tei><text><note>%s</note><lb/><note>Plain body text here</note></text></tei>"
+            % TITLE_1
+        )
+        (tmp_path / "xml" / "document1.xml").write_text(target_xml(TITLE_1))
+        mapping = parse_xml_mapping_string(DEFAULT_XML_MAPPING)
+        config = MatcherConfig(
+            use_sub_annotations=False, tag_config_map=get_tag_config_map(mapping)
+        )
+        run_auto_annotate(
+            spark,
+            source_base_path=str(tmp_path / "tei-raw"),
+            output_path=str(tmp_path / "tei-auto"),
+            xml_path=str(tmp_path / "xml"),
+            xml_filename_regex=r"/(.*).segmentation.tei.xml/\1.xml/",
+            flavor_chain=segmentation_flavor(config),
+            xml_mapping_text=DEFAULT_XML_MAPPING,
+            tag_to_tei_path_mapping=SEGMENTATION_TAG_TO_TEI_PATH_MAPPING,
+            container_path="text",
+            source_pattern="*.segmentation.tei.xml",
+        )
+        out = (tmp_path / "tei-auto" / "document1.segmentation.tei.xml").read_text()
+        assert xpath_text(out, ".//text/front") == TITLE_1
+        assert "Plain body text here" in xpath_text(out, ".//text/body")
