@@ -1,0 +1,125 @@
+"""Streaming window operators (SURVEY §2.9; north-star streaming surface).
+
+Two canonical shapes over the ``events`` stream:
+
+- :func:`stream_hourly_rollup` — the streaming twin of the batch
+  ``event_hourly_rollup`` query: event-time tumbling window + watermark, so
+  late events within the allowed lateness still land in their hour and
+  older state is dropped instead of accumulating forever (the unbounded-
+  state failure mode at corpus scale).
+- :func:`stream_sessionize` — custom stateful sessionization via
+  ``applyInPandasWithState``: per-user session counting with a gap rule,
+  state carried across micro-batches.  This is the engine's template for
+  operators Structured Streaming lacks natively.
+
+Both return streaming DataFrames; callers attach the sink/trigger.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def stream_hourly_rollup(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    window_size: str = "1 hour",
+) -> DataFrame:
+    """Event-time tumbling rollup with late-data tolerance.
+
+    The watermark bounds state: windows older than (max event time -
+    watermark) finalize and evict.  Output schema matches the batch
+    ``event_hourly_rollup`` (hour, event_type, n, total_value).
+    """
+    # watermarks require TIMESTAMP (with timezone); parquet written as
+    # TIMESTAMP_NTZ is reinterpreted (session timezone is UTC in tests)
+    if dict(events.dtypes).get("ts") == "timestamp_ntz":
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_size).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("hour"), "event_type", "n", "total_value")
+    )
+
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_sessions", LongType()),
+        StructField("n_events", LongType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("last_epoch", LongType()),
+        StructField("n_sessions", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def stream_sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Per-user session counting with a gap rule, state across micro-batches.
+
+    Semantics match the batch ``event_sessionization`` query: a new session
+    starts when the gap to the previous event exceeds ``gap_seconds``.
+    Emits the running (n_sessions, n_events) per user on every update
+    (update output mode); the final update per user equals the batch
+    result once the stream drains.
+    """
+    import pandas as pd
+
+    def update(
+        key: Tuple[int], pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        (user_id,) = key
+        if state.exists:
+            last_epoch, n_sessions, n_events = state.get
+        else:
+            last_epoch, n_sessions, n_events = None, 0, 0
+        epochs = []
+        for pdf in pdfs:
+            epochs.extend(int(v) for v in pdf["ts"].astype("int64") // 10**9)
+        epochs.sort()
+        for epoch in epochs:
+            if last_epoch is None or epoch - last_epoch > gap_seconds:
+                n_sessions += 1
+            n_events += 1
+            last_epoch = epoch
+        state.update((last_epoch, n_sessions, n_events))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_sessions": [n_sessions],
+                "n_events": [n_events],
+                "last_ts": [pd.Timestamp(last_epoch, unit="s")],
+            }
+        )
+
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -54,3 +54,119 @@ class TestStreamAnnotate:
         finally:
             query2.stop()
         assert spark.read.parquet(output_dir).count() == 24
+
+
+class TestStreamingWindows:
+    """§2.9 watermark + stateful operators (streaming/windows.py), verified
+    against their batch twins on the same events data."""
+
+    def _events_stream(self, spark, tmp_path, n_chunks=2):
+        import pyspark.sql.functions as F
+
+        events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        stream_dir = tmp_path / "events_stream"
+        stream_dir.mkdir()
+        # time-ordered chunks -> per-user event order holds across batches
+        ordered = events.orderBy("ts")
+        rows = ordered.count()
+        per = rows // n_chunks + 1
+        pdf = ordered.toPandas()
+        for k in range(n_chunks):
+            chunk = pdf.iloc[k * per : (k + 1) * per]
+            if len(chunk):
+                spark.createDataFrame(chunk).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(str(stream_dir / ("chunk%d" % k)))
+        schema = events.schema
+        return (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            # one file per micro-batch: state must carry ACROSS batches
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(stream_dir)),
+            events,
+        )
+
+    def test_hourly_rollup_matches_batch(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from sciencebeam_trainer_grobid_tools_spark.streaming.windows import (
+            stream_hourly_rollup,
+        )
+
+        stream, events = self._events_stream(spark, tmp_path)
+        q = (
+            stream_hourly_rollup(stream)
+            .writeStream.format("memory")
+            .queryName("rollup_test")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["hour"], r["event_type"]): (r["n"], float(r["total_value"]))
+            for r in spark.table("rollup_test").collect()
+        }
+        expected = {
+            (r["hour"], r["event_type"]): (r["n"], float(r["total_value"]))
+            for r in events.groupBy(
+                F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 4).alias("total_value"),
+            )
+            .collect()
+        }
+        assert got == expected
+
+    def test_sessionize_matches_batch(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+        from pyspark.sql.window import Window
+
+        from sciencebeam_trainer_grobid_tools_spark.streaming.windows import (
+            stream_sessionize,
+        )
+
+        stream, events = self._events_stream(spark, tmp_path)
+        q = (
+            stream_sessionize(stream)
+            .writeStream.format("memory")
+            .queryName("session_test")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # n_events grows monotonically per user: the max row is the final state
+        updates = spark.table("session_test")
+        w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+        got = {
+            (r["user_id"]): (r["n_sessions"], r["n_events"])
+            for r in updates.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .collect()
+        }
+        lagw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        expected = {
+            r["user_id"]: (r["n_sessions"], r["n_events"])
+            for r in events.withColumn(
+                "new_session",
+                F.when(
+                    F.unix_timestamp("ts")
+                    - F.unix_timestamp(F.lag("ts").over(lagw))
+                    > 1800,
+                    1,
+                )
+                .otherwise(0)
+                + F.when(F.lag("ts").over(lagw).isNull(), 1).otherwise(0),
+            )
+            .groupBy("user_id")
+            .agg(
+                F.sum("new_session").alias("n_sessions"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+            .collect()
+        }
+        assert got == expected
