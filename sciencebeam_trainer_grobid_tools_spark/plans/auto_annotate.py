@@ -84,6 +84,72 @@ def plus_minus_comma_separated_str_to_list(
     return result
 
 
+def get_mapping_key_field_name(key: str) -> str:
+    """``tag1.sub.label`` -> ``tag1`` (auto_annotate_utils.py:334-335)."""
+    return key.split(".", maxsplit=1)[0]
+
+
+def _sub_field_for_key(key: str) -> Optional[str]:
+    field_name = get_mapping_key_field_name(key)
+    sub_prefix = field_name + ".sub."
+    if not key.startswith(sub_prefix):
+        return None
+    return key[len(sub_prefix):]
+
+
+def get_filtered_xml_mapping_and_fields(
+    xml_mapping: Dict[str, Dict[str, str]],
+    fields: Optional[Set[str]],
+    sub_fields: Optional[Set[str]] = None,
+):
+    """Restrict the mapping config to ``fields`` BEFORE extraction — excluded
+    fields' xpaths are never evaluated (auto_annotate_utils.py:371-397).
+    Dotted option keys (``tag.merge``, ``tag.sub.x``) follow their field;
+    with no fields given, the mapping's own top-level keys become the field
+    set.  ``sub_fields`` further restricts ``tag.sub.*`` entries."""
+    if fields:
+        result_fields = set(fields)
+        xml_mapping = {
+            top: {
+                k: v
+                for k, v in field_mapping.items()
+                if get_mapping_key_field_name(k) in fields
+            }
+            for top, field_mapping in xml_mapping.items()
+        }
+    else:
+        result_fields = {
+            k
+            for field_mapping in xml_mapping.values()
+            for k in field_mapping.keys()
+            if "." not in k
+        }
+    if sub_fields:
+        xml_mapping = {
+            top: {
+                k: v
+                for k, v in field_mapping.items()
+                if _sub_field_for_key(k) is None or _sub_field_for_key(k) in sub_fields
+            }
+            for top, field_mapping in xml_mapping.items()
+        }
+    return xml_mapping, result_fields
+
+
+def get_xml_mapping_with_overrides(
+    xml_mapping: Dict[str, Dict[str, str]],
+    xml_mapping_overrides: Optional[Dict[str, str]],
+) -> Dict[str, Dict[str, str]]:
+    """Apply ``tag.prop=value`` overrides across every top-level section
+    (auto_annotate_utils.py:400-411)."""
+    if not xml_mapping_overrides:
+        return xml_mapping
+    return {
+        top: {**field_mapping, **xml_mapping_overrides}
+        for top, field_mapping in xml_mapping.items()
+    }
+
+
 def _jvm_replacement(replace_pattern: str) -> str:
     r"""Python ``\1`` backrefs -> Java ``$1`` (for JVM-side regexp_replace)."""
     return re.sub(r"\\(\d+)", r"$\1", replace_pattern)
@@ -139,7 +205,9 @@ def run_auto_annotate(
         ),
     ).join(xml_files, on="xml_name", how="inner")
 
-    mapping = parse_xml_mapping_string(xml_mapping_text)
+    mapping, _ = get_filtered_xml_mapping_and_fields(
+        parse_xml_mapping_string(xml_mapping_text), fields
+    )
     out_root = os.path.abspath(output_path)
     failed_root = os.path.abspath(failed_output_path) if failed_output_path else None
     render_container = tuple(container_path.split("/"))
@@ -158,13 +226,11 @@ def run_auto_annotate(
                         container_path=container_path,
                         preserve_tags=preserve_tags,
                     )
-                    targets: List[TargetAnnotation] = [
-                        t
-                        for t in xml_string_to_target_annotations(
-                            bytes(row.xml_content).decode("utf-8"), mapping
-                        )
-                        if fields is None or t.name in fields
-                    ]
+                    # fields were already applied to the MAPPING (excluded
+                    # fields' xpaths are never evaluated — reference behavior)
+                    targets: List[TargetAnnotation] = xml_string_to_target_annotations(
+                        bytes(row.xml_content).decode("utf-8"), mapping
+                    )
                     flavor_chain(doc, targets)
                     passed, reason = check_document(
                         doc,

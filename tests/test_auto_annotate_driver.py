@@ -304,3 +304,81 @@ class TestRunAutoAnnotateSegmentation:
         out = (tmp_path / "tei-auto" / "document1.segmentation.tei.xml").read_text()
         assert xpath_text(out, ".//text/front") == TITLE_1
         assert "Plain body text here" in xpath_text(out, ".//text/body")
+
+
+class TestMappingFilterAndOverrides:
+    """Ported reference auto_annotate_utils_test.py: mapping restriction to
+    selected fields (related dotted props follow) and tag.prop overrides."""
+
+    def test_should_filter_props(self):
+        from sciencebeam_trainer_grobid_tools_spark.plans.auto_annotate import (
+            get_filtered_xml_mapping_and_fields,
+        )
+
+        xml_mapping = {"any": {"tag1": "xpath1", "tag2": "xpath2"}}
+        assert get_filtered_xml_mapping_and_fields(xml_mapping, {"tag1"}) == (
+            {"any": {"tag1": "xpath1"}},
+            {"tag1"},
+        )
+
+    def test_should_include_related_props(self):
+        from sciencebeam_trainer_grobid_tools_spark.plans.auto_annotate import (
+            get_filtered_xml_mapping_and_fields,
+        )
+
+        xml_mapping = {"any": {"tag1": "xpath1", "tag1.related": "related1"}}
+        assert get_filtered_xml_mapping_and_fields(xml_mapping, {"tag1"}) == (
+            xml_mapping,
+            {"tag1"},
+        )
+
+    def test_should_include_keys_with_dot_as_fields(self):
+        from sciencebeam_trainer_grobid_tools_spark.plans.auto_annotate import (
+            get_filtered_xml_mapping_and_fields,
+        )
+
+        xml_mapping = {"any": {"tag1": "xpath1", "tag1.related": "related1"}}
+        assert get_filtered_xml_mapping_and_fields(xml_mapping, None) == (
+            xml_mapping,
+            {"tag1"},
+        )
+
+    def test_should_filter_sub_fields(self):
+        from sciencebeam_trainer_grobid_tools_spark.plans.auto_annotate import (
+            get_filtered_xml_mapping_and_fields,
+        )
+
+        xml_mapping = {
+            "any": {
+                "tag1": "xpath1",
+                "tag1.sub.keep": "k",
+                "tag1.sub.drop": "d",
+            }
+        }
+        filtered, _ = get_filtered_xml_mapping_and_fields(
+            xml_mapping, {"tag1"}, sub_fields={"keep"}
+        )
+        assert filtered == {"any": {"tag1": "xpath1", "tag1.sub.keep": "k"}}
+
+    def test_should_return_same_mapping_if_no_overrides_specified(self):
+        from sciencebeam_trainer_grobid_tools_spark.plans.auto_annotate import (
+            get_xml_mapping_with_overrides,
+        )
+
+        xml_mapping = {"any": {"tag1": "xpath1"}}
+        assert get_xml_mapping_with_overrides(xml_mapping, None) == xml_mapping
+
+    def test_should_add_or_replace_property_in_multiple_top_level_keys(self):
+        from sciencebeam_trainer_grobid_tools_spark.plans.auto_annotate import (
+            get_xml_mapping_with_overrides,
+        )
+
+        xml_mapping = {
+            "top1": {"tag1": "xpath1", "tag1.value": "old"},
+            "top2": {"tag1": "xpath1", "tag1.value": "old"},
+        }
+        overrides = {"tag1.value": "new", "tag1.extra": "extra1"}
+        assert get_xml_mapping_with_overrides(xml_mapping, overrides) == {
+            "top1": {"tag1": "xpath1", "tag1.value": "new", "tag1.extra": "extra1"},
+            "top2": {"tag1": "xpath1", "tag1.value": "new", "tag1.extra": "extra1"},
+        }
