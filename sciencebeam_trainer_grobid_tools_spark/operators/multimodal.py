@@ -78,3 +78,73 @@ def extract_media_features(
             )
 
     return media.mapInPandas(decode_batches, schema=MEDIA_SCHEMA)
+
+
+RESIZED_SCHEMA = MEDIA_SCHEMA + ", out_width int, out_height int"
+
+
+def resize_media(
+    media: DataFrame, max_side: int = 256, decode_stub: str = "fake"
+) -> DataFrame:
+    """Resize stage: decode -> scale to fit ``max_side`` (aspect preserved).
+
+    The geometry math is real; only the pixel transform is behind the stub
+    (a real decoder/encoder plugs into the same batch loop)."""
+    import pandas as pd
+
+    features = extract_media_features(media, decode_stub=decode_stub)
+
+    def resize_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            scale = (max_side / pdf[["width", "height"]].max(axis=1)).clip(upper=1.0)
+            out = pdf.copy()
+            out["out_width"] = (pdf["width"] * scale).round().astype("int32")
+            out["out_height"] = (pdf["height"] * scale).round().astype("int32")
+            yield out
+
+    return features.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_index int, ts_ms long, frame_sha1 string"
+
+
+def sample_frames(
+    media: DataFrame, n_frames: int = 4, decode_stub: str = "fake"
+) -> DataFrame:
+    """Frame-sampling stage: one payload row -> ``n_frames`` typed frame rows
+    (uniform timestamps over a fake duration derived from the payload).
+
+    Demonstrates the 1->N expansion shape video ingestion needs — the output
+    row count is bounded per input (no unbounded explode), and a real
+    ffmpeg-style extractor drops into the same Arrow batch loop."""
+    import pandas as pd
+
+    def frame_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                payload: bytes = row.payload
+                if decode_stub == "raise":
+                    raise NotImplementedError(
+                        "frame extraction requires a video codec not present "
+                        "in this environment; plug a real extractor here"
+                    )
+                digest = hashlib.sha1(payload).hexdigest()
+                duration_ms = 1000 + int(digest[:4], 16)  # fake decode
+                for k in range(n_frames):
+                    ts_ms = duration_ms * k // max(n_frames - 1, 1)
+                    rows.append(
+                        {
+                            "doc_id": row.doc_id,
+                            "frame_index": k,
+                            "ts_ms": ts_ms,
+                            "frame_sha1": hashlib.sha1(
+                                payload + str(ts_ms).encode()
+                            ).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_index", "ts_ms", "frame_sha1"]
+            )
+
+    return media.mapInPandas(frame_batches, schema=FRAME_SCHEMA)

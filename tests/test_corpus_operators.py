@@ -259,3 +259,52 @@ class TestIdentifierExtraction:
         assert row0["pmcid"] == "PMC67890"
         assert row1["arxiv"] == "2101.12345v2"
         assert row2["doi"] == "" and row2["pmid"] == ""
+
+
+class TestMultimodalStages:
+    def test_resize_fits_max_side_preserving_aspect(self, spark, docs):
+        from sciencebeam_trainer_grobid_tools_spark.operators.multimodal import (
+            attach_fake_media,
+            resize_media,
+        )
+
+        out = resize_media(attach_fake_media(docs), max_side=100).collect()
+        assert len(out) == docs.count()
+        for row in out:
+            assert max(row["out_width"], row["out_height"]) <= 100
+            # aspect preserved within rounding
+            if row["width"] >= row["height"]:
+                assert row["out_width"] >= row["out_height"]
+            else:
+                assert row["out_height"] >= row["out_width"]
+
+    def test_sample_frames_bounded_expansion(self, spark, docs):
+        from sciencebeam_trainer_grobid_tools_spark.operators.multimodal import (
+            attach_fake_media,
+            sample_frames,
+        )
+
+        frames = sample_frames(attach_fake_media(docs), n_frames=4)
+        rows = frames.collect()
+        assert len(rows) == docs.count() * 4
+        by_doc = {}
+        for row in rows:
+            by_doc.setdefault(row["doc_id"], []).append(row)
+        for doc_rows in by_doc.values():
+            ts = [r["ts_ms"] for r in sorted(doc_rows, key=lambda r: r["frame_index"])]
+            assert ts[0] == 0 and ts == sorted(ts)
+            assert len({r["frame_sha1"] for r in doc_rows}) == len(doc_rows)
+
+    def test_raise_stub_propagates(self, spark, docs):
+        import pytest as _pytest
+        from py4j.protocol import Py4JJavaError
+        from sciencebeam_trainer_grobid_tools_spark.operators.multimodal import (
+            attach_fake_media,
+            sample_frames,
+        )
+
+        with _pytest.raises(Exception) as exc_info:
+            sample_frames(attach_fake_media(docs), decode_stub="raise").collect()
+        assert "NotImplementedError" in str(exc_info.value) or "codec" in str(
+            exc_info.value
+        )
