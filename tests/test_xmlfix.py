@@ -54,3 +54,54 @@ class TestFixXml:
     def test_junk_strip_dagger_and_leading_whitespace(self):
         assert strip_xml_junk("  \n<x>&dagger;</x>") == "<x>&#8224;</x>"
         assert parses(fix_xml(b"  <x>&dagger;</x>"))
+
+
+class TestGetFixedXmlStrParity:
+    """Reference tests/utils/xml_test.py TestGetFixedXmlStr ported verbatim —
+    exact output-string parity for the recovery reserializer (F13)."""
+
+    CASES = [
+        ("<tei><text>abc</text></tei>", "<tei><text>abc</text></tei>"),
+        (
+            '<tei xmlns="http://www.tei-c.org/ns/1.0"><text>abc</text></tei>',
+            '<tei xmlns="http://www.tei-c.org/ns/1.0"><text>abc</text></tei>',
+        ),
+        (
+            "<tei><text><figure>abc</p></text></tei>",
+            "<tei><text><figure>abc</figure></text></tei>",
+        ),
+        (
+            "<tei><text><figure>abc</p><figure>abc</p></text></tei>",
+            "<tei><text><figure>abc</figure><figure>abc</figure></text></tei>",
+        ),
+        (
+            "<tei><text><figure>abc</text></tei>",
+            "<tei><text><figure>abc</figure></text></tei>",
+        ),
+        (
+            '<tei xmlns="http://www.tei-c.org/ns/1.0"><text><figure>abc</p></text></tei>',
+            '<tei xmlns="http://www.tei-c.org/ns/1.0"><text><figure>abc</figure></text></tei>',
+        ),
+        (
+            '<tei><text><figure a="1" b="2">abc</p></text></tei>',
+            '<tei><text><figure a="1" b="2">abc</figure></text></tei>',
+        ),
+        (
+            '<tei><text><figure a="1" b="2">a &gt; b</p></text></tei>',
+            '<tei><text><figure a="1" b="2">a &gt; b</figure></text></tei>',
+        ),
+        (
+            '<tei><text><figure a="1" b="2">a &apos; b</p></text></tei>',
+            "<tei><text><figure a=\"1\" b=\"2\">a ' b</figure></text></tei>",
+        ),
+        (
+            '<tei><text><figure a="1 &amp; 2">abc</p></text></tei>',
+            '<tei><text><figure a="1 &amp; 2">abc</figure></text></tei>',
+        ),
+    ]
+
+    def test_reference_expectations_byte_exact(self):
+        from sciencebeam_trainer_grobid_tools_spark.operators.xmlfix import fix_xml
+
+        for src, want in self.CASES:
+            assert fix_xml(src) == want, src
