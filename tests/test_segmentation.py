@@ -332,3 +332,41 @@ class TestSegmentationAnnotator:
             [("body", "token2")],
             [("page", "3")],
         ]
+
+
+class TestSegmentationAdditionalPortedCases:
+    """Remaining reference cases (segmentation_annotator_test.py):
+    empty lines, in-line majority tag, page lines inside front gaps."""
+
+    def test_does_not_fail_on_empty_line(self):
+        doc = build_doc([[], [(None, "token1")]])
+        SegmentationAnnotator(config(), preserve_tags=True).annotate(doc)
+        assert tagged_lines(doc) == [[], [(None, "token1")]]
+
+    def test_annotates_line_using_common_tag(self):
+        doc = build_doc(
+            [[("title", "token1"), ("title", "token2"), ("other", "token3")]]
+        )
+        SegmentationAnnotator(config()).annotate(doc)
+        assert tagged_lines(doc) == [
+            [
+                (SegmentTags.FRONT, "token1"),
+                (SegmentTags.FRONT, "token2"),
+                (SegmentTags.FRONT, "token3"),
+            ]
+        ]
+
+    def test_does_not_merge_page_lines_between_front_lines(self):
+        doc = build_doc(
+            [
+                [("title", "token1")],
+                [("page", "token2")],
+                [("title", "token3")],
+            ]
+        )
+        SegmentationAnnotator(config(), preserve_tags=True).annotate(doc)
+        assert tagged_lines(doc) == [
+            [(SegmentTags.FRONT, "token1")],
+            [(SegmentTags.PAGE, "token2")],
+            [(SegmentTags.FRONT, "token3")],
+        ]
