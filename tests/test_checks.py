@@ -78,3 +78,24 @@ class TestCheckDocument:
             require_matching_fields={"title"},
         )
         assert passed
+
+
+def test_implicitly_selects_required_fields():
+    """required_fields are checked even when require_matching_fields is empty
+    (reference checks_test.py: should_implictily_select_required_fields)."""
+    from sciencebeam_trainer_grobid_tools_spark.operators.checks import check_document
+    from sciencebeam_trainer_grobid_tools_spark.operators.annotate import (
+        TargetAnnotation,
+    )
+    from tests.conftest import doc_for_token_lines
+
+    doc = doc_for_token_lines([["other"]])
+    for token in doc.iter_tokens():
+        token.tag = "b-tag1"
+    passed, reason = check_document(
+        doc,
+        [TargetAnnotation("value1", "other")],
+        require_matching_fields=set(),
+        required_fields={"tag1"},
+    )
+    assert not passed

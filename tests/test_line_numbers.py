@@ -72,3 +72,27 @@ class TestLineNumbers:
         assert not flags[0][0]
         assert not flags[1][0]
         assert all(line[0] for line in flags[2:])
+
+
+class TestLineNumbersAdditionalPortedCases:
+    def test_unicode_digit_not_line_number(self):
+        # '₃' (subscript three) is .isdigit() but not a line number
+        # (line_number_annotator_test.py: should_not_fail_on_unicode_digit)
+        doc = doc_for_token_lines(
+            [["1", "token1"], ["2", "token2"], ["₃", "token3"]]
+        )
+        annotate_line_numbers(doc, min_count=1, ratio_threshold=0.3)
+        flags = line_no_flags(doc)
+        assert flags == [[True, False], [True, False], [False, False]]
+
+    def test_repeated_out_of_sequence_number_not_tagged(self):
+        doc = doc_for_token_lines(
+            [["1", "token1"], ["2", "token2"], ["3", "token3"], ["4", "token4"],
+             ["1", "out_of_sequence_1"],
+             ["5", "token5"], ["6", "token6"], ["7", "token7"]]
+        )
+        annotate_line_numbers(doc, min_count=1, max_gap=0, ratio_threshold=0.5)
+        flags = line_no_flags(doc)
+        assert [line[0] for line in flags] == [
+            True, True, True, True, False, True, True, True
+        ]
