@@ -29,7 +29,7 @@ from ..operators.checks import check_document
 from ..operators.targets import parse_xml_mapping_string, xml_string_to_target_annotations
 from ..operators.tei_render import render_tei_xml
 from ..plans.flavors import AnnotatorChain
-from ..sources.tei import load_tei_doc
+from ..sources.tei import apply_preserve_policy, load_tei_doc
 
 
 def parse_substitution_pattern(pattern: str) -> Tuple[str, str]:
@@ -184,6 +184,9 @@ def run_auto_annotate(
     required_fields: Optional[Set[str]] = None,
     source_pattern: str = "*.tei.xml",
     preserve_tags: bool = True,
+    preserve_fields: Optional[Set[str]] = None,
+    preserve_sub_tags: bool = False,
+    no_preserve_sub_fields: Optional[Set[str]] = None,
 ) -> Dict[str, int]:
     """Run a flavor over a directory of raw training-TEI files paired with
     target-XML files, writing annotated TEI per input file.
@@ -205,7 +208,7 @@ def run_auto_annotate(
         ),
     ).join(xml_files, on="xml_name", how="inner")
 
-    mapping, _ = get_filtered_xml_mapping_and_fields(
+    mapping, selected_fields = get_filtered_xml_mapping_and_fields(
         parse_xml_mapping_string(xml_mapping_text), fields
     )
     out_root = os.path.abspath(output_path)
@@ -224,7 +227,17 @@ def run_auto_annotate(
                         bytes(row.content),
                         tag_to_tei_path_mapping,
                         container_path=container_path,
+                        preserve_tags=preserve_tags or bool(preserve_fields),
+                    )
+                    # reference annotator.py:73-113: keep preserved tags
+                    # except the fields being re-annotated; sub-tag policy
+                    apply_preserve_policy(
+                        doc,
                         preserve_tags=preserve_tags,
+                        fields=selected_fields,
+                        preserve_fields=preserve_fields,
+                        preserve_sub_tags=preserve_sub_tags,
+                        no_preserve_sub_fields=no_preserve_sub_fields,
                     )
                     # fields were already applied to the MAPPING (excluded
                     # fields' xpaths are never evaluated — reference behavior)

@@ -25,7 +25,7 @@ pre-annotated at the main level.
 from __future__ import annotations
 
 import xml.etree.ElementTree as ET
-from typing import Dict, List, Optional, Tuple, Union
+from typing import Dict, List, Optional, Set, Tuple, Union
 
 from ..kernel.doc import Token, TokenizedDoc, tokenize_text
 from ..operators.annotate import B_PREFIX, I_PREFIX, add_tag_prefix, split_tag_prefix
@@ -195,4 +195,43 @@ def load_tei_doc(
             if (preserve_tags and sub_value)
             else None
         )
+    return doc
+
+
+def apply_preserve_policy(
+    doc: TokenizedDoc,
+    preserve_tags: bool,
+    fields: Optional[Set[str]] = None,
+    preserve_fields: Optional[Set[str]] = None,
+    preserve_sub_tags: bool = False,
+    no_preserve_sub_fields: Optional[Set[str]] = None,
+) -> TokenizedDoc:
+    """The reference's pre-annotation tag-mapping policy
+    (annotation/annotator.py:73-113, annotate_structured_document_inplace):
+
+    - with ``preserve_tags`` (or an explicit ``preserve_fields`` whitelist):
+      keep preserved tags EXCEPT the fields being (re-)annotated
+      (``fields - preserve_fields``); with a whitelist, drop everything not
+      on it;
+    - otherwise drop every preserved tag;
+    - preserved SUB tags are dropped unless ``preserve_sub_tags``; with
+      ``no_preserve_sub_fields``, those sub fields are dropped anyway.
+    """
+    exclude_fields = set(fields or ()) - set(preserve_fields or ())
+    keep_main = bool(preserve_tags or preserve_fields)
+    for token in doc.iter_tokens():
+        if token.preserved_tag is not None:
+            _, value = split_tag_prefix(token.preserved_tag)
+            if not keep_main:
+                token.preserved_tag = None
+            elif exclude_fields and value in exclude_fields:
+                token.preserved_tag = None
+            elif preserve_fields and value not in preserve_fields:
+                token.preserved_tag = None
+        if token.sub_tag is not None:
+            _, sub_value = split_tag_prefix(token.sub_tag)
+            if not preserve_sub_tags:
+                token.sub_tag = None
+            elif no_preserve_sub_fields and sub_value in no_preserve_sub_fields:
+                token.sub_tag = None
     return doc

@@ -10,7 +10,7 @@ from sciencebeam_trainer_grobid_tools_spark.operators.annotate import (
     TargetAnnotation,
 )
 from sciencebeam_trainer_grobid_tools_spark.operators.tei_render import render_tagged_lines
-from sciencebeam_trainer_grobid_tools_spark.sources.tei import load_tei_doc
+from sciencebeam_trainer_grobid_tools_spark.sources.tei import apply_preserve_policy, load_tei_doc
 
 HEADER_MAPPING = {
     "title": "docTitle/titlePart",
@@ -98,3 +98,98 @@ class TestAffiliationFlavorGolden:
             == "University of Science"
         )
         assert "".join(aff.find("address/country").itertext()) == "France"
+
+
+class TestApplyPreservePolicy:
+    """Ported reference tests/annotation/annotator_test.py (the pre-annotation
+    preserve policy of annotate_structured_document_inplace)."""
+
+    HEADER_MAPPING_LOCAL = {
+        "title": "docTitle/titlePart",
+        "parent": "parent",
+        "sub1": "parent/sub1",
+        "sub2": "parent/sub2",
+    }
+
+    def _title_doc(self):
+        return load_tei_doc(
+            "<tei><text><front><docTitle><titlePart>Title 1</titlePart>"
+            "</docTitle></front></text></tei>",
+            self.HEADER_MAPPING_LOCAL,
+        )
+
+    def _sub_doc(self):
+        return load_tei_doc(
+            "<tei><text><front><parent>parent-text-to-force-sub-tags "
+            "<sub1>sub1</sub1> <sub2>sub2</sub2></parent></front></text></tei>",
+            self.HEADER_MAPPING_LOCAL,
+        )
+
+    @staticmethod
+    def _preserved_fields(doc):
+        from sciencebeam_trainer_grobid_tools_spark.operators.annotate import (
+            strip_tag_prefix,
+        )
+
+        return {
+            strip_tag_prefix(t.preserved_tag)
+            for t in doc.iter_tokens()
+            if t.preserved_tag
+        }
+
+    @staticmethod
+    def _preserved_sub_fields(doc):
+        from sciencebeam_trainer_grobid_tools_spark.operators.annotate import (
+            strip_tag_prefix,
+        )
+
+        return {
+            strip_tag_prefix(t.sub_tag) for t in doc.iter_tokens() if t.sub_tag
+        }
+
+    def test_should_not_preserve_tags(self):
+        doc = self._title_doc()
+        apply_preserve_policy(doc, preserve_tags=False, fields={"other"})
+        assert self._preserved_fields(doc) == set()
+
+    def test_should_preserve_tags(self):
+        doc = self._title_doc()
+        apply_preserve_policy(doc, preserve_tags=True, fields={"other"})
+        assert "title" in self._preserved_fields(doc)
+
+    def test_should_not_preserve_tags_of_fields(self):
+        doc = self._title_doc()
+        apply_preserve_policy(doc, preserve_tags=True, fields={"title"})
+        assert "title" not in self._preserved_fields(doc)
+
+    def test_should_preserve_all_sub_tags(self):
+        doc = self._sub_doc()
+        apply_preserve_policy(
+            doc, preserve_tags=True, preserve_sub_tags=True, fields={"title"}
+        )
+        assert self._preserved_sub_fields(doc) == {"sub1", "sub2"}
+
+    def test_should_preserve_some_sub_tags(self):
+        doc = self._sub_doc()
+        apply_preserve_policy(
+            doc,
+            preserve_tags=True,
+            preserve_sub_tags=True,
+            no_preserve_sub_fields={"sub1"},
+            fields={"title"},
+        )
+        assert self._preserved_sub_fields(doc) == {"sub2"}
+
+    def test_should_not_preserve_sub_tags(self):
+        doc = self._sub_doc()
+        apply_preserve_policy(
+            doc, preserve_tags=True, preserve_sub_tags=False, fields={"title"}
+        )
+        assert self._preserved_sub_fields(doc) == set()
+
+    def test_preserve_fields_whitelist(self):
+        doc = self._sub_doc()
+        apply_preserve_policy(
+            doc, preserve_tags=False, preserve_fields={"parent"}, fields={"title"}
+        )
+        assert self._preserved_fields(doc) == {"parent"}
