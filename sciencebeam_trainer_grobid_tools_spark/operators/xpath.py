@@ -349,6 +349,39 @@ def _is_et_fast_path(xpath: str) -> bool:
     return descends <= 1
 
 
+@lru_cache(maxsize=4096)
+def _et_fast_union_fragments(xpath: str):
+    """For a ``a | b | c`` union whose every branch is ET-fast, return the
+    branch strings (evaluated via ``findall`` each, then deduped and
+    document-ordered — lxml union semantics).  None when not applicable.
+    The split only fires at bracket depth 0 outside quotes."""
+    if "|" not in xpath:
+        return None
+    fragments: List[str] = []
+    depth = 0
+    quote = None
+    start = 0
+    for i, ch in enumerate(xpath):
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+        elif ch == "|" and depth == 0:
+            fragments.append(xpath[start:i].strip())
+            start = i + 1
+    fragments.append(xpath[start:].strip())
+    if len(fragments) < 2:
+        return None
+    if all(_is_et_fast_path(fragment) for fragment in fragments):
+        return tuple(fragments)
+    return None
+
+
 # ---------------------------------------------------------------------------
 # evaluation
 
@@ -413,6 +446,13 @@ class XPathContext:
         """
         if _is_et_fast_path(xpath):
             return node.findall(xpath)
+        fragments = _et_fast_union_fragments(xpath)
+        if fragments is not None:
+            out: List[ET.Element] = []
+            for fragment in fragments:
+                out.extend(node.findall(fragment))
+            # union semantics: unique nodes in document order
+            return self._order(out)
         result = self._eval_union(parse_xpath(xpath), (node,))
         return [n for n in result if n is not _DOCUMENT]
 

@@ -304,3 +304,40 @@ class TestEtFastPathParity:
                 claimed += 1
         # the point of the fast path: it must cover the common forms
         assert claimed >= 10
+
+
+class TestEtFastUnionParity:
+    def test_union_fast_path_matches_evaluator(self):
+        import xml.etree.ElementTree as ET
+
+        from sciencebeam_trainer_grobid_tools_spark.operators.xpath import (
+            XPathContext,
+            _et_fast_union_fragments,
+            parse_xpath,
+        )
+
+        doc = (
+            "<article><front><kwd-group><kwd>k1</kwd><label>L</label>"
+            "<kwd>k2</kwd></kwd-group></front><back><ref><label>L2</label>"
+            "<caption>C</caption></ref></back></article>"
+        )
+        root = ET.fromstring(doc)
+        ctx = XPathContext(root)
+        cases = [
+            ".//label | .//caption",
+            ".//kwd | .//label",
+            './/kwd[@a="x|y"] | .//label',  # '|' inside quotes is NOT a split
+            "front/kwd-group/kwd | .//caption",
+        ]
+        for xpath in cases:
+            assert _et_fast_union_fragments(xpath) is not None
+            for node in [root] + root.findall(".//*"):
+                expected = list(ctx._eval_union(parse_xpath(xpath), (node,)))
+                assert ctx.findall(node, xpath) == expected, (xpath, node.tag)
+
+    def test_union_with_complex_branch_uses_evaluator(self):
+        from sciencebeam_trainer_grobid_tools_spark.operators.xpath import (
+            _et_fast_union_fragments,
+        )
+
+        assert _et_fast_union_fragments(".//label | .//p[not(ancestor::ack)]") is None
