@@ -143,7 +143,16 @@ def local_matching_blocks(haystack: str, needle: str) -> MatchingBlocks:
         b_codes = b_codes[: max(1, MAX_DP_CELLS // max(1, a_codes.shape[0]))]
     # prefer the compiled kernel (kernel/native.py) — same contract as the
     # reference's pinned C alignment kernel; numpy path is the fallback
-    from .native import native_sw_matrix_and_best, native_traceback16
+    from .native import (
+        native_match_blocks,
+        native_sw_matrix_and_best,
+        native_traceback16,
+    )
+
+    fused = native_match_blocks(a_codes, b_codes)
+    if fused is not None:
+        fused.append((len(haystack), len(needle), 0))
+        return fused
 
     native_result = native_sw_matrix_and_best(a_codes, b_codes)
     if native_result is not None:

@@ -27,6 +27,7 @@ import numpy as np
 _C_SOURCE = r"""
 #include <stddef.h>
 #include <stdint.h>
+#include <stdlib.h>
 
 /* Smith-Waterman score matrix: h is (m+1) x (n+1) int32 row-major,
    row 0 / col 0 pre-zeroed.  Scoring: match +2, mismatch -1, gap -2. */
@@ -130,6 +131,27 @@ int sw_traceback16(const uint32_t* a, const uint32_t* b, const int16_t* h,
     return n_blocks;
 }
 
+/* Fused alignment: matrix16 + best cell + traceback in ONE call, with the
+   DP matrix as internal scratch (never crosses the FFI boundary).  Returns
+   the block count written to `blocks` (capacity 3*(n+m)+2*(n+m) int32,
+   same layout contract as sw_traceback16), or -1 on allocation failure. */
+int sw_align16(const uint32_t* a, int n, const uint32_t* b, int m,
+               int32_t* blocks) {
+    size_t cells = (size_t)(m + 1) * (size_t)(n + 1);
+    int16_t* h = (int16_t*)malloc(cells * sizeof(int16_t));
+    if (!h) return -1;
+    for (int i = 0; i <= n; i++) h[i] = 0;
+    for (int j = 1; j <= m; j++) h[(size_t)j * (n + 1)] = 0;
+    int32_t out[3];
+    sw_matrix16(a, n, b, m, h, out);
+    int n_blocks = 0;
+    if (out[2] > 0) {
+        n_blocks = sw_traceback16(a, b, h, n, m, out[0], out[1], blocks);
+    }
+    free(h);
+    return n_blocks;
+}
+
 /* First maximum cell in a-major order (smallest a, then smallest b). */
 void sw_best(const int32_t* h, int n, int m, int32_t* out) {
     int32_t best = 0; int bi = 0; int bj = 0;
@@ -226,6 +248,14 @@ def get_native_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32),
         ]
         lib.sw_traceback16.restype = ctypes.c_int
+        lib.sw_align16.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.sw_align16.restype = ctypes.c_int
         _lib = lib
     except Exception:
         _lib = None
@@ -332,3 +362,46 @@ def native_pick_max(h: np.ndarray) -> Optional[tuple]:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return int(out[0]), int(out[1]), int(out[2])
+
+
+_blocks_scratch: Optional[np.ndarray] = None
+
+
+def native_match_blocks(a_codes: np.ndarray, b_codes: np.ndarray):
+    """Fused C path: matrix + best cell + traceback in ONE FFI call; the DP
+    matrix is C-internal scratch and never crosses into Python.  Returns the
+    difflib-style blocks (without terminator), or None when the native lib
+    is unavailable / the int16 score range would overflow (caller falls back
+    to the two-call or numpy paths).
+
+    The blocks buffer is reused across calls (python workers are
+    single-threaded; the buffer only grows)."""
+    global _blocks_scratch
+    lib = get_native_lib()
+    if lib is None:
+        return None
+    n = a_codes.shape[0]
+    m = b_codes.shape[0]
+    if n == 0 or m == 0:
+        return []
+    if 2 * min(n, m) >= 32000:
+        return None
+    need = 5 * (n + m) + 8
+    if _blocks_scratch is None or _blocks_scratch.shape[0] < need:
+        _blocks_scratch = np.empty(max(need, 4096), dtype=np.int32)
+    buffer = _blocks_scratch
+    a_contig = np.ascontiguousarray(a_codes, dtype=np.uint32)
+    b_contig = np.ascontiguousarray(b_codes, dtype=np.uint32)
+    n_blocks = lib.sw_align16(
+        a_contig.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        n,
+        b_contig.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        m,
+        buffer.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if n_blocks < 0:
+        return None
+    return [
+        (int(buffer[3 * k]), int(buffer[3 * k + 1]), int(buffer[3 * k + 2]))
+        for k in range(n_blocks)
+    ]
