@@ -120,12 +120,14 @@ def tokenize_lines(text_lines: Sequence[str]) -> TokenizedDoc:
         fragments = tokenize_text(raw_line)
         tokens: List[Token] = []
         for i, fragment in enumerate(fragments):
-            if not fragment.strip():
+            # separator fragments are single chars ((\W) split), so isspace()
+            # is the exact whitespace test — cheaper than strip() per fragment
+            if fragment.isspace():
                 continue
             nxt = fragments[i + 1] if i + 1 < len(fragments) else None
             if nxt is None:
                 ws: Optional[str] = None
-            elif not nxt.strip():
+            elif nxt.isspace():
                 ws = nxt
             else:
                 ws = ""

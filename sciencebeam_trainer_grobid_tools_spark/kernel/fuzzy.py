@@ -136,7 +136,12 @@ def _positional_junk_prefix(s: str) -> "np.ndarray":
     prev_ns = np.concatenate(([np.int64(-1)], np.maximum.accumulate(nonspace_idx)[:-1]))
     has_prev = prev_ns >= 0
     prev_codes = np.where(has_prev, codes[np.maximum(prev_ns, 0)], np.uint32(0))
-    alpha_mask = np.fromiter((ch.isalpha() for ch in s), dtype=bool, count=n)
+    # vectorized ASCII isalpha; the (rare) non-ascii chars get the exact
+    # python check — replaces a per-char genexpr over the full haystack
+    alpha_mask = ((codes >= 65) & (codes <= 90)) | ((codes >= 97) & (codes <= 122))
+    for k in np.flatnonzero(codes > 127):
+        if s[int(k)].isalpha():
+            alpha_mask[k] = True
     prev_alpha = np.where(has_prev, alpha_mask[np.maximum(prev_ns, 0)], False)
     mask |= (codes == _COMMA_CODE) & (prev_codes == _DOT_CODE)
     mask |= (codes == _DOT_CODE) & prev_alpha
@@ -156,7 +161,12 @@ def _adjacent_junk_prefix(s: str) -> "np.ndarray":
     if n > 1:
         prev = codes[:-1]
         cur = codes[1:]
-        alpha_mask = np.fromiter((ch.isalpha() for ch in s), dtype=bool, count=n)
+        # vectorized ASCII isalpha; the (rare) non-ascii chars get the exact
+    # python check — replaces a per-char genexpr over the full haystack
+    alpha_mask = ((codes >= 65) & (codes <= 90)) | ((codes >= 97) & (codes <= 122))
+    for k in np.flatnonzero(codes > 127):
+        if s[int(k)].isalpha():
+            alpha_mask[k] = True
         adjacent = (
             ((prev == _DOT_CODE) & ((cur == _SPACE_CODE) | (cur == _COMMA_CODE)))
             | (alpha_mask[:-1] & (cur == _DOT_CODE))
