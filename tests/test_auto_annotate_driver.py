@@ -382,3 +382,12 @@ class TestMappingFilterAndOverrides:
             "top1": {"tag1": "xpath1", "tag1.value": "new", "tag1.extra": "extra1"},
             "top2": {"tag1": "xpath1", "tag1.value": "new", "tag1.extra": "extra1"},
         }
+
+
+class TestDriverEdgeCases:
+    def test_empty_source_directory_yields_zero_counters(self, spark, tmp_path):
+        (tmp_path / "tei-raw").mkdir()
+        (tmp_path / "xml").mkdir()
+        (tmp_path / "xml" / "unmatched.xml").write_text("<article/>")
+        counters = run_header_job(spark, tmp_path)
+        assert counters == {"passed": 0, "failed": 0}
