@@ -173,6 +173,47 @@ def run_single_jvm_levels() -> None:
     )
 
 
+def run_interleaved_levels() -> None:
+    """Noise-robust variant: alternate N-core and 4N-core runs so both legs
+    sample the same neighbor-load windows, then report the median of the
+    per-pair efficiencies (each pair = one N run + the 4N run right after
+    it).  On a shared VM this bounds the bias a one-sided noise burst can
+    introduce; min-of-legs (the default protocol) is kept for comparison."""
+    pairs = []
+    rates_n, rates_4n = [], []
+    for _ in range(RUNS):
+        n_res = _result_of(
+            _spawn("0-%d" % (LEVELS[0] - 1), ["--worker", str(LEVELS[0]), "0", "1", "1"])
+        )
+        big_res = _result_of(
+            _spawn("0-%d" % (LEVELS[1] - 1), ["--worker", str(LEVELS[1]), "0", "1", "1"])
+        )
+        rate_n = n_res["docs"] / n_res["runs_sec"][0]
+        rate_4n = big_res["docs"] / big_res["runs_sec"][0]
+        rates_n.append(rate_n)
+        rates_4n.append(rate_4n)
+        pairs.append((rate_4n / rate_n) / (LEVELS[1] / LEVELS[0]))
+        print("pair: rate_n=%.1f rate_4n=%.1f eff=%.3f" % (rate_n, rate_4n, pairs[-1]))
+    pairs.sort()
+    median = pairs[len(pairs) // 2] if len(pairs) % 2 else (
+        (pairs[len(pairs) // 2 - 1] + pairs[len(pairs) // 2]) / 2
+    )
+    best_eff = (max(rates_4n) / max(rates_n)) / (LEVELS[1] / LEVELS[0])
+    print(
+        json.dumps(
+            {
+                "mode": "interleaved",
+                "levels": list(LEVELS),
+                "pair_efficiencies": [round(p, 3) for p in pairs],
+                "median_efficiency": round(median, 3),
+                "best_of_legs_efficiency": round(best_eff, 3),
+                "target": 0.8,
+                "meets_target": median >= 0.8,
+            }
+        )
+    )
+
+
 def main() -> None:
     if "--worker" in sys.argv:
         i = sys.argv.index("--worker")
@@ -180,7 +221,9 @@ def main() -> None:
         print(json.dumps(run_worker(cpus, shard, n_shards, runs)))
         return
     materialize_corpus()
-    if "--single-jvm" in sys.argv:
+    if "--interleaved" in sys.argv:
+        run_interleaved_levels()
+    elif "--single-jvm" in sys.argv:
         run_single_jvm_levels()
     else:
         run_executor_emulation()
