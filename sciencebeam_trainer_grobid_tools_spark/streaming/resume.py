@@ -28,6 +28,15 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from ..plans.pipeline import annotate_documents, resume_filter
 
 
+def _list_part_files(data_dir: str) -> set:
+    try:
+        return {
+            name for name in os.listdir(data_dir) if name.startswith("part-")
+        }
+    except FileNotFoundError:
+        return set()
+
+
 def _read_completed(spark: SparkSession, output_dir: str) -> Optional[DataFrame]:
     from ..sources.tables import read_completed_urls
 
@@ -61,11 +70,16 @@ def run_resumable(
         annotated = annotate_documents(
             chunk, observation=observation, **annotate_kwargs
         )
+        before_files = _list_part_files(data_dir)
         annotated.write.mode("append").parquet(data_dir)
         # metrics come from the write job itself (Observation), not a second
         # count()/agg() execution of the kernel
         metrics = observation.get
         rows = int(metrics["docs_processed"] or 0)
+        # per-partition lineage: the physical files this chunk appended
+        # (each file = one write partition; restart auditing can map any
+        # output partition back to its chunk)
+        new_files = sorted(_list_part_files(data_dir) - before_files)
         with open(manifest_path, "a", encoding="utf-8") as fh:
             fh.write(
                 json.dumps(
@@ -75,6 +89,7 @@ def run_resumable(
                         "alignment_hits": int(metrics["alignment_hits"] or 0),
                         "chars_extracted": int(metrics["chars_extracted"] or 0),
                         "errors": int(metrics["errors"] or 0),
+                        "partition_files": new_files,
                         "ts": time.time(),
                     }
                 )

@@ -210,6 +210,21 @@ class TestResumable:
         assert again["rows"] == 0
         manifest = (tmp_path / "out" / "manifest.jsonl").read_text().strip().splitlines()
         assert len(manifest) == 3
+        # per-partition lineage: every chunk names the parquet part files it
+        # appended; together they cover the output dir exactly (disjointly)
+        import json as _json
+        import os as _os
+
+        entries = [_json.loads(line) for line in manifest]
+        all_files = [f for e in entries for f in e["partition_files"]]
+        assert all(e["partition_files"] for e in entries)
+        assert len(all_files) == len(set(all_files))
+        on_disk = {
+            name
+            for name in _os.listdir(str(tmp_path / "out" / "annotated"))
+            if name.startswith("part-")
+        }
+        assert set(all_files) == on_disk
 
     def test_kernel_runs_once_per_chunk(self, spark, tmp_path):
         """The expensive mapInPandas stage must execute exactly once per
