@@ -131,15 +131,13 @@ int sw_traceback16(const uint32_t* a, const uint32_t* b, const int16_t* h,
     return n_blocks;
 }
 
-/* Fused alignment: matrix16 + best cell + traceback in ONE call, with the
-   DP matrix as internal scratch (never crosses the FFI boundary).  Returns
-   the block count written to `blocks` (capacity 3*(n+m)+2*(n+m) int32,
-   same layout contract as sw_traceback16), or -1 on allocation failure. */
+/* Fused alignment: matrix16 + best cell + traceback in ONE call.  The DP
+   matrix lives in caller-provided scratch (a grow-only buffer reused across
+   calls: per-call malloc of the larger matrices crosses the mmap threshold
+   and the resulting page faults / TLB shootdowns serialize at high
+   process counts).  Returns the block count written to `blocks`. */
 int sw_align16(const uint32_t* a, int n, const uint32_t* b, int m,
-               int32_t* blocks) {
-    size_t cells = (size_t)(m + 1) * (size_t)(n + 1);
-    int16_t* h = (int16_t*)malloc(cells * sizeof(int16_t));
-    if (!h) return -1;
+               int16_t* h, int32_t* blocks) {
     for (int i = 0; i <= n; i++) h[i] = 0;
     for (int j = 1; j <= m; j++) h[(size_t)j * (n + 1)] = 0;
     int32_t out[3];
@@ -148,7 +146,6 @@ int sw_align16(const uint32_t* a, int n, const uint32_t* b, int m,
     if (out[2] > 0) {
         n_blocks = sw_traceback16(a, b, h, n, m, out[0], out[1], blocks);
     }
-    free(h);
     return n_blocks;
 }
 
@@ -253,6 +250,7 @@ def get_native_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint32),
             ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int16),
             ctypes.POINTER(ctypes.c_int32),
         ]
         lib.sw_align16.restype = ctypes.c_int
@@ -365,6 +363,7 @@ def native_pick_max(h: np.ndarray) -> Optional[tuple]:
 
 
 _blocks_scratch: Optional[np.ndarray] = None
+_matrix_scratch: Optional[np.ndarray] = None
 
 
 def native_match_blocks(a_codes: np.ndarray, b_codes: np.ndarray):
@@ -386,10 +385,15 @@ def native_match_blocks(a_codes: np.ndarray, b_codes: np.ndarray):
         return []
     if 2 * min(n, m) >= 32000:
         return None
+    global _matrix_scratch
     need = 5 * (n + m) + 8
     if _blocks_scratch is None or _blocks_scratch.shape[0] < need:
         _blocks_scratch = np.empty(max(need, 4096), dtype=np.int32)
     buffer = _blocks_scratch
+    cells = (n + 1) * (m + 1)
+    if _matrix_scratch is None or _matrix_scratch.shape[0] < cells:
+        _matrix_scratch = np.empty(max(cells, 1 << 16), dtype=np.int16)
+    matrix = _matrix_scratch
     a_contig = np.ascontiguousarray(a_codes, dtype=np.uint32)
     b_contig = np.ascontiguousarray(b_codes, dtype=np.uint32)
     n_blocks = lib.sw_align16(
@@ -397,10 +401,9 @@ def native_match_blocks(a_codes: np.ndarray, b_codes: np.ndarray):
         n,
         b_contig.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         m,
+        matrix.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
         buffer.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
-    if n_blocks < 0:
-        return None
     return [
         (int(buffer[3 * k]), int(buffer[3 * k + 1]), int(buffer[3 * k + 2]))
         for k in range(n_blocks)
