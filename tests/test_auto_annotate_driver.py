@@ -391,3 +391,72 @@ class TestDriverEdgeCases:
         (tmp_path / "xml" / "unmatched.xml").write_text("<article/>")
         counters = run_header_job(spark, tmp_path)
         assert counters == {"passed": 0, "failed": 0}
+
+
+REFERENCE_XML_MAPPING = """
+[article]
+reference = back/ref-list/ref
+reference.children = .//*
+reference.sub.reference-label = ./label
+reference.sub.reference-article-title = .//article-title
+reference.sub.reference-year = .//year
+"""
+
+REFERENCE_TEI_MAPPING = {
+    "DEFAULT": 'note[@type="other"]',
+    "reference": "bibl",
+    "reference-label": "bibl/label",
+    "reference-article-title": 'bibl/title[@level="a"]',
+    "reference-year": "bibl/date",
+}
+
+
+class TestRunAutoAnnotateReference:
+    """Reference flavor through the file driver (auto_annotate_reference.py
+    main parity): references.tei.xml + target JATS -> bibl sub-structure."""
+
+    def test_should_annotate_reference_sub_fields(self, spark, tmp_path):
+        from sciencebeam_trainer_grobid_tools_spark.plans.flavors import (
+            reference_flavor,
+        )
+
+        (tmp_path / "tei-raw").mkdir()
+        (tmp_path / "xml").mkdir()
+        # label is 2 chars: single-char needles fall below min_token_length
+        # (the reference skips them too)
+        ref1 = "12. Maison M. Chocolate bars for mice. Mouse Journal. 2021."
+        (tmp_path / "tei-raw" / "document1.references.tei.xml").write_text(
+            "<tei><text><back><listBibl>%s<lb/></listBibl></back></text></tei>" % ref1
+        )
+        (tmp_path / "xml" / "document1.xml").write_text(
+            "<article><front/><body/><back><ref-list>"
+            "<ref><label>12</label><element-citation>"
+            "<article-title>Chocolate bars for mice</article-title>"
+            "<year>2021</year></element-citation></ref>"
+            "</ref-list></back></article>"
+        )
+        mapping = parse_xml_mapping_string(REFERENCE_XML_MAPPING)
+        config = MatcherConfig(
+            use_sub_annotations=True,
+            extend_to_line_enabled=False,
+            tag_config_map=get_tag_config_map(mapping),
+        )
+        counters = run_auto_annotate(
+            spark,
+            source_base_path=str(tmp_path / "tei-raw"),
+            output_path=str(tmp_path / "tei-auto"),
+            xml_path=str(tmp_path / "xml"),
+            xml_filename_regex=r"/(.*).references.tei.xml/\1.xml/",
+            flavor_chain=reference_flavor(config, segment_references=True),
+            xml_mapping_text=REFERENCE_XML_MAPPING,
+            tag_to_tei_path_mapping=REFERENCE_TEI_MAPPING,
+            container_path="text/back/listBibl",
+            source_pattern="*.references.tei.xml",
+        )
+        assert counters == {"passed": 1, "failed": 0}
+        out = (tmp_path / "tei-auto" / "document1.references.tei.xml").read_text()
+        assert (
+            xpath_text(out, './/bibl/title[@level="a"]') == "Chocolate bars for mice"
+        )
+        assert xpath_text(out, ".//bibl/date") == "2021"
+        assert xpath_text(out, ".//bibl/label") == "12"
