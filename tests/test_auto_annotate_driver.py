@@ -460,3 +460,56 @@ class TestRunAutoAnnotateReference:
         )
         assert xpath_text(out, ".//bibl/date") == "2021"
         assert xpath_text(out, ".//bibl/label") == "12"
+
+
+FULLTEXT_XML_MAPPING = """
+[article]
+section_title = ./body//sec
+section_title.children = ./title
+section_paragraph = (//sec | //ack)/p
+"""
+
+FULLTEXT_TEI_MAPPING = {
+    "DEFAULT": "other",
+    "section_title": "head",
+    "section_paragraph": "p",
+}
+
+
+class TestRunAutoAnnotateFulltext:
+    """Fulltext flavor through the file driver (auto_annotate_fulltext.py
+    main parity): body text -> head/p structure."""
+
+    def test_should_annotate_section_title_and_paragraph(self, spark, tmp_path):
+        from sciencebeam_trainer_grobid_tools_spark.plans.flavors import (
+            fulltext_flavor,
+        )
+
+        (tmp_path / "tei-raw").mkdir()
+        (tmp_path / "xml").mkdir()
+        (tmp_path / "tei-raw" / "document1.fulltext.tei.xml").write_text(
+            "<tei><text><body>Methods<lb/>We fed the mice chocolate daily."
+            "<lb/></body></text></tei>"
+        )
+        (tmp_path / "xml" / "document1.xml").write_text(
+            "<article><front/><body><sec><title>Methods</title>"
+            "<p>We fed the mice chocolate daily.</p></sec></body><back/></article>"
+        )
+        mapping = parse_xml_mapping_string(FULLTEXT_XML_MAPPING)
+        config = MatcherConfig(tag_config_map=get_tag_config_map(mapping))
+        counters = run_auto_annotate(
+            spark,
+            source_base_path=str(tmp_path / "tei-raw"),
+            output_path=str(tmp_path / "tei-auto"),
+            xml_path=str(tmp_path / "xml"),
+            xml_filename_regex=r"/(.*).fulltext.tei.xml/\1.xml/",
+            flavor_chain=fulltext_flavor(config),
+            xml_mapping_text=FULLTEXT_XML_MAPPING,
+            tag_to_tei_path_mapping=FULLTEXT_TEI_MAPPING,
+            container_path="text/body",
+            source_pattern="*.fulltext.tei.xml",
+        )
+        assert counters == {"passed": 1, "failed": 0}
+        out = (tmp_path / "tei-auto" / "document1.fulltext.tei.xml").read_text()
+        assert xpath_text(out, ".//head") == "Methods"
+        assert xpath_text(out, ".//p") == "We fed the mice chocolate daily."
