@@ -513,3 +513,134 @@ class TestRunAutoAnnotateFulltext:
         out = (tmp_path / "tei-auto" / "document1.fulltext.tei.xml").read_text()
         assert xpath_text(out, ".//head") == "Methods"
         assert xpath_text(out, ".//p") == "We fed the mice chocolate daily."
+
+
+class TestRunAutoAnnotateAffiliationAndTable:
+    """Affiliation (sub-field + address group merge) and table (label/caption
+    subs) flavors through the file driver, mirroring the oracle flavor gates."""
+
+    AFF_MAPPING = """
+[article]
+author_aff = front/article-meta/contrib-group/aff
+author_aff.children = .//*
+author_aff.unmatched-parent-text = true
+author_aff.sub.author_aff-label = ./label
+author_aff.sub.author_aff-institution = ./institution
+author_aff.sub.author_aff-address-city = ./addr-line/named-content[@content-type="city"]
+author_aff.match-prefix-regex = ({author_aff-label})\\s*[\\.-]*\\s*$
+"""
+
+    AFF_TEI_MAPPING = {
+        "DEFAULT": 'note[@type="other"]',
+        "author_aff": "affiliation",
+        "author_aff-label": "affiliation/marker",
+        "author_aff-institution": 'affiliation/orgName[@type="institution"]',
+        "author_aff-address": "affiliation/address",
+        "author_aff-address-city": "affiliation/address/settlement",
+    }
+
+    def test_affiliation_sub_fields_via_file_driver(self, spark, tmp_path):
+        from sciencebeam_trainer_grobid_tools_spark.plans.flavors import (
+            affiliation_flavor,
+        )
+
+        (tmp_path / "tei-raw").mkdir()
+        (tmp_path / "xml").mkdir()
+        (tmp_path / "tei-raw" / "document1.affiliation.tei.xml").write_text(
+            "<tei><text><front><affiliation>12 Science Institute, Springfield"
+            "</affiliation></front></text></tei>"
+        )
+        (tmp_path / "xml" / "document1.xml").write_text(
+            "<article><front><article-meta><contrib-group>"
+            "<aff><label>12</label> <institution>Science Institute</institution>, "
+            '<addr-line><named-content content-type="city">Springfield'
+            "</named-content></addr-line></aff>"
+            "</contrib-group></article-meta></front><body/><back/></article>"
+        )
+        mapping = parse_xml_mapping_string(self.AFF_MAPPING)
+        config = MatcherConfig(
+            use_sub_annotations=True,
+            extend_to_line_enabled=False,
+            tag_config_map=get_tag_config_map(mapping),
+        )
+        counters = run_auto_annotate(
+            spark,
+            source_base_path=str(tmp_path / "tei-raw"),
+            output_path=str(tmp_path / "tei-auto"),
+            xml_path=str(tmp_path / "xml"),
+            xml_filename_regex=r"/(.*).affiliation.tei.xml/\1.xml/",
+            flavor_chain=affiliation_flavor(config),
+            xml_mapping_text=self.AFF_MAPPING,
+            tag_to_tei_path_mapping=self.AFF_TEI_MAPPING,
+            container_path="text/front",
+            source_pattern="*.affiliation.tei.xml",
+            preserve_tags=True,
+            # the reference's always_preserve_fields for this flavor: the
+            # preserved affiliation region survives, subs are re-annotated
+            preserve_fields={"author_aff"},
+        )
+        assert counters == {"passed": 1, "failed": 0}
+        out = (tmp_path / "tei-auto" / "document1.affiliation.tei.xml").read_text()
+        assert xpath_text(out, ".//affiliation/marker") == "12"
+        assert (
+            xpath_text(out, './/affiliation/orgName[@type="institution"]')
+            == "Science Institute"
+        )
+        assert xpath_text(out, ".//affiliation/address/settlement") == "Springfield"
+
+    TABLE_MAPPING = """
+[article]
+table = //table-wrap
+table.children = ./label | ./caption
+table.sub.table-label = ./label
+table.sub.table-caption = ./caption
+"""
+
+    TABLE_TEI_MAPPING = {
+        "DEFAULT": 'note[@type="other"]',
+        "table": 'figure[@type="table"]',
+        "table-label": 'figure[@type="table"]/head/label',
+        "table-caption": 'figure[@type="table"]/figDesc',
+    }
+
+    def test_table_sub_fields_via_file_driver(self, spark, tmp_path):
+        from sciencebeam_trainer_grobid_tools_spark.plans.flavors import table_flavor
+
+        (tmp_path / "tei-raw").mkdir()
+        (tmp_path / "xml").mkdir()
+        (tmp_path / "tei-raw" / "document1.table.tei.xml").write_text(
+            '<tei><text><figure type="table">Table 3 Mouse weights by diet'
+            "</figure></text></tei>"
+        )
+        (tmp_path / "xml" / "document1.xml").write_text(
+            "<article><front/><body><table-wrap><label>Table 3</label>"
+            "<caption><p>Mouse weights by diet</p></caption></table-wrap>"
+            "</body><back/></article>"
+        )
+        mapping = parse_xml_mapping_string(self.TABLE_MAPPING)
+        config = MatcherConfig(
+            use_sub_annotations=True,
+            extend_to_line_enabled=False,
+            tag_config_map=get_tag_config_map(mapping),
+        )
+        counters = run_auto_annotate(
+            spark,
+            source_base_path=str(tmp_path / "tei-raw"),
+            output_path=str(tmp_path / "tei-auto"),
+            xml_path=str(tmp_path / "xml"),
+            xml_filename_regex=r"/(.*).table.tei.xml/\1.xml/",
+            flavor_chain=table_flavor(config),
+            xml_mapping_text=self.TABLE_MAPPING,
+            tag_to_tei_path_mapping=self.TABLE_TEI_MAPPING,
+            container_path="text",
+            source_pattern="*.table.tei.xml",
+            preserve_tags=True,
+            preserve_fields={"table"},  # reference auto_annotate_table.py:101
+        )
+        assert counters == {"passed": 1, "failed": 0}
+        out = (tmp_path / "tei-auto" / "document1.table.tei.xml").read_text()
+        assert xpath_text(out, './/figure[@type="table"]/head/label') == "Table 3"
+        assert (
+            xpath_text(out, './/figure[@type="table"]/figDesc')
+            == "Mouse weights by diet"
+        )
