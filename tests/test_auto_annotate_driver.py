@@ -644,3 +644,59 @@ table.sub.table-caption = ./caption
             xpath_text(out, './/figure[@type="table"]/figDesc')
             == "Mouse weights by diet"
         )
+
+
+class TestRunAutoAnnotateFigure:
+    FIGURE_MAPPING = """
+[article]
+figure = //fig
+figure.children = ./label | ./caption
+figure.sub.figure-label = ./label
+figure.sub.figure-caption = ./caption
+"""
+
+    FIGURE_TEI_MAPPING = {
+        "DEFAULT": 'note[@type="other"]',
+        "figure": "figure",
+        "figure-label": "figure/head/label",
+        "figure-caption": "figure/figDesc",
+    }
+
+    def test_figure_sub_fields_via_file_driver(self, spark, tmp_path):
+        from sciencebeam_trainer_grobid_tools_spark.plans.flavors import figure_flavor
+
+        (tmp_path / "tei-raw").mkdir()
+        (tmp_path / "xml").mkdir()
+        (tmp_path / "tei-raw" / "document1.figure.tei.xml").write_text(
+            "<tei><text><figure>Figure 2 Weight curves over time</figure>"
+            "</text></tei>"
+        )
+        (tmp_path / "xml" / "document1.xml").write_text(
+            "<article><front/><body><fig><label>Figure 2</label>"
+            "<caption><p>Weight curves over time</p></caption></fig>"
+            "</body><back/></article>"
+        )
+        mapping = parse_xml_mapping_string(self.FIGURE_MAPPING)
+        config = MatcherConfig(
+            use_sub_annotations=True,
+            extend_to_line_enabled=False,
+            tag_config_map=get_tag_config_map(mapping),
+        )
+        counters = run_auto_annotate(
+            spark,
+            source_base_path=str(tmp_path / "tei-raw"),
+            output_path=str(tmp_path / "tei-auto"),
+            xml_path=str(tmp_path / "xml"),
+            xml_filename_regex=r"/(.*).figure.tei.xml/\1.xml/",
+            flavor_chain=figure_flavor(config),
+            xml_mapping_text=self.FIGURE_MAPPING,
+            tag_to_tei_path_mapping=self.FIGURE_TEI_MAPPING,
+            container_path="text",
+            source_pattern="*.figure.tei.xml",
+            preserve_tags=True,
+            preserve_fields={"figure"},
+        )
+        assert counters == {"passed": 1, "failed": 0}
+        out = (tmp_path / "tei-auto" / "document1.figure.tei.xml").read_text()
+        assert xpath_text(out, ".//figure/head/label") == "Figure 2"
+        assert xpath_text(out, ".//figure/figDesc") == "Weight curves over time"
