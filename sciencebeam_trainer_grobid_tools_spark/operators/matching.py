@@ -490,3 +490,48 @@ class MatchingAnnotator:
                     self._apply_matches(target_annotation, matches)
                 item_index += 1
         return doc
+
+
+MATCH_DEBUG_COLUMNS = [
+    # reference core/annotation/matching_annotator.py:252-295 (the subset the
+    # engine's matcher evaluates; fm_* detail strings are debug-only there)
+    "tag",
+    "match_multiple",
+    "start_index",
+    "choice_current",
+    "choice_next",
+    "accepted",
+    "tag_to_choice_match",
+    "sub_annotation",
+]
+
+
+class CsvMatchDetailReporter:
+    """File-backed match-detail sink (reference S8: ``--debug-match``,
+    auto_annotate_utils.py:430-436).  Delimiter by extension (.tsv -> tab),
+    header on first row; call :meth:`close` (or use as context manager).
+    Inside a Spark worker each task should write its own part file."""
+
+    def __init__(self, path: str):
+        import csv
+
+        self.path = path
+        delimiter = "\t" if path.endswith(".tsv") else ","
+        self._handle = open(path, "w", encoding="utf-8", newline="")
+        self._writer = csv.DictWriter(
+            self._handle, fieldnames=MATCH_DEBUG_COLUMNS, delimiter=delimiter,
+            extrasaction="ignore",
+        )
+        self._writer.writeheader()
+
+    def __call__(self, detail: dict) -> None:
+        self._writer.writerow(detail)
+
+    def close(self) -> None:
+        self._handle.close()
+
+    def __enter__(self) -> "CsvMatchDetailReporter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

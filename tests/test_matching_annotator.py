@@ -135,3 +135,33 @@ class TestMatchingAnnotator:
             seq_match_filter=get_simple_fuzzy_match_filter(0.5, min_match_count=3),
         )
         assert set(tag_values(doc)) == {"tag1"}
+
+
+def test_csv_match_detail_reporter_writes_rows(tmp_path):
+    """Reference S8 debug-match sink: per-match diagnostics land in a
+    delimited file with a stable header."""
+    import csv
+
+    from sciencebeam_trainer_grobid_tools_spark.operators.matching import (
+        MATCH_DEBUG_COLUMNS,
+        CsvMatchDetailReporter,
+        MatchingAnnotator,
+        MatchingAnnotatorConfig,
+    )
+    from sciencebeam_trainer_grobid_tools_spark.operators.annotate import (
+        TargetAnnotation,
+    )
+    from tests.conftest import doc_for_token_lines
+
+    path = str(tmp_path / "debug-match.tsv")
+    doc = doc_for_token_lines([["this", "is", "the", "title"]])
+    with CsvMatchDetailReporter(path) as reporter:
+        MatchingAnnotator(
+            [TargetAnnotation("this is the title", "title")],
+            MatchingAnnotatorConfig(match_detail_reporter=reporter),
+        ).annotate(doc)
+    with open(path, encoding="utf-8") as handle:
+        rows = list(csv.DictReader(handle, delimiter="\t"))
+    assert rows, "no debug rows written"
+    assert set(rows[0].keys()) == set(MATCH_DEBUG_COLUMNS)
+    assert any(r["tag"] == "title" and r["accepted"] == "True" for r in rows)
