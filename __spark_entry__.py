@@ -290,7 +290,11 @@ def q_docs_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     in DuckDB.  Verifies the banding LOGIC the production xxhash64 path
     (docs_minhash_near_dups) shares."""
     docs = _spread(_load(spark, sf_dir, "documents"), spark)
-    return dedup.portable_minhash_pairs(docs, k=5, num_hashes=8, bands=4)
+    # persist_intermediate=False: the gate runs every query repeatedly in one
+    # session; an unreleased cache per invocation would accumulate blocks.
+    return dedup.portable_minhash_pairs(
+        docs, k=5, num_hashes=8, bands=4, persist_intermediate=False
+    )
 
 
 def q_docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -162,11 +162,11 @@ def _adjacent_junk_prefix(s: str) -> "np.ndarray":
         prev = codes[:-1]
         cur = codes[1:]
         # vectorized ASCII isalpha; the (rare) non-ascii chars get the exact
-    # python check — replaces a per-char genexpr over the full haystack
-    alpha_mask = ((codes >= 65) & (codes <= 90)) | ((codes >= 97) & (codes <= 122))
-    for k in np.flatnonzero(codes > 127):
-        if s[int(k)].isalpha():
-            alpha_mask[k] = True
+        # python check — replaces a per-char genexpr over the full haystack
+        alpha_mask = ((codes >= 65) & (codes <= 90)) | ((codes >= 97) & (codes <= 122))
+        for k in np.flatnonzero(codes > 127):
+            if s[int(k)].isalpha():
+                alpha_mask[k] = True
         adjacent = (
             ((prev == _DOT_CODE) & ((cur == _SPACE_CODE) | (cur == _COMMA_CODE)))
             | (alpha_mask[:-1] & (cur == _DOT_CODE))

@@ -259,6 +259,7 @@ def portable_minhash_pairs(
     k: int = 5,
     num_hashes: int = 8,
     bands: int = 4,
+    persist_intermediate: bool = True,
 ) -> DataFrame:
     """MinHash+LSH with an oracle-portable hash family: per-seed minima of
     ``md5(seed || ':' || shingle)`` hex strings (lexicographic min), band
@@ -268,12 +269,18 @@ def portable_minhash_pairs(
     only ids+band keys; exact-Jaccard verification joins) but every value is
     reproducible in ANSI SQL/DuckDB — this is the variant the driver's
     correctness gate hash-checks; production uses the xxhash64 path.
+
+    ``persist_intermediate=False`` recomputes the shingle table instead of
+    caching it — use when the caller runs many invocations in one session
+    (repeated gate/bench runs) and cached blocks would otherwise accumulate.
     """
     rows_per_band = num_hashes // bands
     shingled = df.select(
         F.col(id_col).alias("doc_id"),
         word_shingles(F.col(text_col), k).alias("shingles"),
-    ).persist()
+    )
+    if persist_intermediate:
+        shingled = shingled.persist()
     exploded = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
     sig = exploded.groupBy("doc_id").agg(
         *[

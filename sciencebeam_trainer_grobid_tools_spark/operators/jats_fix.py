@@ -292,8 +292,11 @@ def find_doi_start_end(text: str) -> Optional[Tuple[int, int]]:
     """fix_jats_xml.py:317-334."""
     start_end = find_re_pattern_start_end(text, DOI_PATTERN)
     if start_end:
-        start, _ = start_end
-        doi = text[start:].rstrip().rstrip(".").rstrip()
+        start, end = start_end
+        # text[start:end], not text[start:] — the DOI regex stops at end of
+        # line ('.' does not cross newlines), so multi-line citation text
+        # after the DOI must not be swallowed into it.
+        doi = text[start:end].rstrip().rstrip(".").rstrip()
         doi = truncate_doi_at_known_tokens(doi)
         if doi.endswith("[doi]"):
             doi = doi[0:-5].rstrip()

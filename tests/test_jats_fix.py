@@ -111,6 +111,13 @@ class TestFindDoiValidStartEnd:
         start, end = find_doi_start_end(text)
         assert text[start:end] == DOI_1
 
+    def test_should_stop_at_newline_in_multiline_citation(self):
+        # fix_jats_xml.py:321 uses text[start:end] from the regex match, so
+        # the DOI never swallows citation text after a line break
+        text = "before: 10.1234/abc.def\nmore citation text follows"
+        start, end = find_doi_start_end(text)
+        assert text[start:end] == "10.1234/abc.def"
+
 
 class TestFindDoiUrlPrefixValidStartEnd:
     @pytest.mark.parametrize(

@@ -146,3 +146,48 @@ class TestIterFuzzySearchAll:
             (4, 7),
             (8, 11),
         ]
+
+
+class TestJunkPrefixParity:
+    """Randomized parity of the vectorized junk prefix sums vs the per-char
+    predicates they replace (guards the hot-path optimization layer)."""
+
+    @staticmethod
+    def _random_strings():
+        import random
+
+        rng = random.Random(20260816)
+        alphabet = list("ab Z.,*.. é9\t") + ["é", "中", "́"]
+        strings = ["", "a", ".", "*", " ", "é", "a..  b", "Smith ,J .A ."]
+        for _ in range(300):
+            n = rng.randint(1, 40)
+            strings.append("".join(rng.choice(alphabet) for _ in range(n)))
+        return strings
+
+    def test_adjacent_parity(self):
+        import numpy as np
+
+        from sciencebeam_trainer_grobid_tools_spark.kernel.fuzzy import (
+            _adjacent_junk_prefix,
+            adjacent_is_junk,
+        )
+
+        for s in self._random_strings():
+            expected = np.cumsum([adjacent_is_junk(s, i) for i in range(len(s))])
+            got = _adjacent_junk_prefix(s)
+            assert got[0] == 0
+            assert list(got[1:]) == list(expected), repr(s)
+
+    def test_positional_parity(self):
+        import numpy as np
+
+        from sciencebeam_trainer_grobid_tools_spark.kernel.fuzzy import (
+            _positional_junk_prefix,
+            positional_is_junk,
+        )
+
+        for s in self._random_strings():
+            expected = np.cumsum([positional_is_junk(s, i) for i in range(len(s))])
+            got = _positional_junk_prefix(s)
+            assert got[0] == 0
+            assert list(got[1:]) == list(expected), repr(s)
