@@ -785,16 +785,16 @@ def run_fix_jats_pipeline(
     def write_batches(batches):
         import pandas as pd
 
+        # absolute import: closure is cloudpickled to executors
+        from sciencebeam_trainer_grobid_tools_spark.sources.fs import write_text_file
+
         for pdf in batches:
             oks = []
             for rel_path, fixed_xml in zip(pdf["rel_path"], pdf["fixed_xml"]):
                 if fixed_xml is None:
                     oks.append(False)
                     continue
-                target = os.path.join(out_root, rel_path)
-                os.makedirs(os.path.dirname(target), exist_ok=True)
-                with open(target, "w", encoding="utf-8") as handle:
-                    handle.write(fixed_xml)
+                write_text_file(os.path.join(out_root, rel_path), fixed_xml)
                 oks.append(True)
             yield pd.DataFrame({"ok": oks})
 

@@ -510,14 +510,30 @@ class CsvMatchDetailReporter:
     """File-backed match-detail sink (reference S8: ``--debug-match``,
     auto_annotate_utils.py:430-436).  Delimiter by extension (.tsv -> tab),
     header on first row; call :meth:`close` (or use as context manager).
-    Inside a Spark worker each task should write its own part file."""
+
+    Inside a Spark task the given path is suffixed with the task's partition
+    id (``debug.part00007.csv``) so concurrent executor tasks never interleave
+    into one file — enforced here, not left to the caller.  Writes go through
+    the FS seam (``sources/fs.py``) so the sink works against registered
+    object-store backends."""
 
     def __init__(self, path: str):
         import csv
 
+        from ..sources.fs import get_filesystem
+
+        partition_suffix = _task_partition_suffix()
+        if partition_suffix:
+            base, dot, ext = path.rpartition(".")
+            path = (
+                "%s.%s%s%s" % (base, partition_suffix, dot, ext)
+                if dot
+                else "%s.%s" % (path, partition_suffix)
+            )
         self.path = path
         delimiter = "\t" if path.endswith(".tsv") else ","
-        self._handle = open(path, "w", encoding="utf-8", newline="")
+        self._ctx = get_filesystem(path).open_write(path)
+        self._handle = self._ctx.__enter__()
         self._writer = csv.DictWriter(
             self._handle, fieldnames=MATCH_DEBUG_COLUMNS, delimiter=delimiter,
             extrasaction="ignore",
@@ -528,10 +544,22 @@ class CsvMatchDetailReporter:
         self._writer.writerow(detail)
 
     def close(self) -> None:
-        self._handle.close()
+        self._ctx.__exit__(None, None, None)
 
     def __enter__(self) -> "CsvMatchDetailReporter":
         return self
 
     def __exit__(self, *exc) -> None:
         self.close()
+
+
+def _task_partition_suffix() -> str:
+    """``part%05d`` for the current Spark task's partition, '' on the driver."""
+    try:
+        from pyspark import TaskContext
+    except Exception:
+        return ""
+    ctx = TaskContext.get()
+    if ctx is None:
+        return ""
+    return "part%05d" % ctx.partitionId()

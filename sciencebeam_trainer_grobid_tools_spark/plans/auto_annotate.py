@@ -29,6 +29,7 @@ from ..operators.checks import check_document
 from ..operators.targets import parse_xml_mapping_string, xml_string_to_target_annotations
 from ..operators.tei_render import render_tei_xml
 from ..plans.flavors import AnnotatorChain
+from ..sources.fs import write_text_file
 from ..sources.tei import apply_preserve_policy, load_tei_doc
 
 
@@ -256,9 +257,9 @@ def run_auto_annotate(
                     )
                     root = out_root if passed else (failed_root or out_root)
                     target_file = os.path.join(root, row.file_name)
-                    os.makedirs(os.path.dirname(target_file), exist_ok=True)
-                    with open(target_file, "w", encoding="utf-8") as handle:
-                        handle.write(tei_out)
+                    # per-file sink goes through the FS seam (sources/fs.py)
+                    # so object-store backends can be swapped per scheme
+                    write_text_file(target_file, tei_out)
                     error = reason
                 except Exception as exc:  # per-document isolation (flagship policy)
                     passed, error = False, "%s: %s" % (type(exc).__name__, exc)

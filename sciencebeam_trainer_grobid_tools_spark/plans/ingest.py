@@ -151,23 +151,33 @@ def download_source_file_pairs(
     ).repartition(spark.sparkContext.defaultParallelism)
 
     def copy_batches(batches):
-        import shutil
-
         import pandas as pd
+
+        # absolute import: this closure is cloudpickled to executors, where
+        # relative imports may lack the package context
+        from sciencebeam_trainer_grobid_tools_spark.sources.fs import get_filesystem
 
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
-                exists = os.path.exists(row.doc_src) and os.path.exists(row.tgt_src)
+                exists = get_filesystem(row.doc_src).exists(
+                    row.doc_src
+                ) and get_filesystem(row.tgt_src).exists(row.tgt_src)
                 if exists:
                     for src, dst in ((row.doc_src, row.doc_dst), (row.tgt_src, row.tgt_dst)):
-                        os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
-                        shutil.copyfile(src, dst)
+                        get_filesystem(dst).copyfile(src, dst)
                 out.append({"idx": row.idx, "copied": exists})
             yield pd.DataFrame(out, columns=["idx", "copied"])
 
-    statuses = pairs.mapInPandas(copy_batches, schema="idx long, copied boolean").collect()
-    copied = sum(1 for s in statuses if s["copied"])
+    # aggregate executor-side; only the (copied -> count) rows (<=2) reach the
+    # driver, never one status row per file pair
+    outcome = (
+        pairs.mapInPandas(copy_batches, schema="idx long, copied boolean")
+        .groupBy("copied")
+        .count()
+        .collect()
+    )
+    copied = sum(row["count"] for row in outcome if row["copied"])
     if rows and not copied:
         raise ValueError("none of the file pairs exists")
     return {"copied": copied, "skipped": len(rows) - copied}

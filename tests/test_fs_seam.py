@@ -1,0 +1,163 @@
+"""FS seam (sources/fs.py): scheme dispatch, fake-backend injection, and the
+per-task debug-match part files.
+
+The reference routes file I/O through Beam FileSystems (utils/io.py:16-39);
+the engine's per-file sinks go through ``get_filesystem`` so an object-store
+backend can be registered per URL scheme without touching kernels.
+"""
+
+import csv
+import os
+from contextlib import contextmanager
+
+import pytest
+
+from sciencebeam_trainer_grobid_tools_spark.sources import fs as fs_mod
+from sciencebeam_trainer_grobid_tools_spark.sources.fs import (
+    LocalFileSystem,
+    get_filesystem,
+    register_filesystem,
+    write_text_file,
+)
+
+
+class FakeFileSystem:
+    """Records every call; stores writes in an in-memory dict (no local I/O)."""
+
+    store = {}
+    copies = []
+
+    def exists(self, path):
+        return path in self.store
+
+    def makedirs(self, path):
+        pass
+
+    @contextmanager
+    def open_write(self, path, binary=False):
+        import io
+
+        buf = io.BytesIO() if binary else io.StringIO()
+        yield buf
+        self.store[path] = buf.getvalue()
+
+    def copyfile(self, src, dst):
+        self.copies.append((src, dst))
+        self.store[dst] = "<copied:%s>" % src
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from sciencebeam_trainer_grobid_tools_spark.plans.session import build_session
+
+    session = build_session("fs-seam-tests", cpus=4, shuffle_partitions=8)
+    session.sparkContext.setLogLevel("ERROR")
+    yield session
+    session.stop()
+
+
+@pytest.fixture()
+def fake_fs():
+    FakeFileSystem.store = {}
+    FakeFileSystem.copies = []
+    register_filesystem("fake", FakeFileSystem)
+    yield FakeFileSystem
+    fs_mod._REGISTRY.pop("fake", None)
+
+
+class TestSchemeDispatch:
+    def test_local_default(self, tmp_path):
+        assert isinstance(get_filesystem(str(tmp_path / "x.txt")), LocalFileSystem)
+        assert isinstance(get_filesystem("file://" + str(tmp_path)), LocalFileSystem)
+
+    def test_unknown_scheme_names_registration_hook(self):
+        with pytest.raises(ValueError, match="register_filesystem"):
+            get_filesystem("gs://bucket/key")
+
+    def test_local_roundtrip(self, tmp_path):
+        path = str(tmp_path / "nested" / "dir" / "out.txt")
+        write_text_file(path, "hello")
+        with open(path, encoding="utf-8") as handle:
+            assert handle.read() == "hello"
+
+    def test_file_scheme_strips_to_local(self, tmp_path):
+        path = "file://" + str(tmp_path / "a.txt")
+        write_text_file(path, "x")
+        assert (tmp_path / "a.txt").read_text() == "x"
+
+
+class TestFakeBackendInjection:
+    """No direct open()/shutil in the sink kernels: a registered fake backend
+    receives every write/copy when the path carries its scheme."""
+
+    def test_write_text_file_through_fake(self, fake_fs):
+        write_text_file("fake://out/doc.tei.xml", "<TEI/>")
+        assert fake_fs.store == {"fake://out/doc.tei.xml": "<TEI/>"}
+
+    def test_copyfile_through_fake(self, fake_fs):
+        get_filesystem("fake://dst/a.pdf").copyfile("/src/a.pdf", "fake://dst/a.pdf")
+        assert fake_fs.copies == [("/src/a.pdf", "fake://dst/a.pdf")]
+
+    def test_debug_match_sink_through_fake(self, fake_fs):
+        from sciencebeam_trainer_grobid_tools_spark.operators.matching import (
+            MATCH_DEBUG_COLUMNS,
+            CsvMatchDetailReporter,
+        )
+
+        with CsvMatchDetailReporter("fake://debug/match.tsv") as reporter:
+            reporter({c: "v" for c in MATCH_DEBUG_COLUMNS})
+        content = fake_fs.store["fake://debug/match.tsv"]
+        lines = content.strip().split("\r\n")
+        assert lines[0] == "\t".join(MATCH_DEBUG_COLUMNS)
+        assert len(lines) == 2
+
+
+class TestDebugSinkPartFiles:
+    def test_driver_side_path_unchanged(self, tmp_path):
+        from sciencebeam_trainer_grobid_tools_spark.operators.matching import (
+            CsvMatchDetailReporter,
+        )
+
+        path = str(tmp_path / "debug.csv")
+        with CsvMatchDetailReporter(path) as reporter:
+            assert reporter.path == path
+
+    def test_concurrent_tasks_get_distinct_part_files(self, spark, tmp_path):
+        """Two executor tasks given the SAME sink path must not interleave:
+        each writes its own ``.partNNNNN`` file."""
+        from pyspark.sql import functions as F
+
+        out_dir = str(tmp_path)
+        target = os.path.join(out_dir, "debug.tsv")
+
+        def write_partition(batches):
+            from sciencebeam_trainer_grobid_tools_spark.operators.matching import (
+                MATCH_DEBUG_COLUMNS,
+                CsvMatchDetailReporter,
+            )
+
+            with CsvMatchDetailReporter(target) as reporter:
+                for pdf in batches:
+                    for tag in pdf["tag"]:
+                        reporter({c: tag for c in MATCH_DEBUG_COLUMNS})
+                    yield pdf.assign(part_file=reporter.path)
+
+        df = (
+            spark.range(4)
+            .select(F.concat(F.lit("tag"), F.col("id")).alias("tag"))
+            .repartition(2)
+        )
+        result = df.mapInPandas(
+            write_partition, schema="tag string, part_file string"
+        ).collect()
+
+        part_files = {row["part_file"] for row in result}
+        assert len(part_files) >= 2, part_files
+        assert not os.path.exists(target), "tasks must not share the bare path"
+        total_rows = 0
+        for part in part_files:
+            assert ".part" in os.path.basename(part)
+            with open(part, encoding="utf-8") as handle:
+                rows = list(csv.DictReader(handle, delimiter="\t"))
+            total_rows += len(rows)
+        assert total_rows == 4
