@@ -180,6 +180,7 @@ def run_auto_annotate(
     tag_to_tei_path_mapping: Dict[str, str],
     container_path: str = "text/front",
     fields: Optional[Set[str]] = None,
+    sub_fields: Optional[Set[str]] = None,
     failed_output_path: Optional[str] = None,
     require_matching_fields: Optional[Set[str]] = None,
     required_fields: Optional[Set[str]] = None,
@@ -188,6 +189,10 @@ def run_auto_annotate(
     preserve_fields: Optional[Set[str]] = None,
     preserve_sub_tags: bool = False,
     no_preserve_sub_fields: Optional[Set[str]] = None,
+    no_preserve_fields: Optional[Set[str]] = None,
+    xml_mapping_overrides: Optional[Dict[str, str]] = None,
+    limit: Optional[int] = None,
+    resume: bool = False,
 ) -> Dict[str, int]:
     """Run a flavor over a directory of raw training-TEI files paired with
     target-XML files, writing annotated TEI per input file.
@@ -199,6 +204,13 @@ def run_auto_annotate(
     """
     match_pattern, replace_pattern = parse_substitution_pattern(xml_filename_regex)
     tei_files = _scan_files(spark, source_base_path, source_pattern)
+    if resume and os.path.isdir(output_path):
+        # S2 resume filter: skip inputs whose output file already exists —
+        # an anti-join on file_name (paths-only scan; binary content pruned)
+        done = _scan_files(spark, output_path, source_pattern).select("file_name")
+        tei_files = tei_files.join(done, on="file_name", how="left_anti")
+    if limit is not None:
+        tei_files = tei_files.limit(limit)
     xml_files = _scan_files(spark, xml_path, "*.xml").select(
         F.col("file_name").alias("xml_name"), F.col("content").alias("xml_content")
     )
@@ -210,7 +222,11 @@ def run_auto_annotate(
     ).join(xml_files, on="xml_name", how="inner")
 
     mapping, selected_fields = get_filtered_xml_mapping_and_fields(
-        parse_xml_mapping_string(xml_mapping_text), fields
+        get_xml_mapping_with_overrides(
+            parse_xml_mapping_string(xml_mapping_text), xml_mapping_overrides
+        ),
+        fields,
+        sub_fields=sub_fields,
     )
     out_root = os.path.abspath(output_path)
     failed_root = os.path.abspath(failed_output_path) if failed_output_path else None
@@ -232,10 +248,14 @@ def run_auto_annotate(
                     )
                     # reference annotator.py:73-113: keep preserved tags
                     # except the fields being re-annotated; sub-tag policy
+                    # no_preserve_fields (segmentation --no-preserve-fields,
+                    # reference output_fields) adds output tags to the
+                    # never-preserve set alongside the re-annotated fields
                     apply_preserve_policy(
                         doc,
                         preserve_tags=preserve_tags,
-                        fields=selected_fields,
+                        fields=set(selected_fields or ()) | set(no_preserve_fields or ())
+                        or None,
                         preserve_fields=preserve_fields,
                         preserve_sub_tags=preserve_sub_tags,
                         no_preserve_sub_fields=no_preserve_sub_fields,

@@ -1,0 +1,167 @@
+"""CLI parity mains (cli/*): the reference's ``auto_annotate_*`` flag surface
+mapped onto the Spark file driver.  The header/segmentation cases reuse the
+``test_auto_annotate_driver`` golden shapes so the CLI provably drives the
+same pipeline."""
+
+import xml.etree.ElementTree as ET
+
+import pytest
+
+from sciencebeam_trainer_grobid_tools_spark.cli import (
+    auto_annotate_header,
+    auto_annotate_segmentation,
+    shared,
+)
+
+TITLE_1 = "Chocolate bars for mice"
+ABSTRACT_1 = "This study explores the nutritious value of chocolate bars for mice."
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from sciencebeam_trainer_grobid_tools_spark.plans.session import build_session
+
+    session = build_session("cli-tests", cpus=4, shuffle_partitions=8)
+    session.sparkContext.setLogLevel("ERROR")
+    yield session
+    session.stop()
+
+
+def xpath_text(xml_str: str, path: str) -> str:
+    root = ET.fromstring(xml_str)
+    return " ".join("".join(node.itertext()) for node in root.findall(path))
+
+
+def write_header_pair(tmp_path, front_inner: str, xml: str, stem: str = "document1"):
+    (tmp_path / "tei-raw").mkdir(exist_ok=True)
+    (tmp_path / "xml").mkdir(exist_ok=True)
+    (tmp_path / "tei-raw" / ("%s.header.tei.xml" % stem)).write_text(
+        "<tei><text><front>%s</front></text></tei>" % front_inner
+    )
+    (tmp_path / "xml" / ("%s.xml" % stem)).write_text(xml)
+
+
+def target_xml(title: str = "", extra: str = "") -> str:
+    return (
+        "<article><front><article-meta>"
+        "<title-group><article-title>%s</article-title></title-group>%s"
+        "</article-meta></front></article>" % (title, extra)
+    )
+
+
+def header_argv(tmp_path, *extra):
+    return [
+        "--source-base-path", str(tmp_path / "tei-raw"),
+        "--output-path", str(tmp_path / "tei-auto"),
+        "--xml-path", str(tmp_path / "xml"),
+        "--xml-filename-regex", r"/(.*).header.tei.xml/\1.xml/",
+        *extra,
+    ]
+
+
+class TestSharedParsing:
+    def test_parse_dict(self):
+        assert shared.parse_dict("a=1|b.c = x y ") == {"a": "1", "b.c": "x y"}
+
+    def test_parse_dict_rejects_missing_equals(self):
+        import argparse
+
+        with pytest.raises(argparse.ArgumentTypeError):
+            shared.parse_dict("novalue")
+
+    def test_requires_source(self, tmp_path):
+        with pytest.raises(SystemExit):
+            auto_annotate_header.parse_args(
+                ["--output-path", "o", "--xml-path", "x",
+                 "--xml-filename-regex", "/a/b/"]
+            )
+
+    def test_fields_plus_minus_syntax(self, tmp_path):
+        args = auto_annotate_segmentation.parse_args(
+            header_argv(tmp_path, "--fields=-reference,+extra")
+        )
+        assert "reference" not in args.fields
+        assert "extra" in args.fields
+        assert "title" in args.fields
+
+    def test_matcher_flags(self, tmp_path):
+        args = auto_annotate_header.parse_args(
+            header_argv(tmp_path, "--matcher", "complex",
+                        "--matcher-score-threshold", "0.9",
+                        "--matcher-lookahead-lines", "123")
+        )
+        assert args.matcher == "complex"
+        assert args.matcher_score_threshold == 0.9
+        assert args.matcher_lookahead_lines == 123
+
+
+class TestHeaderCli:
+    def test_should_auto_annotate_title(self, spark, tmp_path):
+        # same golden as TestRunAutoAnnotateHeader.test_should_auto_annotate_title
+        write_header_pair(tmp_path, "<note>%s</note>" % TITLE_1, target_xml(TITLE_1))
+        counters = auto_annotate_header.main(
+            header_argv(tmp_path, "--fields", "title")
+        )
+        assert counters == {"passed": 1, "failed": 0}
+        out = (tmp_path / "tei-auto" / "document1.header.tei.xml").read_text()
+        assert xpath_text(out, ".//docTitle/titlePart") == TITLE_1
+
+    def test_complex_matcher_annotates_title(self, spark, tmp_path):
+        write_header_pair(tmp_path, "<note>%s</note>" % TITLE_1, target_xml(TITLE_1))
+        counters = auto_annotate_header.main(
+            header_argv(tmp_path, "--fields", "title", "--matcher", "complex")
+        )
+        assert counters == {"passed": 1, "failed": 0}
+        out = (tmp_path / "tei-auto" / "document1.header.tei.xml").read_text()
+        assert xpath_text(out, ".//docTitle/titlePart") == TITLE_1
+
+    def test_limit_and_resume(self, spark, tmp_path):
+        write_header_pair(tmp_path, "<note>%s</note>" % TITLE_1, target_xml(TITLE_1))
+        write_header_pair(
+            tmp_path, "<note>%s</note>" % TITLE_1, target_xml(TITLE_1), stem="document2"
+        )
+        counters = auto_annotate_header.main(
+            header_argv(tmp_path, "--fields", "title", "--limit", "1")
+        )
+        assert counters == {"passed": 1, "failed": 0}
+        # resume: the already-produced output is skipped, the other processed
+        counters = auto_annotate_header.main(
+            header_argv(tmp_path, "--fields", "title", "--resume")
+        )
+        assert counters == {"passed": 1, "failed": 0}
+        assert (tmp_path / "tei-auto" / "document1.header.tei.xml").exists()
+        assert (tmp_path / "tei-auto" / "document2.header.tei.xml").exists()
+
+    def test_failed_output_path(self, spark, tmp_path):
+        write_header_pair(tmp_path, "<note>something else</note>", target_xml(TITLE_1))
+        counters = auto_annotate_header.main(
+            header_argv(
+                tmp_path, "--fields", "title",
+                "--require-matching-fields", "title",
+                "--failed-output-path", str(tmp_path / "tei-failed"),
+            )
+        )
+        assert counters == {"passed": 0, "failed": 1}
+        assert (tmp_path / "tei-failed" / "document1.header.tei.xml").exists()
+
+
+class TestSegmentationCli:
+    def test_should_annotate_front(self, spark, tmp_path):
+        # same golden as the driver's segmentation case: title -> //text/front
+        (tmp_path / "tei-raw").mkdir(exist_ok=True)
+        (tmp_path / "xml").mkdir(exist_ok=True)
+        (tmp_path / "tei-raw" / "document1.segmentation.tei.xml").write_text(
+            "<tei><text><note>%s</note></text></tei>" % TITLE_1
+        )
+        (tmp_path / "xml" / "document1.xml").write_text(target_xml(TITLE_1))
+        counters = auto_annotate_segmentation.main(
+            [
+                "--source-base-path", str(tmp_path / "tei-raw"),
+                "--output-path", str(tmp_path / "tei-auto"),
+                "--xml-path", str(tmp_path / "xml"),
+                "--xml-filename-regex", r"/(.*).segmentation.tei.xml/\1.xml/",
+            ]
+        )
+        assert counters == {"passed": 1, "failed": 0}
+        out = (tmp_path / "tei-auto" / "document1.segmentation.tei.xml").read_text()
+        assert TITLE_1 in xpath_text(out, ".//front")
