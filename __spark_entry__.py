@@ -274,6 +274,22 @@ def q_docs_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_candidate_pairs(docs, k=5, num_hashes=32, bands=8)
 
 
+def q_docs_minhash_xxhash_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-family check of the PRODUCTION xxhash64 minhash path: at the
+    same (k=5, num_hashes=8, bands=4) parameters, the xxhash64-banding pair
+    set restricted to true near-dups (exact Jaccard >= 0.5) must equal the
+    portable md5-banding pair set under the same restriction — DuckDB
+    computes the portable side, so the equality is value-checked.  Banding
+    recall for high-Jaccard pairs is hash-family-independent on the seeded
+    corpus (collision probability 1-(1-j^2)^4 ~ 1 at j >= 0.5 for the
+    seeded near-dup construction), which makes the pair LISTS comparable."""
+    docs = _spread(_load(spark, sf_dir, "documents"), spark)
+    pairs = dedup.minhash_candidate_pairs(
+        docs, k=5, num_hashes=8, bands=4, persist_intermediate=False
+    )
+    return pairs.filter(F.col("jaccard") >= 0.5)
+
+
 def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures, oracle-portable form: per-token md5 top-bits,
     bitwise majority vote, '0'/'1' bit-string output (DuckDB-reproducible).
@@ -335,6 +351,20 @@ def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings = _load(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(
         embeddings, _query_vector(spark, sf_dir), k=10, round_digits=4
+    )
+
+
+def q_emb_lsh_prebucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-bucket LSH ANN: the ingest stage stores ``lsh_bucket``
+    (add_lsh_bucket), the query filters ONLY the stored column (probe set
+    computed driver-side) and re-ranks — the serving-scale pattern where the
+    filter becomes partition pruning on a bucket-partitioned layout.  The
+    oracle recomputes bucket assignments, probe set, and re-rank, so the
+    returned bucket values check the materialization itself."""
+    embeddings = _load(spark, sf_dir, "embeddings")
+    prebucketed = similarity.add_lsh_bucket(embeddings)
+    return similarity.lsh_topk_prebucketed(
+        prebucketed, _query_vector(spark, sf_dir), k=10, round_digits=4
     )
 
 
@@ -873,11 +903,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_counts": q_docs_token_counts,
         "docs_fingerprint": q_docs_fingerprint,
         "docs_minhash_near_dups": q_docs_minhash_near_dups,
+        "docs_minhash_xxhash_crosscheck": q_docs_minhash_xxhash_crosscheck,
         "docs_minhash_portable": q_docs_minhash_portable,
         "docs_simhash": q_docs_simhash,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_lsh_topk": q_emb_lsh_topk,
+        "emb_lsh_prebucketed": q_emb_lsh_prebucketed,
         "emb_label_stats": q_emb_label_stats,
         "align_exact_spans": q_align_exact_spans,
         "flagship_extract_align": q_flagship_extract_align,
@@ -935,6 +967,95 @@ def _lsh_topk_oracle_sql() -> str:
         ORDER BY cos DESC, vec_id
         LIMIT 10
     """ % plane_rows
+
+
+def _lsh_prebucketed_oracle_sql() -> str:
+    """DuckDB replica of q_emb_lsh_prebucketed: identical bucket/probe/re-rank
+    math, but the result carries the bucket column so the stored-column
+    materialization (add_lsh_bucket) is value-checked too."""
+    from sciencebeam_trainer_grobid_tools_spark.operators.similarity import (
+        random_hyperplanes,
+    )
+
+    planes = random_hyperplanes(dim=64, n_planes=8, seed=42)
+    plane_rows = ",\n".join(
+        "(%d, [%s]::DOUBLE[])" % (i, ", ".join("%.17g" % v for v in plane))
+        for i, plane in enumerate(planes)
+    )
+    return """
+        WITH planes(plane_id, plane) AS (VALUES %s),
+        buckets AS (
+            SELECT e.vec_id, e.embedding,
+                   CAST(SUM(
+                       CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.plane) >= 0
+                            THEN 1 << p.plane_id ELSE 0 END
+                   ) AS BIGINT) AS bucket
+            FROM embeddings e, planes p
+            GROUP BY e.vec_id, e.embedding
+        ),
+        q AS (
+            SELECT b.bucket AS qbucket, e.embedding AS qe
+            FROM buckets b JOIN embeddings e ON e.vec_id = b.vec_id
+            WHERE b.vec_id = 0
+        ),
+        candidates AS (
+            SELECT b.vec_id, b.bucket AS lsh_bucket,
+                   list_dot_product(b.embedding::DOUBLE[], q.qe::DOUBLE[])
+                   / (SQRT(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))
+                      * SQRT(list_dot_product(q.qe::DOUBLE[], q.qe::DOUBLE[]))) AS cos
+            FROM buckets b, q
+            WHERE bit_count(xor(b.bucket, q.qbucket)) <= 1
+        )
+        SELECT vec_id, lsh_bucket, ROUND(cos, 4) AS cosine
+        FROM candidates
+        ORDER BY cos DESC, vec_id
+        LIMIT 10
+    """ % plane_rows
+
+
+# DuckDB replica of the full portable MinHash+LSH banding pipeline
+# (q_docs_minhash_portable); also the expected-side of the xxhash64-path
+# cross-check when restricted to jaccard >= 0.5
+_MINHASH_PORTABLE_SQL = """
+    WITH tok AS (
+        SELECT doc_id,
+               string_split(LOWER(REPLACE(text, chr(10), ' ')), ' ') AS tokens
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN LEN(tokens) >= 5 THEN
+                   [array_to_string(tokens[i:i+4], ' ')
+                    for i in range(1, LEN(tokens) - 5 + 2)]
+                 ELSE [array_to_string(tokens, ' ')] END) AS shingles
+        FROM tok
+    ),
+    sig AS (
+        SELECT doc_id, shingles,
+               [list_aggregate(
+                    list_transform(shingles, s -> md5(seed::VARCHAR || ':' || s)),
+                    'min')
+                for seed in [0, 1, 2, 3, 4, 5, 6, 7]] AS sig
+        FROM sh
+    ),
+    buckets AS (
+        SELECT doc_id, b.band AS band,
+               md5(sig[2 * b.band + 1] || ',' || sig[2 * b.band + 2]) AS band_key
+        FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b
+    ),
+    pairs AS (
+        SELECT DISTINCT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b
+        FROM buckets l JOIN buckets r
+          ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+    )
+    SELECT p.doc_id_a, p.doc_id_b,
+           ROUND(LEN(list_intersect(a.shingles, b.shingles))
+                 / LEN(list_distinct(list_concat(a.shingles, b.shingles))), 6)
+               AS jaccard
+    FROM pairs p
+    JOIN sig a ON a.doc_id = p.doc_id_a
+    JOIN sig b ON b.doc_id = p.doc_id_b
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1108,6 +1229,7 @@ def oracle_sql() -> dict[str, str]:
                   / LEN(list_distinct(list_concat(l.shingles, r.shingles))) >= 0.05
         """,
         "emb_lsh_topk": _lsh_topk_oracle_sql(),
+        "emb_lsh_prebucketed": _lsh_prebucketed_oracle_sql(),
         "docs_simhash": """
             WITH tok AS (
                 SELECT doc_id,
@@ -1126,46 +1248,13 @@ def oracle_sql() -> dict[str, str]:
                        AS simhash_bits
             FROM votes GROUP BY doc_id
         """,
-        "docs_minhash_portable": """
-            WITH tok AS (
-                SELECT doc_id,
-                       string_split(LOWER(REPLACE(text, chr(10), ' ')), ' ') AS tokens
-                FROM documents
-            ),
-            sh AS (
-                SELECT doc_id,
-                       list_distinct(CASE WHEN LEN(tokens) >= 5 THEN
-                           [array_to_string(tokens[i:i+4], ' ')
-                            for i in range(1, LEN(tokens) - 5 + 2)]
-                         ELSE [array_to_string(tokens, ' ')] END) AS shingles
-                FROM tok
-            ),
-            sig AS (
-                SELECT doc_id, shingles,
-                       [list_aggregate(
-                            list_transform(shingles, s -> md5(seed::VARCHAR || ':' || s)),
-                            'min')
-                        for seed in [0, 1, 2, 3, 4, 5, 6, 7]] AS sig
-                FROM sh
-            ),
-            buckets AS (
-                SELECT doc_id, b.band AS band,
-                       md5(sig[2 * b.band + 1] || ',' || sig[2 * b.band + 2]) AS band_key
-                FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b
-            ),
-            pairs AS (
-                SELECT DISTINCT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b
-                FROM buckets l JOIN buckets r
-                  ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
-            )
-            SELECT p.doc_id_a, p.doc_id_b,
-                   ROUND(LEN(list_intersect(a.shingles, b.shingles))
-                         / LEN(list_distinct(list_concat(a.shingles, b.shingles))), 6)
-                       AS jaccard
-            FROM pairs p
-            JOIN sig a ON a.doc_id = p.doc_id_a
-            JOIN sig b ON b.doc_id = p.doc_id_b
-        """,
+        "docs_minhash_portable": _MINHASH_PORTABLE_SQL,
+        # the portable md5 banding restricted to true near-dups is the
+        # expected pair list for the xxhash64-path cross-check (see
+        # q_docs_minhash_xxhash_crosscheck)
+        "docs_minhash_xxhash_crosscheck": (
+            "SELECT * FROM (%s) WHERE jaccard >= 0.5" % _MINHASH_PORTABLE_SQL
+        ),
         "emb_cosine_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
             SELECT e.vec_id,

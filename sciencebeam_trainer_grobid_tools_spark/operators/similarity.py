@@ -77,6 +77,79 @@ def lsh_bucket(vec: Column, hyperplanes: List[List[float]]) -> Column:
     return bucket
 
 
+def add_lsh_bucket(
+    df: DataFrame,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    bucket_col: str = "lsh_bucket",
+) -> DataFrame:
+    """INGEST-side LSH bucket materialization.
+
+    At serving scale the bucket must be a stored column computed once when
+    rows land (not recomputed per query — ``lsh_topk`` scans every row to
+    evaluate ``n_planes`` dot products, which is fine for a one-off batch
+    query but wrong as an ANN serving pattern).  Write the result partitioned
+    by the bucket column so the query-side filter becomes partition pruning:
+
+        add_lsh_bucket(df).write.partitionBy("lsh_bucket").parquet(path)
+
+    then query the stored table with :func:`lsh_topk_prebucketed`.
+    """
+    dim_probe = df.select(F.size(vec_col).alias("d")).limit(1).collect()
+    dim = dim_probe[0]["d"] if dim_probe else 0
+    planes = random_hyperplanes(dim, n_planes, seed)
+    return df.withColumn(bucket_col, lsh_bucket(F.col(vec_col), planes))
+
+
+def lsh_topk_prebucketed(
+    df: DataFrame,
+    query_vector: Sequence[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "lsh_bucket",
+    multi_probe_bits: int = 1,
+    round_digits: int = 6,
+) -> DataFrame:
+    """ANN top-k against a table with a MATERIALIZED ``bucket_col``
+    (see :func:`add_lsh_bucket`).
+
+    The probe-bucket set is computed driver-side from the query vector; the
+    scan filters the stored column only — no per-row hyperplane evaluation —
+    so on a bucket-partitioned layout the filter is pure partition pruning
+    and the exact cosine re-rank touches just the probed buckets.
+    Returns ``(id, bucket, cosine)`` so the bucket assignment itself is
+    value-checkable.
+    """
+    planes = random_hyperplanes(len(query_vector), n_planes, seed)
+    query_bucket = sum(
+        (1 << i)
+        for i, plane in enumerate(planes)
+        if sum(p * v for p, v in zip(plane, query_vector)) >= 0
+    )
+    probe_buckets = {query_bucket}
+    if multi_probe_bits:
+        for i in range(n_planes):
+            probe_buckets.add(query_bucket ^ (1 << i))
+    candidates = df.filter(F.col(bucket_col).isin(*sorted(probe_buckets)))
+    q = _query_literal(query_vector)
+    q_norm = math.sqrt(sum(float(v) ** 2 for v in query_vector)) or 1.0
+    cos = dot(F.col(vec_col), q) / (embedding_norm(F.col(vec_col)) * F.lit(q_norm))
+    return (
+        candidates.select(F.col(id_col), F.col(bucket_col), cos.alias("_cos"))
+        .orderBy(F.col("_cos").desc(), F.col(id_col))
+        .limit(k)
+        .select(
+            F.col(id_col),
+            F.col(bucket_col),
+            F.round(F.col("_cos"), round_digits).alias("cosine"),
+        )
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     query_vector: Sequence[float],

@@ -148,6 +148,42 @@ class TestSimilarity:
         # covers a meaningful share of the exact top-10
         assert len(exact & approx) >= 3
 
+    def test_prebucketed_matches_query_time_lsh(self, embeddings):
+        """Stored-bucket ANN returns the same candidates+ranking as the
+        query-time-bucket path at the same (n_planes, seed, probe) params."""
+        query = [float(v) for v in embeddings.filter("vec_id = 5").collect()[0]["embedding"]]
+        prebucketed = similarity.add_lsh_bucket(embeddings, n_planes=4)
+        got = similarity.lsh_topk_prebucketed(
+            prebucketed, query, k=10, n_planes=4
+        ).collect()
+        expected = similarity.lsh_topk(embeddings, query, k=10, n_planes=4).collect()
+        assert [(r["vec_id"], r["cosine"]) for r in got] == [
+            (r["vec_id"], r["cosine"]) for r in expected
+        ]
+
+    def test_prebucketed_layout_prunes_partitions(self, spark, embeddings, tmp_path):
+        """Serving layout: add_lsh_bucket at ingest + partitionBy(lsh_bucket)
+        makes the query-side bucket filter pure partition pruning — the plan
+        must carry it as a PartitionFilter on the stored column, with no
+        hyperplane evaluation in the scan."""
+        path = str(tmp_path / "prebucketed")
+        similarity.add_lsh_bucket(embeddings, n_planes=4).write.partitionBy(
+            "lsh_bucket"
+        ).parquet(path)
+        stored = spark.read.parquet(path)
+        query = [float(v) for v in embeddings.filter("vec_id = 5").collect()[0]["embedding"]]
+        result = similarity.lsh_topk_prebucketed(stored, query, k=10, n_planes=4)
+        plan = result._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        # the stored-column filter reached the scan's partition filters
+        partition_filters = plan.split("PartitionFilters")[1].splitlines()[0]
+        assert "lsh_bucket" in partition_filters
+        # and the result is still the same ranking
+        expected = similarity.lsh_topk(embeddings, query, k=10, n_planes=4).collect()
+        assert [r["vec_id"] for r in result.collect()] == [
+            r["vec_id"] for r in expected
+        ]
+
 
 class TestTextstats:
     def test_lang_id(self, docs):
