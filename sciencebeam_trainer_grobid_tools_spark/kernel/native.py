@@ -28,6 +28,7 @@ _C_SOURCE = r"""
 #include <stddef.h>
 #include <stdint.h>
 #include <stdlib.h>
+#include <emmintrin.h>
 
 /* Smith-Waterman score matrix: h is (m+1) x (n+1) int32 row-major,
    row 0 / col 0 pre-zeroed.  Scoring: match +2, mismatch -1, gap -2. */
@@ -127,6 +128,75 @@ int sw_traceback16(const uint32_t* a, const uint32_t* b, const int16_t* h,
             blocks[3 * n_blocks + 2] = 1;
             n_blocks++;
         }
+    }
+    return n_blocks;
+}
+
+/* Copy one DP row to the stored matrix with non-temporal (streaming)
+   stores: the bytes bypass the cache hierarchy entirely, so a large matrix
+   neither evicts the hot row buffers nor occupies shared-LLC capacity that
+   sibling cores need.  Head/tail handled scalar for alignment. */
+static void nt_copy_row(int16_t* dst, const int16_t* src, int count) {
+    int i = 0;
+    while (i < count && (((uintptr_t)(dst + i)) & 15)) { dst[i] = src[i]; i++; }
+    for (; i + 8 <= count; i += 8) {
+        __m128i v = _mm_loadu_si128((const __m128i*)(src + i));
+        _mm_stream_si128((__m128i*)(dst + i), v);
+    }
+    for (; i < count; i++) dst[i] = src[i];
+}
+
+/* Cache-invisible int16 DP: identical recurrence and best-cell tie-breaks
+   to sw_matrix16, but the recurrence runs over two small ping-pong row
+   buffers (rowbuf, capacity 2*(n+1), stays L1/L2-hot at any matrix size)
+   and each finished row is streamed to `h` with non-temporal stores.  The
+   stored matrix is byte-identical to sw_matrix16's; only the traffic
+   pattern differs.  For matrices larger than the private L2 this removes
+   the RFO read of every matrix line AND the LLC pollution that thrashes
+   sibling cores at high core counts — the one genuinely scale-relevant
+   footprint in the alignment path (see scripts/profile_dp_footprint.py). */
+void sw_matrix16_nt(const uint32_t* a, int n, const uint32_t* b, int m,
+                    int16_t* h, int16_t* rowbuf, int32_t* out) {
+    int16_t best = 0; int bi = 0; int bj = 0;
+    int16_t* prev = rowbuf;
+    int16_t* cur = rowbuf + (n + 1);
+    for (int i = 0; i <= n; i++) prev[i] = 0;
+    nt_copy_row(h, prev, n + 1);
+    for (int j = 1; j <= m; j++) {
+        uint32_t bj_code = b[j - 1];
+        int16_t left = 0;
+        cur[0] = 0;
+        for (int i = 1; i <= n; i++) {
+            int16_t v = prev[i - 1] + (a[i - 1] == bj_code ? 2 : -1);
+            int16_t up = prev[i] - 2;
+            if (up > v) v = up;
+            int16_t lft = left - 2;
+            if (lft > v) v = lft;
+            if (v < 0) v = 0;
+            cur[i] = v;
+            left = v;
+            if (v > best || (v == best && v > 0 && i < bi)) {
+                best = v; bi = i; bj = j;
+            }
+        }
+        nt_copy_row(h + (size_t)j * (n + 1), cur, n + 1);
+        int16_t* t = prev; prev = cur; cur = t;
+    }
+    _mm_sfence();
+    out[0] = bi; out[1] = bj; out[2] = best;
+}
+
+/* Fused alignment over the streaming DP (large-matrix path): same contract
+   as sw_align16; the traceback touches only the ~path cells of the stored
+   matrix, so the DRAM reads it incurs are negligible next to the avoided
+   RFO+LLC traffic of the generation. */
+int sw_align16_nt(const uint32_t* a, int n, const uint32_t* b, int m,
+                  int16_t* h, int16_t* rowbuf, int32_t* blocks) {
+    int32_t out[3];
+    sw_matrix16_nt(a, n, b, m, h, rowbuf, out);
+    int n_blocks = 0;
+    if (out[2] > 0) {
+        n_blocks = sw_traceback16(a, b, h, n, m, out[0], out[1], blocks);
     }
     return n_blocks;
 }
@@ -254,6 +324,16 @@ def get_native_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32),
         ]
         lib.sw_align16.restype = ctypes.c_int
+        lib.sw_align16_nt.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int16),
+            ctypes.POINTER(ctypes.c_int16),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.sw_align16_nt.restype = ctypes.c_int
         _lib = lib
     except Exception:
         _lib = None
@@ -364,6 +444,23 @@ def native_pick_max(h: np.ndarray) -> Optional[tuple]:
 
 _blocks_scratch: Optional[np.ndarray] = None
 _matrix_scratch: Optional[np.ndarray] = None
+_rowbuf_scratch: Optional[np.ndarray] = None
+
+# Above this matrix size the cache-invisible streaming DP takes over.
+# Measured on this box (scripts/profile_dp_footprint.py + bench_dp_nt.py,
+# quiet window): flagship matrices are <=45 KB (L1-resident — the cached
+# path is optimal and r2's L3-thrash theory does NOT apply to the bench
+# workload); production-length needles cross L2 at ~500 chars and a
+# 16-core LLC share at ~1000 chars, yet the cached path still scales
+# 0.87-0.91 at 4->32 workers here (260 MB L3, ample DRAM bandwidth) while
+# NT costs 1-10% single-core and wins ~5% aggregate only at the largest
+# sizes.  Default 16 MB: NT engages only where the matrix exceeds any
+# plausible per-core LLC share — on bandwidth/LLC-constrained production
+# executors (1-3 MB LLC/core is typical) the no-RFO, zero-LLC-occupancy
+# behavior is the right one; tune with SPARK_GRAFT_SW_NT_THRESHOLD.
+_NT_THRESHOLD_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SW_NT_THRESHOLD", str(1 << 24))
+)
 
 
 def native_match_blocks(a_codes: np.ndarray, b_codes: np.ndarray):
@@ -396,14 +493,30 @@ def native_match_blocks(a_codes: np.ndarray, b_codes: np.ndarray):
     matrix = _matrix_scratch
     a_contig = np.ascontiguousarray(a_codes, dtype=np.uint32)
     b_contig = np.ascontiguousarray(b_codes, dtype=np.uint32)
-    n_blocks = lib.sw_align16(
-        a_contig.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-        n,
-        b_contig.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-        m,
-        matrix.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
-        buffer.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-    )
+    if cells * 2 > _NT_THRESHOLD_BYTES:
+        # large matrix: cache-invisible streaming DP (byte-identical values)
+        global _rowbuf_scratch
+        row_need = 2 * (n + 1)
+        if _rowbuf_scratch is None or _rowbuf_scratch.shape[0] < row_need:
+            _rowbuf_scratch = np.empty(max(row_need, 4096), dtype=np.int16)
+        n_blocks = lib.sw_align16_nt(
+            a_contig.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            n,
+            b_contig.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            m,
+            matrix.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            _rowbuf_scratch.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            buffer.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+    else:
+        n_blocks = lib.sw_align16(
+            a_contig.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            n,
+            b_contig.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            m,
+            matrix.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            buffer.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
     return [
         (int(buffer[3 * k]), int(buffer[3 * k + 1]), int(buffer[3 * k + 2]))
         for k in range(n_blocks)

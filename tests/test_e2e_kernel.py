@@ -111,3 +111,66 @@ class TestAnnotationE2E:
         # uppercase-noised titles legitimately fail the case-sensitive
         # levenshtein check (reference semantics: checks.py:168)
         assert passed >= int(N_DOCS * 0.85), passed
+
+
+class TestStreamingDpParity:
+    """The non-temporal (cache-invisible) DP must produce byte-identical
+    blocks to the cached DP at any size (kernel/native.py sw_align16_nt)."""
+
+    def test_random_parity_nt_vs_cached(self):
+        import random
+
+        import numpy as np
+
+        from sciencebeam_trainer_grobid_tools_spark.kernel import native
+
+        if native.get_native_lib() is None:
+            import pytest
+
+            pytest.skip("native kernel unavailable")
+        saved = native._NT_THRESHOLD_BYTES
+        rng = random.Random(99)
+        alphabet = "abcdef ghij.,*"
+        try:
+            for _ in range(200):
+                n = rng.randint(1, 500)
+                m = rng.randint(1, 80)
+                a = "".join(rng.choice(alphabet) for _ in range(n))
+                b = "".join(rng.choice(alphabet) for _ in range(m))
+                ac = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
+                bc = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+                native._NT_THRESHOLD_BYTES = 0
+                nt_blocks = native.native_match_blocks(ac, bc)
+                native._NT_THRESHOLD_BYTES = 1 << 30
+                cached_blocks = native.native_match_blocks(ac, bc)
+                assert nt_blocks == cached_blocks, (a, b)
+        finally:
+            native._NT_THRESHOLD_BYTES = saved
+
+    def test_large_matrix_parity(self):
+        import random
+
+        import numpy as np
+
+        from sciencebeam_trainer_grobid_tools_spark.kernel import native
+
+        if native.get_native_lib() is None:
+            import pytest
+
+            pytest.skip("native kernel unavailable")
+        saved = native._NT_THRESHOLD_BYTES
+        rng = random.Random(7)
+        alphabet = "abcdefghij klmnop.,"
+        a = "".join(rng.choice(alphabet) for _ in range(6000))
+        b = a[1000:2200]  # production-shaped: 1200-char needle, ~14 MB matrix
+        ac = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
+        bc = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+        try:
+            native._NT_THRESHOLD_BYTES = 0
+            nt_blocks = native.native_match_blocks(ac, bc)
+            native._NT_THRESHOLD_BYTES = 1 << 30
+            cached_blocks = native.native_match_blocks(ac, bc)
+        finally:
+            native._NT_THRESHOLD_BYTES = saved
+        assert nt_blocks == cached_blocks
+        assert nt_blocks and nt_blocks[0][2] >= 1200  # the real alignment found
