@@ -77,6 +77,18 @@ def main() -> None:
         "flagship_docs": flagship_docs,
         "docs_per_sec": round(flagship_docs / flagship_sec, 2) if flagship_sec else None,
     }
+    # embed the committed loadavg-gated scaling sample (scripts/
+    # quiet_scaling.py) so the round's BENCH json records the two-cluster-
+    # size evidence without re-measuring under unknown load
+    scaling_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "quiet_scaling_r3.json"
+    )
+    if os.path.exists(scaling_path):
+        try:
+            with open(scaling_path) as fh:
+                result["scaling"] = json.load(fh)
+        except (OSError, ValueError):
+            pass
     print(json.dumps(result))
     spark.stop()
 

@@ -160,7 +160,7 @@ def run_single_jvm_levels() -> None:
         json.dumps(
             {
                 "mode": "single-jvm",
-                "docs": N_DOCS,
+                "docs": results[LEVELS[0]]["docs"],
                 "levels": list(LEVELS),
                 "rate_n": round(rate_n, 1),
                 "rate_4n": round(rate_4n, 1),
