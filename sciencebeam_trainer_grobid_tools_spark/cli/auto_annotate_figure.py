@@ -68,6 +68,9 @@ def run(args: argparse.Namespace) -> dict:
         fields=set(args.fields) if args.fields else None,
         sub_fields=set(args.sub_fields) if args.sub_fields else None,
         preserve_sub_tags=args.preserve_sub_tags,
+        default_always_preserve_fields=(
+            None if args.segment_figures else {"figure"}
+        ),
         no_preserve_sub_fields=set(args.no_preserve_sub_fields or []) or None,
     )
 

@@ -101,6 +101,9 @@ def run(args: argparse.Namespace) -> dict:
         source_pattern="*.references.tei.xml*",
         xml_mapping_text=mapping_text,
         fields=set(args.fields) if args.fields else None,
+        default_always_preserve_fields=(
+            None if args.segment_references else {"reference"}
+        ),
     )
 
 

@@ -311,6 +311,7 @@ def run_pipeline_from_args(
     preserve_sub_tags: bool = False,
     no_preserve_sub_fields: Optional[Set[str]] = None,
     no_preserve_fields: Optional[Set[str]] = None,
+    default_always_preserve_fields: Optional[Set[str]] = None,
 ) -> Dict[str, int]:
     """Map the shared args onto :func:`run_auto_annotate` and run the job."""
     spark = get_or_create_session(args, app_name)
@@ -341,7 +342,16 @@ def run_pipeline_from_args(
         required_fields=set(getattr(args, "required_fields", None) or []) or None,
         source_pattern=source_pattern,
         preserve_tags=not args.no_preserve_tags,
-        preserve_fields=set(args.always_preserve_fields or []) or None,
+        # sub-tag-only flavors always-preserve their main field when NOT
+        # segmenting (reference: each AnnotatePipelineFactory sets
+        # always_preserve_fields = [<field>], e.g. auto_annotate_table.py:101),
+        # so the preserved main tags survive for SubTagOnly annotation;
+        # an explicit --always-preserve-fields overrides the default
+        preserve_fields=(
+            set(args.always_preserve_fields)
+            if args.always_preserve_fields
+            else (default_always_preserve_fields or None)
+        ),
         preserve_sub_tags=preserve_sub_tags,
         no_preserve_sub_fields=no_preserve_sub_fields,
         no_preserve_fields=no_preserve_fields,

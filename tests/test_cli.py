@@ -165,3 +165,151 @@ class TestSegmentationCli:
         assert counters == {"passed": 1, "failed": 0}
         out = (tmp_path / "tei-auto" / "document1.segmentation.tei.xml").read_text()
         assert TITLE_1 in xpath_text(out, ".//front")
+
+
+REFSEG_XML_MAPPING = """
+[article]
+reference = back/ref-list/ref
+reference.children = .//*
+reference.use-raw-text = true
+reference.bonding = true
+reference.merge = false
+reference.sub.reference-label = ./label
+"""
+
+TABLE_XML_MAPPING = """
+[article]
+table = //table-wrap
+table.priority = 1
+table.block = figures
+table.children = ./label | ./caption
+table.children.concat = [[{"xpath": "./label"}, {"value": " "}, {"xpath": "./caption"}]]
+table.sub.table-label = ./label
+table.sub.table-caption = ./caption
+"""
+
+AFFILIATION_XML_MAPPING = """
+[article]
+author_aff =
+  front/article-meta/contrib-group/aff
+  front/article-meta/aff
+author_aff.children = .//*
+author_aff.unmatched-parent-text = true
+author_aff.match-multiple = true
+author_aff.sub.author_aff-label = ./label
+author_aff.sub.author_aff-institution = ./institution
+author_aff.match-prefix-regex = ({author_aff-label})\\s*[\\.-]*\\s*$
+"""
+
+
+def texts(root, path):
+    return ["".join(node.itertext()) for node in root.findall(path)]
+
+
+def setup_flavor_pair(tmp_path, tei_name, tei_content, xml_content, mapping):
+    (tmp_path / "tei-raw").mkdir(exist_ok=True)
+    (tmp_path / "xml").mkdir(exist_ok=True)
+    (tmp_path / "tei-raw" / tei_name).write_text(tei_content)
+    (tmp_path / "xml" / "document1.xml").write_text(xml_content)
+    (tmp_path / "mapping.conf").write_text(mapping)
+
+
+class TestReferenceSegmenterCli:
+    def test_reference_label_and_text(self, spark, tmp_path):
+        from sciencebeam_trainer_grobid_tools_spark.cli import (
+            auto_annotate_reference_segmenter,
+        )
+
+        setup_flavor_pair(
+            tmp_path,
+            "document1.references.referenceSegmenter.tei.xml",
+            "<tei><text><note>1 reference A</note></text></tei>",
+            "<article><front/><body/><back><ref-list>"
+            "<ref><label>1</label><mixed-citation>reference A</mixed-citation></ref>"
+            "</ref-list></back></article>",
+            REFSEG_XML_MAPPING,
+        )
+        counters = auto_annotate_reference_segmenter.main(
+            [
+                "--source-base-path", str(tmp_path / "tei-raw"),
+                "--output-path", str(tmp_path / "tei-auto"),
+                "--xml-path", str(tmp_path / "xml"),
+                "--xml-filename-regex",
+                r"/(.*).references.referenceSegmenter.tei.xml/\1.xml/",
+                "--xml-mapping-path", str(tmp_path / "mapping.conf"),
+            ]
+        )
+        assert counters == {"passed": 1, "failed": 0}
+        out = ET.fromstring(
+            (tmp_path / "tei-auto"
+             / "document1.references.referenceSegmenter.tei.xml").read_text()
+        )
+        assert texts(out, ".//listBibl/bibl") == ["1 reference A"]
+        assert texts(out, ".//listBibl/bibl/label") == ["1"]
+
+
+class TestTableCli:
+    def test_table_label_and_caption(self, spark, tmp_path):
+        from sciencebeam_trainer_grobid_tools_spark.cli import auto_annotate_table
+
+        setup_flavor_pair(
+            tmp_path,
+            "document1.table.tei.xml",
+            '<tei><text><figure type="table">Table 1 Summary of results</figure>'
+            "</text></tei>",
+            "<article><front/><body><table-wrap><label>Table 1</label>"
+            "<caption><p>Summary of results</p></caption></table-wrap></body>"
+            "<back/></article>",
+            TABLE_XML_MAPPING,
+        )
+        counters = auto_annotate_table.main(
+            [
+                "--source-base-path", str(tmp_path / "tei-raw"),
+                "--output-path", str(tmp_path / "tei-auto"),
+                "--xml-path", str(tmp_path / "xml"),
+                "--xml-filename-regex", r"/(.*).table.tei.xml/\1.xml/",
+                "--xml-mapping-path", str(tmp_path / "mapping.conf"),
+            ]
+        )
+        assert counters == {"passed": 1, "failed": 0}
+        out = ET.fromstring(
+            (tmp_path / "tei-auto" / "document1.table.tei.xml").read_text()
+        )
+        assert texts(out, './/figure[@type="table"]/head/label') == ["Table 1"]
+        assert texts(out, './/figure[@type="table"]/figDesc') == [
+            "Summary of results"
+        ]
+
+
+class TestAffiliationCli:
+    def test_affiliation_label(self, spark, tmp_path):
+        from sciencebeam_trainer_grobid_tools_spark.cli import (
+            auto_annotate_affiliation_address,
+        )
+
+        setup_flavor_pair(
+            tmp_path,
+            "document1.affiliation.tei.xml",
+            "<tei><teiHeader><fileDesc><sourceDesc><biblStruct><analytic>"
+            "<author><affiliation>1 Some institution</affiliation></author>"
+            "</analytic></biblStruct></sourceDesc></fileDesc></teiHeader></tei>",
+            "<article><front><article-meta><contrib-group>"
+            "<aff><label>1</label> <institution>Some institution</institution></aff>"
+            "</contrib-group></article-meta></front><body/><back/></article>",
+            AFFILIATION_XML_MAPPING,
+        )
+        counters = auto_annotate_affiliation_address.main(
+            [
+                "--source-base-path", str(tmp_path / "tei-raw"),
+                "--output-path", str(tmp_path / "tei-auto"),
+                "--xml-path", str(tmp_path / "xml"),
+                "--xml-filename-regex", r"/(.*).affiliation.tei.xml/\1.xml/",
+                "--xml-mapping-path", str(tmp_path / "mapping.conf"),
+            ]
+        )
+        assert counters == {"passed": 1, "failed": 0}
+        out = ET.fromstring(
+            (tmp_path / "tei-auto" / "document1.affiliation.tei.xml").read_text()
+        )
+        assert texts(out, ".//affiliation/marker") == ["1"]
+        assert "Some institution" in " ".join(texts(out, ".//affiliation"))
