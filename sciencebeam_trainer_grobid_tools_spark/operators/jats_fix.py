@@ -748,6 +748,8 @@ def run_fix_jats_pipeline(
     source_base_path: str,
     output_path: str,
     file_list: Optional[List[str]] = None,
+    source_filename_pattern: str = "*.xml",
+    limit: Optional[int] = None,
 ) -> dict:
     """Distributed equivalent of the reference's ``fix_jats_xml.main``
     (fix_jats_xml.py:849-1010): read every ``.xml`` under ``source_base_path``
@@ -767,7 +769,7 @@ def run_fix_jats_pipeline(
     base = os.path.abspath(source_base_path)
     df = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.xml")
+        .option("pathGlobFilter", source_filename_pattern)
         .option("recursiveFileLookup", "true")
         .load(base)
         .select(
@@ -778,6 +780,8 @@ def run_fix_jats_pipeline(
     if file_list is not None:
         wanted = spark.createDataFrame([(p,) for p in file_list], "rel_path string")
         df = df.join(F.broadcast(wanted), on="rel_path", how="inner")
+    if limit is not None:
+        df = df.limit(limit)
     fixed = fix_jats_xml_column(df, xml_col="jats_xml", out_col="fixed_xml")
 
     out_root = os.path.abspath(output_path)

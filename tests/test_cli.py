@@ -313,3 +313,75 @@ class TestAffiliationCli:
         )
         assert texts(out, ".//affiliation/marker") == ["1"]
         assert "Some institution" in " ".join(texts(out, ".//affiliation"))
+
+
+class TestFixJatsXmlCli:
+    def test_fixes_doi_in_directory(self, spark, tmp_path):
+        from sciencebeam_trainer_grobid_tools_spark.cli import fix_jats_xml
+
+        src = tmp_path / "jats"
+        src.mkdir()
+        (src / "a.xml").write_text(
+            "<article><back><ref-list><ref id=\"r1\"><mixed-citation>"
+            "x doi: 10.1234/abc.def\nrest of citation"
+            "</mixed-citation></ref></ref-list></back></article>"
+        )
+        counters = fix_jats_xml.main(
+            [
+                "--source-base-path", str(src),
+                "--output-path", str(tmp_path / "fixed"),
+            ]
+        )
+        assert counters == {"fixed": 1, "failed": 0}
+        out = (tmp_path / "fixed" / "a.xml").read_text()
+        assert "10.1234/abc.def</" in out
+        assert "rest of citation" in out
+
+    def test_single_source_path(self, spark, tmp_path):
+        from sciencebeam_trainer_grobid_tools_spark.cli import fix_jats_xml
+
+        src = tmp_path / "jats"
+        src.mkdir()
+        (src / "a.xml").write_text("<article><front/></article>")
+        (src / "b.xml").write_text("<article><front/></article>")
+        counters = fix_jats_xml.main(
+            [
+                "--source-path", str(src / "a.xml"),
+                "--output-path", str(tmp_path / "fixed"),
+            ]
+        )
+        assert counters == {"fixed": 1, "failed": 0}
+        assert (tmp_path / "fixed" / "a.xml").exists()
+        assert not (tmp_path / "fixed" / "b.xml").exists()
+
+
+class TestDownloadSourceFilesCli:
+    def test_copies_pairs(self, spark, tmp_path):
+        from sciencebeam_trainer_grobid_tools_spark.cli import download_source_files
+
+        src = tmp_path / "source"
+        (src / "docs").mkdir(parents=True)
+        (src / "xmls").mkdir(parents=True)
+        doc_list, tgt_list = [], []
+        for stem in ("doc1", "doc2"):
+            doc = src / "docs" / ("%s.pdf" % stem)
+            tgt = src / "xmls" / ("%s.xml" % stem)
+            doc.write_bytes(b"%PDF " + stem.encode())
+            tgt.write_text("<article>%s</article>" % stem)
+            doc_list.append(str(doc))
+            tgt_list.append(str(tgt))
+        (src / "document-file-list.lst").write_text("\n".join(doc_list))
+        (src / "target-file-list.lst").write_text("\n".join(tgt_list))
+        counters = download_source_files.main(
+            [
+                "--document-file-list", str(src / "document-file-list.lst"),
+                "--target-file-list", str(src / "target-file-list.lst"),
+                "--document-output-path", str(tmp_path / "out" / "document"),
+                "--target-output-path", str(tmp_path / "out" / "target"),
+                "--document-output-filename-pattern", "{filename}",
+                "--target-output-filename-pattern", "{filename}",
+            ]
+        )
+        assert counters == {"copied": 2, "skipped": 0}
+        assert (tmp_path / "out" / "document" / "doc1.pdf").read_bytes() == b"%PDF doc1"
+        assert (tmp_path / "out" / "target" / "doc2.xml").exists()
