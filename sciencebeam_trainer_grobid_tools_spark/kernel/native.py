@@ -244,30 +244,43 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
+def _cache_dir_candidates():
+    yield _CACHE_DIR
+    # When the package ships inside a --py-files zip, __file__-derived paths
+    # point INSIDE the archive and makedirs fails; without this fallback the
+    # C kernel would silently degrade to the ~5x slower numpy DP on every
+    # executor.  A per-user tempdir cache keeps the compile one-time per node.
+    yield os.path.join(
+        tempfile.gettempdir(), "sciencebeam_spark_native_%d" % os.getuid()
+    )
+
+
 def _compile() -> Optional[str]:
     digest = hashlib.sha1(_C_SOURCE.encode()).hexdigest()[:16]
-    so_path = os.path.join(_CACHE_DIR, "swkernel_%s.so" % digest)
-    if os.path.exists(so_path):
-        return so_path
-    try:
-        os.makedirs(_CACHE_DIR, exist_ok=True)
-        with tempfile.NamedTemporaryFile(
-            "w", suffix=".c", dir=_CACHE_DIR, delete=False
-        ) as fh:
-            fh.write(_C_SOURCE)
-            c_path = fh.name
-        tmp_so = so_path + ".tmp.%d" % os.getpid()
-        subprocess.run(
-            ["gcc", "-O3", "-shared", "-fPIC", "-o", tmp_so, c_path],
-            check=True,
-            capture_output=True,
-            timeout=60,
-        )
-        os.replace(tmp_so, so_path)  # atomic vs concurrent workers
-        os.unlink(c_path)
-        return so_path
-    except Exception:
-        return None
+    for cache_dir in _cache_dir_candidates():
+        so_path = os.path.join(cache_dir, "swkernel_%s.so" % digest)
+        if os.path.exists(so_path):
+            return so_path
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            with tempfile.NamedTemporaryFile(
+                "w", suffix=".c", dir=cache_dir, delete=False
+            ) as fh:
+                fh.write(_C_SOURCE)
+                c_path = fh.name
+            tmp_so = so_path + ".tmp.%d" % os.getpid()
+            subprocess.run(
+                ["gcc", "-O3", "-shared", "-fPIC", "-o", tmp_so, c_path],
+                check=True,
+                capture_output=True,
+                timeout=60,
+            )
+            os.replace(tmp_so, so_path)  # atomic vs concurrent workers
+            os.unlink(c_path)
+            return so_path
+        except Exception:
+            continue
+    return None
 
 
 def get_native_lib() -> Optional[ctypes.CDLL]:
