@@ -187,6 +187,19 @@ def split_with_offsets(s: str, separators: str) -> List[Tuple[int, str]]:
     return [(m.start(), m.group()) for m in _split_pattern(separators).finditer(s)]
 
 
+@lru_cache(maxsize=64)
+def _split_offsets_and_words(s: str, separators: str) -> Tuple[List[int], List[str]]:
+    """split_with_offsets as two parallel lists — the word matcher needs the
+    word list alone for SequenceMatcher, so pre-splitting here avoids a
+    per-call unpacking pass over every fragment."""
+    offsets: List[int] = []
+    words: List[str] = []
+    for m in _split_pattern(separators).finditer(s):
+        offsets.append(m.start())
+        words.append(m.group())
+    return offsets, words
+
+
 def word_matching_blocks(
     haystack: str, needle: str, separators: str = WORD_SEPARATORS
 ) -> MatchingBlocks:
@@ -197,10 +210,8 @@ def word_matching_blocks(
     total matched word characters (reference: utils/fuzzy.py:160-195).
     No terminator block is emitted (the reference's word path does not either).
     """
-    a_parts = split_with_offsets(haystack, separators)
-    b_parts = split_with_offsets(needle, separators)
-    a_words = [w for _, w in a_parts]
-    b_words = [w for _, w in b_parts]
+    a_offsets, a_words = _split_offsets_and_words(haystack, separators)
+    b_offsets, b_words = _split_offsets_and_words(needle, separators)
     sm = SequenceMatcher(None, a_words, b_words, autojunk=False)
     blocks: MatchingBlocks = []
     for ai, bi, size in sm.get_matching_blocks():
@@ -208,8 +219,8 @@ def word_matching_blocks(
             continue
         blocks.append(
             (
-                a_parts[ai][0],
-                b_parts[bi][0],
+                a_offsets[ai],
+                b_offsets[bi],
                 sum(len(a_words[ai + k]) for k in range(size)),
             )
         )

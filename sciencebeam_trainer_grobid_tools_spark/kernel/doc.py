@@ -119,6 +119,9 @@ def tokenize_lines(text_lines: Sequence[str]) -> TokenizedDoc:
     for line_index, raw_line in enumerate(text_lines):
         fragments = tokenize_text(raw_line)
         tokens: List[Token] = []
+        # single pass: emit text+whitespace optimistically, then retract the
+        # final token's trailing whitespace (a line's last token contributes
+        # no whitespace to the reconstruction)
         for i, fragment in enumerate(fragments):
             # separator fragments are single chars ((\W) split), so isspace()
             # is the exact whitespace test — cheaper than strip() per fragment
@@ -131,18 +134,19 @@ def tokenize_lines(text_lines: Sequence[str]) -> TokenizedDoc:
                 ws = nxt
             else:
                 ws = ""
-            tokens.append(Token(fragment, ws, 0, 0, line_index))
-        # assign absolute offsets over the reconstruction
-        for j, token in enumerate(tokens):
-            token.start = pos
-            token.end = pos + len(token.text)
-            pos = token.end
-            if j + 1 < len(tokens):
-                emit_ws = token.effective_whitespace()
-                out_parts.append(token.text + emit_ws)
-                pos += len(emit_ws)
-            else:
-                out_parts.append(token.text)
+            end = pos + len(fragment)
+            tokens.append(Token(fragment, ws, pos, end, line_index))
+            # a non-space fragment following directly (ws == "") contributes
+            # no join char; otherwise the effective whitespace (None -> " ")
+            emit_ws = " " if ws is None else ws
+            out_parts.append(fragment + emit_ws)
+            pos = end + len(emit_ws)
+        if tokens:
+            last = tokens[-1]
+            trailing = " " if last.whitespace is None else last.whitespace
+            if trailing:
+                out_parts[-1] = last.text
+                pos -= len(trailing)
         lines.append(tokens)
         if line_index + 1 < len(text_lines):
             out_parts.append("\n")
@@ -177,7 +181,7 @@ class TokenRun:
     """A run of tokens with normalized joined text and char->token back-map
     (the SequenceWrapper of matching_utils.py:189-257)."""
 
-    __slots__ = ("tokens", "normalize_fn", "joined", "ranges", "position")
+    __slots__ = ("tokens", "normalize_fn", "joined", "ranges", "position", "_subcache")
 
     def __init__(
         self,
@@ -194,6 +198,7 @@ class TokenRun:
             strings, [t.whitespace for t in tokens], sep=" "
         )
         self.position = position
+        self._subcache: Optional[Tuple[List[Optional[str]], list]] = None
 
     def token_indices_between(self, index_range: IndexRange) -> Iterator[int]:
         start, end = index_range
@@ -209,7 +214,13 @@ class TokenRun:
 
     def untagged_subruns(self) -> Iterator["TokenRun"]:
         """Split at tagged tokens; yields self if fully untagged, nothing if
-        fully tagged (matching_utils.py:217-233)."""
+        fully tagged (matching_utils.py:217-233).
+
+        The matcher's fixpoint calls this per target annotation while tags
+        change only when a match lands, so the split result is cached per
+        tag-state (an O(n) tags comparison replaces the TokenRun rebuilds —
+        join + normalization — on the unchanged-case hot path).  Sub-run
+        joined text does not depend on tags, so reusing the objects is safe."""
         tags = [t.tag for t in self.tokens]
         tagged = sum(1 for t in tags if t)
         if tagged == 0:
@@ -217,15 +228,21 @@ class TokenRun:
             return
         if tagged == len(self.tokens):
             return
+        if self._subcache is not None and self._subcache[0] == tags:
+            yield from self._subcache[1]
+            return
+        subruns: List[TokenRun] = []
         pending: List[Token] = []
         for token, tag in zip(self.tokens, tags):
             if not tag:
                 pending.append(token)
             elif pending:
-                yield TokenRun(pending, self.normalize_fn, position=self.position)
+                subruns.append(TokenRun(pending, self.normalize_fn, position=self.position))
                 pending = []
         if pending:
-            yield TokenRun(pending, self.normalize_fn, position=self.position)
+            subruns.append(TokenRun(pending, self.normalize_fn, position=self.position))
+        self._subcache = (tags, subruns)
+        yield from subruns
 
     def __str__(self) -> str:
         return self.joined

@@ -337,6 +337,23 @@ def get_native_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32),
         ]
         lib.sw_align16.restype = ctypes.c_int
+        # hot-path handle with ndpointer argtypes: numpy arrays pass
+        # directly (pointer extraction happens in C), skipping the four
+        # per-call ctypes cast objects of the hand-rolled signature —
+        # measurable at the flagship's ~40 short alignments per document.
+        # CDLL.__getitem__ returns a fresh uncached function object, so the
+        # same symbol carries both signatures.
+        align16_np = lib["sw_align16"]
+        align16_np.argtypes = [
+            np.ctypeslib.ndpointer(dtype=np.uint32, flags="C_CONTIGUOUS"),
+            ctypes.c_int,
+            np.ctypeslib.ndpointer(dtype=np.uint32, flags="C_CONTIGUOUS"),
+            ctypes.c_int,
+            np.ctypeslib.ndpointer(dtype=np.int16, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS"),
+        ]
+        align16_np.restype = ctypes.c_int
+        lib.sw_align16_np = align16_np
         lib.sw_align16_nt.argtypes = [
             ctypes.POINTER(ctypes.c_uint32),
             ctypes.c_int,
@@ -504,32 +521,37 @@ def native_match_blocks(a_codes: np.ndarray, b_codes: np.ndarray):
     if _matrix_scratch is None or _matrix_scratch.shape[0] < cells:
         _matrix_scratch = np.empty(max(cells, 1 << 16), dtype=np.int16)
     matrix = _matrix_scratch
-    a_contig = np.ascontiguousarray(a_codes, dtype=np.uint32)
-    b_contig = np.ascontiguousarray(b_codes, dtype=np.uint32)
-    if cells * 2 > _NT_THRESHOLD_BYTES:
-        # large matrix: cache-invisible streaming DP (byte-identical values)
-        global _rowbuf_scratch
-        row_need = 2 * (n + 1)
-        if _rowbuf_scratch is None or _rowbuf_scratch.shape[0] < row_need:
-            _rowbuf_scratch = np.empty(max(row_need, 4096), dtype=np.int16)
-        n_blocks = lib.sw_align16_nt(
-            a_contig.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-            n,
-            b_contig.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-            m,
-            matrix.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
-            _rowbuf_scratch.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
-            buffer.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        )
-    else:
-        n_blocks = lib.sw_align16(
-            a_contig.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-            n,
-            b_contig.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-            m,
-            matrix.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
-            buffer.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        )
+    a_contig = (
+        a_codes
+        if a_codes.flags.c_contiguous and a_codes.dtype == np.uint32
+        else np.ascontiguousarray(a_codes, dtype=np.uint32)
+    )
+    b_contig = (
+        b_codes
+        if b_codes.flags.c_contiguous and b_codes.dtype == np.uint32
+        else np.ascontiguousarray(b_codes, dtype=np.uint32)
+    )
+    if cells * 2 <= _NT_THRESHOLD_BYTES:
+        # common case first: ndpointer signature, no per-call casts
+        n_blocks = lib.sw_align16_np(a_contig, n, b_contig, m, matrix, buffer)
+        return [
+            (int(buffer[3 * k]), int(buffer[3 * k + 1]), int(buffer[3 * k + 2]))
+            for k in range(n_blocks)
+        ]
+    # large matrix: cache-invisible streaming DP (byte-identical values)
+    global _rowbuf_scratch
+    row_need = 2 * (n + 1)
+    if _rowbuf_scratch is None or _rowbuf_scratch.shape[0] < row_need:
+        _rowbuf_scratch = np.empty(max(row_need, 4096), dtype=np.int16)
+    n_blocks = lib.sw_align16_nt(
+        a_contig.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        n,
+        b_contig.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        m,
+        matrix.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        _rowbuf_scratch.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        buffer.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
     return [
         (int(buffer[3 * k]), int(buffer[3 * k + 1]), int(buffer[3 * k + 2]))
         for k in range(n_blocks)
