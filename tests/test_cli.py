@@ -385,3 +385,133 @@ class TestDownloadSourceFilesCli:
         assert counters == {"copied": 2, "skipped": 0}
         assert (tmp_path / "out" / "document" / "doc1.pdf").read_bytes() == b"%PDF doc1"
         assert (tmp_path / "out" / "target" / "doc2.xml").exists()
+
+
+FULLTEXT_XML_MAPPING = """
+[article]
+section_title =
+  ./body//sec
+  ./back//sec
+section_title.children = ./title
+section_title.children.concat = [[{"xpath": "./label"}, {"value": " "}, {"xpath": "./title"}]]
+section_paragraph =
+  (//sec | //ack)/p
+  ./body/p
+section_paragraph.max_chunks = 2
+"""
+
+FIGURE_XML_MAPPING = """
+[article]
+figure = //fig
+figure.priority = 1
+figure.block = figures
+figure.children = ./label | ./caption
+figure.children.concat = [[{"xpath": "./label"}, {"value": " "}, {"xpath": "./caption"}]]
+figure.sub.figure-label = ./label
+figure.sub.figure-caption = ./caption
+"""
+
+
+class TestFulltextCli:
+    def test_section_title_and_paragraph(self, spark, tmp_path):
+        from sciencebeam_trainer_grobid_tools_spark.cli import auto_annotate_fulltext
+
+        setup_flavor_pair(
+            tmp_path,
+            "document1.fulltext.tei.xml",
+            "<tei><text>1 Introduction<lb/>"
+            "The quick brown fox jumps over the lazy dog today.<lb/></text></tei>",
+            "<article><front/><body>"
+            "<sec><label>1</label><title>Introduction</title>"
+            "<p>The quick brown fox jumps over the lazy dog today.</p></sec>"
+            "</body><back/></article>",
+            FULLTEXT_XML_MAPPING,
+        )
+        counters = auto_annotate_fulltext.main(
+            [
+                "--source-base-path", str(tmp_path / "tei-raw"),
+                "--output-path", str(tmp_path / "tei-auto"),
+                "--xml-path", str(tmp_path / "xml"),
+                "--xml-filename-regex", r"/(.*).fulltext.tei.xml/\1.xml/",
+                "--xml-mapping-path", str(tmp_path / "mapping.conf"),
+                "--fields", "section_title,section_paragraph",
+            ]
+        )
+        assert counters == {"passed": 1, "failed": 0}
+        out = ET.fromstring(
+            (tmp_path / "tei-auto" / "document1.fulltext.tei.xml").read_text()
+        )
+        assert texts(out, ".//head") == ["1 Introduction"]
+        assert texts(out, ".//p") == [
+            "The quick brown fox jumps over the lazy dog today."
+        ]
+
+
+class TestFigureCli:
+    def test_figure_label_and_caption(self, spark, tmp_path):
+        from sciencebeam_trainer_grobid_tools_spark.cli import auto_annotate_figure
+
+        setup_flavor_pair(
+            tmp_path,
+            "document1.figure.tei.xml",
+            "<tei><text><figure>Figure 1 A mouse eating chocolate</figure>"
+            "</text></tei>",
+            "<article><front/><body><fig><label>Figure 1</label>"
+            "<caption><p>A mouse eating chocolate</p></caption></fig></body>"
+            "<back/></article>",
+            FIGURE_XML_MAPPING,
+        )
+        counters = auto_annotate_figure.main(
+            [
+                "--source-base-path", str(tmp_path / "tei-raw"),
+                "--output-path", str(tmp_path / "tei-auto"),
+                "--xml-path", str(tmp_path / "xml"),
+                "--xml-filename-regex", r"/(.*).figure.tei.xml/\1.xml/",
+                "--xml-mapping-path", str(tmp_path / "mapping.conf"),
+            ]
+        )
+        assert counters == {"passed": 1, "failed": 0}
+        out = ET.fromstring(
+            (tmp_path / "tei-auto" / "document1.figure.tei.xml").read_text()
+        )
+        assert texts(out, ".//figure/head/label") == ["Figure 1"]
+        assert texts(out, ".//figure/figDesc") == ["A mouse eating chocolate"]
+
+
+class TestReferenceCli:
+    def test_sub_annotates_preserved_bibl(self, spark, tmp_path):
+        """Reference flavor (sub-tag-only default): existing bibl tags are
+        preserved via the default always-preserve and label/year get
+        sub-annotated within them."""
+        from sciencebeam_trainer_grobid_tools_spark.cli import auto_annotate_reference
+
+        setup_flavor_pair(
+            tmp_path,
+            "document1.references.tei.xml",
+            "<tei><text><back><listBibl><bibl>1 Smith J 2001</bibl>"
+            "</listBibl></back></text></tei>",
+            "<article><front/><body/><back><ref-list>"
+            "<ref><label>1</label><mixed-citation><name>Smith J</name> "
+            "<year>2001</year></mixed-citation></ref>"
+            "</ref-list></back></article>",
+            REFSEG_XML_MAPPING.replace(
+                "reference.sub.reference-label = ./label",
+                "reference.sub.reference-label = ./label\n"
+                "reference.sub.reference-year = .//year",
+            ),
+        )
+        counters = auto_annotate_reference.main(
+            [
+                "--source-base-path", str(tmp_path / "tei-raw"),
+                "--output-path", str(tmp_path / "tei-auto"),
+                "--xml-path", str(tmp_path / "xml"),
+                "--xml-filename-regex", r"/(.*).references.tei.xml/\1.xml/",
+                "--xml-mapping-path", str(tmp_path / "mapping.conf"),
+            ]
+        )
+        assert counters == {"passed": 1, "failed": 0}
+        out = ET.fromstring(
+            (tmp_path / "tei-auto" / "document1.references.tei.xml").read_text()
+        )
+        assert texts(out, ".//bibl/label") == ["1"]
+        assert texts(out, ".//bibl/date") == ["2001"]
