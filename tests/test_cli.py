@@ -515,3 +515,38 @@ class TestReferenceCli:
         )
         assert texts(out, ".//bibl/label") == ["1"]
         assert texts(out, ".//bibl/date") == ["2001"]
+
+
+class TestAnnotateCorpusCli:
+    def test_resumable_corpus_run(self, spark, tmp_path):
+        """North-star main: corpus parquet in -> annotated parquet +
+        manifest lineage out; a second run resumes to a no-op."""
+        import json
+
+        from sciencebeam_trainer_grobid_tools_spark.cli import annotate_corpus
+        from sciencebeam_trainer_grobid_tools_spark.sources.corpus import (
+            corpus_dataframe,
+        )
+
+        corpus_path = str(tmp_path / "corpus")
+        corpus_dataframe(spark, 40, seed=7, partitions=2).write.parquet(corpus_path)
+        out_dir = str(tmp_path / "out")
+        argv = [
+            "--input-path", corpus_path,
+            "--output-path", out_dir,
+            "--chunk-size", "25",
+        ]
+        counters = annotate_corpus.main(argv)
+        assert counters == {"chunks": 2, "rows": 40}
+        annotated = spark.read.parquet(out_dir + "/annotated")
+        assert annotated.count() == 40
+        assert "url" in annotated.columns and "spans" in annotated.columns
+        manifest = [
+            json.loads(line)
+            for line in open(tmp_path / "out" / "manifest.jsonl", encoding="utf-8")
+        ]
+        assert [m["rows"] for m in manifest] == [25, 15]
+        assert all(m["partition_files"] for m in manifest)
+        # resume: everything already annotated -> zero new chunks
+        counters = annotate_corpus.main(argv)
+        assert counters == {"chunks": 0, "rows": 0}
