@@ -491,6 +491,30 @@ def q_flagship_title_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_flagship_title_spans_complex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same end-to-end contract as flagship_title_spans but through the
+    COMPLEX matcher (the reference's legacy MatchingAnnotator: fuzzy scoring
+    + choice scan + bonding) — oracle-checks that matcher's full path, not
+    just its unit tests: on the synthetic corpus both matchers must place
+    the title at exactly [0, len(first 8 words))."""
+    corpus = _documents_as_corpus(spark, sf_dir)
+    annotated = annotate_documents(
+        corpus,
+        repartition=spark.sparkContext.defaultParallelism,
+        matcher="complex",
+    )
+    flat = spans_table(annotated)
+    return (
+        flat.filter(F.col("field") == "title")
+        .select(
+            F.expr("CAST(substring(url, 7) AS BIGINT)").alias("doc_id"),
+            F.col("start").alias("span_start"),
+            F.col("end").alias("span_end"),
+            F.col("text").alias("span_text"),
+        )
+    )
+
+
 def q_flagship_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segmentation flavor over the corpus: matcher -> per-line majority vote
     -> merge FSM -> body default; emits per-url segment-class line counts
@@ -914,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "align_exact_spans": q_align_exact_spans,
         "flagship_extract_align": q_flagship_extract_align,
         "flagship_title_spans": q_flagship_title_spans,
+        "flagship_title_spans_complex": q_flagship_title_spans_complex,
         "flagship_segmentation": q_flagship_segmentation,
         "tei_render": q_tei_render,
         "targets_predicate_extract": q_targets_predicate_extract,
@@ -1274,6 +1299,15 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings GROUP BY label
         """,
         "flagship_title_spans": """
+            SELECT doc_id,
+                   0 AS span_start,
+                   CAST(LENGTH(array_to_string((string_split(text, ' '))[1:8], ' ')) AS INT)
+                       AS span_end,
+                   array_to_string((string_split(text, ' '))[1:8], ' ') AS span_text
+            FROM documents
+        """,
+        # the complex-matcher path must land the identical spans
+        "flagship_title_spans_complex": """
             SELECT doc_id,
                    0 AS span_start,
                    CAST(LENGTH(array_to_string((string_split(text, ' '))[1:8], ' ')) AS INT)

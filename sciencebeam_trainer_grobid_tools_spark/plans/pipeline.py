@@ -134,6 +134,7 @@ def annotate_documents(
     repartition: Optional[int] = None,
     use_html: bool = True,
     render_tei: bool = False,
+    matcher: str = "simple",
     observation=None,
     kernel_counter=None,
 ) -> DataFrame:
@@ -171,6 +172,7 @@ def annotate_documents(
                         use_sub_annotations=use_sub_annotations,
                         require_matching_fields=require_matching_fields,
                         render_tei=render_tei,
+                        matcher=matcher,
                     )
                     result["lang"] = lang
                 except Exception as exc:  # per-document error isolation
