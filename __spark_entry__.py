@@ -491,6 +491,97 @@ def q_flagship_title_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_line_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-number detection (A4) oracle-checked end-to-end: each document is
+    laid out as 20 five-word lines where line i carries a sequential margin
+    number unless ``(doc_id + i) % 7 == 0`` (deterministic positional gaps,
+    different per document).  The detector must tag exactly the numbered
+    first-tokens — DuckDB recomputes the expected count per document."""
+    import pandas as pd
+
+    from sciencebeam_trainer_grobid_tools_spark.kernel.doc import tokenize_lines
+    from sciencebeam_trainer_grobid_tools_spark.operators.annotate import strip_tag_prefix
+    from sciencebeam_trainer_grobid_tools_spark.operators.line_numbers import (
+        annotate_line_numbers,
+    )
+
+    docs = _spread(_load(spark, sf_dir, "documents"), spark)
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                words = (row.text.split() + ["w"] * 100)[:100]
+                lines = []
+                number = 0
+                for i in range(1, 21):
+                    chunk = " ".join(words[(i - 1) * 5 : i * 5])
+                    if (row.doc_id + i) % 7 == 0:
+                        # un-numbered line; 'x' guard keeps the first token
+                        # non-numeric regardless of the text content
+                        lines.append("x %s" % chunk)
+                    else:
+                        number += 1
+                        lines.append("%d %s" % (number, chunk))
+                doc = tokenize_lines(lines)
+                annotate_line_numbers(doc)
+                detected = sum(
+                    1
+                    for t in doc.iter_tokens()
+                    if strip_tag_prefix(t.tag) == "line_no"
+                )
+                rows.append({"doc_id": row.doc_id, "detected_line_numbers": detected})
+            yield pd.DataFrame(rows, columns=["doc_id", "detected_line_numbers"])
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batches, "doc_id long, detected_line_numbers int"
+    )
+
+
+def q_docs_page_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-header frequency detection (A3) oracle-checked end-to-end: each
+    document is laid out as ``3 + doc_id % 3`` pages, every page opening with
+    the same repeated running-head line; the segmentation annotator's
+    repeated-untagged-line detector must tag exactly that many headnote
+    lines — DuckDB recomputes the page count per document."""
+    import pandas as pd
+
+    from sciencebeam_trainer_grobid_tools_spark.kernel.doc import tokenize_lines
+    from sciencebeam_trainer_grobid_tools_spark.operators.annotate import strip_tag_prefix
+    from sciencebeam_trainer_grobid_tools_spark.plans.flavors import segmentation_flavor
+
+    docs = _spread(_load(spark, sf_dir, "documents"), spark)
+    chain = segmentation_flavor()
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                words = (row.text.split() + ["w"] * 60) [:60]
+                n_pages = 3 + row.doc_id % 3
+                header = "Journal of Mice volume %d" % (row.doc_id % 10)
+                lines = []
+                w = 0
+                for _ in range(n_pages):
+                    lines.append(header)
+                    for _ in range(3):  # 3 body lines per page, each unique
+                        lines.append("x%d %s" % (w, " ".join(words[w : w + 4])))
+                        w += 4
+                doc = tokenize_lines(lines)
+                chain(doc, [])
+                headnotes = sum(
+                    1
+                    for line in doc.lines
+                    if line and strip_tag_prefix(line[0].tag) == "headnote"
+                )
+                rows.append({"doc_id": row.doc_id, "headnote_lines": headnotes})
+            yield pd.DataFrame(rows, columns=["doc_id", "headnote_lines"])
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batches, "doc_id long, headnote_lines int"
+    )
+
+
 def q_flagship_title_spans_complex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same end-to-end contract as flagship_title_spans but through the
     COMPLEX matcher (the reference's legacy MatchingAnnotator: fuzzy scoring
@@ -939,6 +1030,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_extract_align": q_flagship_extract_align,
         "flagship_title_spans": q_flagship_title_spans,
         "flagship_title_spans_complex": q_flagship_title_spans_complex,
+        "docs_line_numbers": q_docs_line_numbers,
+        "docs_page_headers": q_docs_page_headers,
         "flagship_segmentation": q_flagship_segmentation,
         "tei_render": q_tei_render,
         "targets_predicate_extract": q_targets_predicate_extract,
@@ -1304,6 +1397,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(LENGTH(array_to_string((string_split(text, ' '))[1:8], ' ')) AS INT)
                        AS span_end,
                    array_to_string((string_split(text, ' '))[1:8], ' ') AS span_text
+            FROM documents
+        """,
+        "docs_line_numbers": """
+            SELECT d.doc_id,
+                   CAST(20 - (SELECT COUNT(*) FROM range(1, 21) r
+                              WHERE (d.doc_id + r.range) % 7 = 0) AS INT)
+                       AS detected_line_numbers
+            FROM documents d
+        """,
+        "docs_page_headers": """
+            SELECT doc_id, CAST(3 + doc_id % 3 AS INT) AS headnote_lines
             FROM documents
         """,
         # the complex-matcher path must land the identical spans
