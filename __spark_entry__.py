@@ -668,6 +668,40 @@ def q_tei_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     return annotated.select("url", F.length("tei_xml").alias("tei_len"), "passed")
 
 
+def q_tei_render_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEI render FSM oracle-checked by ROUND-TRIP: flagship pipeline with
+    TEI serialization, then the emitted training XML is re-parsed and the
+    docTitle/titlePart text extracted — it must be exactly the first 8 words
+    of the document text (what the title annotation covers), which DuckDB
+    computes directly.  Value-checks tag emission, path nesting, and
+    whitespace fidelity of the renderer per document."""
+    import xml.etree.ElementTree as ET
+
+    import pandas as pd
+
+    corpus = _documents_as_corpus(spark, sf_dir)
+    annotated = annotate_documents(
+        corpus, repartition=spark.sparkContext.defaultParallelism, render_tei=True
+    )
+
+    def extract_title(batches):
+        for pdf in batches:
+            rows = []
+            for url, tei_xml in zip(pdf["url"], pdf["tei_xml"]):
+                title = None
+                if tei_xml:
+                    root = ET.fromstring(tei_xml)
+                    nodes = root.findall(".//docTitle/titlePart")
+                    if nodes:
+                        title = " ".join("".join(n.itertext()) for n in nodes)
+                rows.append({"doc_id": int(url[6:]), "tei_title": title})
+            yield pd.DataFrame(rows, columns=["doc_id", "tei_title"])
+
+    return annotated.select("url", "tei_xml").mapInPandas(
+        extract_title, "doc_id long, tei_title string"
+    )
+
+
 _PREDICATE_MAPPING = """
 [article]
 author = front/article-meta/contrib-group/contrib[not(@contrib-type) or @contrib-type="author"]/name
@@ -1032,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_title_spans_complex": q_flagship_title_spans_complex,
         "docs_line_numbers": q_docs_line_numbers,
         "docs_page_headers": q_docs_page_headers,
+        "tei_render_roundtrip": q_tei_render_roundtrip,
         "flagship_segmentation": q_flagship_segmentation,
         "tei_render": q_tei_render,
         "targets_predicate_extract": q_targets_predicate_extract,
@@ -1408,6 +1443,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_page_headers": """
             SELECT doc_id, CAST(3 + doc_id % 3 AS INT) AS headnote_lines
+            FROM documents
+        """,
+        "tei_render_roundtrip": """
+            SELECT doc_id,
+                   array_to_string((string_split(text, ' '))[1:8], ' ') AS tei_title
             FROM documents
         """,
         # the complex-matcher path must land the identical spans
