@@ -582,6 +582,67 @@ def q_docs_page_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_segmentation_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmentation FSM (W7-W9) oracle-checked on a deterministic layout:
+    line 1 is the target title (matched -> front), followed by
+    ``8 + doc_id % 5`` unique body lines; the matcher -> majority vote ->
+    merge FSM -> body-default chain must tag exactly one front line and all
+    remaining lines body — DuckDB recomputes both counts per document.
+    (flagship_segmentation stays rows-only over the real HTML corpus where
+    line structure varies; this twin pins the FSM's values.)"""
+    import pandas as pd
+
+    from sciencebeam_trainer_grobid_tools_spark.kernel.doc import tokenize_lines
+    from sciencebeam_trainer_grobid_tools_spark.operators.annotate import strip_tag_prefix
+    from sciencebeam_trainer_grobid_tools_spark.operators.targets import (
+        parse_xml_mapping_string,
+        xml_string_to_target_annotations,
+    )
+    from sciencebeam_trainer_grobid_tools_spark.plans.flavors import segmentation_flavor
+    from sciencebeam_trainer_grobid_tools_spark.sources.corpus import DEFAULT_XML_MAPPING
+
+    docs = _spread(_load(spark, sf_dir, "documents"), spark)
+    mapping = parse_xml_mapping_string(DEFAULT_XML_MAPPING)
+    chain = segmentation_flavor()
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                words = row.text.split() + ["w"] * 80
+                title = " ".join(words[:8])
+                n_body = 8 + row.doc_id % 5
+                lines = [title]
+                w = 8
+                for i in range(n_body):
+                    lines.append("x%d %s" % (i, " ".join(words[w : w + 5])))
+                    w += 5
+                target_xml = (
+                    "<article><front><article-meta><title-group><article-title>"
+                    + title
+                    + "</article-title></title-group></article-meta></front></article>"
+                )
+                doc = tokenize_lines(lines)
+                targets = xml_string_to_target_annotations(target_xml, mapping)
+                chain(doc, targets)
+                counts = {}
+                for line in doc.lines:
+                    seg = strip_tag_prefix(line[0].tag) or "untagged"
+                    counts[seg] = counts.get(seg, 0) + 1
+                rows.append(
+                    {
+                        "doc_id": row.doc_id,
+                        "front_lines": counts.get("front", 0),
+                        "body_lines": counts.get("body", 0),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "front_lines", "body_lines"])
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batches, "doc_id long, front_lines int, body_lines int"
+    )
+
+
 def q_flagship_title_spans_complex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same end-to-end contract as flagship_title_spans but through the
     COMPLEX matcher (the reference's legacy MatchingAnnotator: fuzzy scoring
@@ -1018,6 +1079,19 @@ def q_jats_fix_identifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_payload_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal payload plumbing, oracle-checked: the Arrow-batched stage
+    digests each binary payload (sha256 via hashlib) and DuckDB recomputes
+    sha256(md5(text)) over the same derivation — byte-exact binary-column
+    transfer through scan -> Arrow -> pandas is value-verified."""
+    from sciencebeam_trainer_grobid_tools_spark.operators.multimodal import (
+        media_payload_digests,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    return media_payload_digests(attach_fake_media(docs))
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column -> Arrow-batched decode stub
     -> typed features (rows-only; decode is deterministic-fake here)."""
@@ -1067,6 +1141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_line_numbers": q_docs_line_numbers,
         "docs_page_headers": q_docs_page_headers,
         "tei_render_roundtrip": q_tei_render_roundtrip,
+        "docs_segmentation_layout": q_docs_segmentation_layout,
+        "media_payload_digests": q_media_payload_digests,
         "flagship_segmentation": q_flagship_segmentation,
         "tei_render": q_tei_render,
         "targets_predicate_extract": q_targets_predicate_extract,
@@ -1448,6 +1524,19 @@ def oracle_sql() -> dict[str, str]:
         "tei_render_roundtrip": """
             SELECT doc_id,
                    array_to_string((string_split(text, ' '))[1:8], ' ') AS tei_title
+            FROM documents
+        """,
+        "docs_segmentation_layout": """
+            SELECT doc_id,
+                   1 AS front_lines,
+                   CAST(8 + doc_id % 5 AS INT) AS body_lines
+            FROM documents
+        """,
+        "media_payload_digests": """
+            SELECT doc_id,
+                   'image/fake' AS media_type,
+                   32 AS n_bytes,
+                   sha256(md5(text)) AS digest
             FROM documents
         """,
         # the complex-matcher path must land the identical spans

@@ -148,3 +148,33 @@ def sample_frames(
             )
 
     return media.mapInPandas(frame_batches, schema=FRAME_SCHEMA)
+
+
+def media_payload_digests(media: DataFrame, algo: str = "sha256") -> DataFrame:
+    """Oracle-portable payload check: digest every payload byte-for-byte in
+    the Arrow-batched decode stage (``hashlib`` on the executor side equals
+    the SQL engine's digest of the same bytes), proving the binary column
+    survives the scan -> Arrow -> pandas transfer byte-exactly."""
+    import pandas as pd
+
+    def digest_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                payload: bytes = row.payload
+                rows.append(
+                    {
+                        "doc_id": row.doc_id,
+                        "media_type": row.media_type,
+                        "n_bytes": len(payload),
+                        "digest": hashlib.new(algo, payload).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "media_type", "n_bytes", "digest"]
+            )
+
+    return media.mapInPandas(
+        digest_batches,
+        schema="doc_id long, media_type string, n_bytes int, digest string",
+    )
