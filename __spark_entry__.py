@@ -276,16 +276,17 @@ def q_docs_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_docs_minhash_xxhash_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-family check of the PRODUCTION xxhash64 minhash path: at the
-    same (k=5, num_hashes=8, bands=4) parameters, the xxhash64-banding pair
+    HEADLINE query's exact parameters (k=5, num_hashes=32, bands=8), the
+    xxhash64-banding pair
     set restricted to true near-dups (exact Jaccard >= 0.5) must equal the
     portable md5-banding pair set under the same restriction — DuckDB
     computes the portable side, so the equality is value-checked.  Banding
     recall for high-Jaccard pairs is hash-family-independent on the seeded
-    corpus (collision probability 1-(1-j^2)^4 ~ 1 at j >= 0.5 for the
+    corpus (collision probability 1-(1-j^4)^8 ~ 1 at j >= 0.5 for the
     seeded near-dup construction), which makes the pair LISTS comparable."""
     docs = _spread(_load(spark, sf_dir, "documents"), spark)
     pairs = dedup.minhash_candidate_pairs(
-        docs, k=5, num_hashes=8, bands=4, persist_intermediate=False
+        docs, k=5, num_hashes=32, bands=8, persist_intermediate=False
     )
     return pairs.filter(F.col("jaccard") >= 0.5)
 
@@ -1245,7 +1246,17 @@ def _lsh_prebucketed_oracle_sql() -> str:
 # DuckDB replica of the full portable MinHash+LSH banding pipeline
 # (q_docs_minhash_portable); also the expected-side of the xxhash64-path
 # cross-check when restricted to jaccard >= 0.5
-_MINHASH_PORTABLE_SQL = """
+def _minhash_portable_sql(num_hashes: int = 8, bands: int = 4) -> str:
+    """DuckDB replica of the portable MinHash+LSH banding pipeline at the
+    given (num_hashes, bands); rows_per_band = num_hashes // bands."""
+    rows_per_band = num_hashes // bands
+    seeds = ", ".join(str(i) for i in range(num_hashes))
+    band_ids = ", ".join(str(b) for b in range(bands))
+    band_key = " || ',' || ".join(
+        "sig[%d * b.band + %d]" % (rows_per_band, r + 1)
+        for r in range(rows_per_band)
+    )
+    return """
     WITH tok AS (
         SELECT doc_id,
                string_split(LOWER(REPLACE(text, chr(10), ' ')), ' ') AS tokens
@@ -1264,13 +1275,13 @@ _MINHASH_PORTABLE_SQL = """
                [list_aggregate(
                     list_transform(shingles, s -> md5(seed::VARCHAR || ':' || s)),
                     'min')
-                for seed in [0, 1, 2, 3, 4, 5, 6, 7]] AS sig
+                for seed in [%(seeds)s]] AS sig
         FROM sh
     ),
     buckets AS (
         SELECT doc_id, b.band AS band,
-               md5(sig[2 * b.band + 1] || ',' || sig[2 * b.band + 2]) AS band_key
-        FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b
+               md5(%(band_key)s) AS band_key
+        FROM sig, (SELECT unnest([%(band_ids)s]) AS band) b
     ),
     pairs AS (
         SELECT DISTINCT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b
@@ -1284,8 +1295,10 @@ _MINHASH_PORTABLE_SQL = """
     FROM pairs p
     JOIN sig a ON a.doc_id = p.doc_id_a
     JOIN sig b ON b.doc_id = p.doc_id_b
-"""
+    """ % {"seeds": seeds, "band_ids": band_ids, "band_key": band_key}
 
+
+_MINHASH_PORTABLE_SQL = _minhash_portable_sql(8, 4)
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -1482,7 +1495,8 @@ def oracle_sql() -> dict[str, str]:
         # expected pair list for the xxhash64-path cross-check (see
         # q_docs_minhash_xxhash_crosscheck)
         "docs_minhash_xxhash_crosscheck": (
-            "SELECT * FROM (%s) WHERE jaccard >= 0.5" % _MINHASH_PORTABLE_SQL
+            # at the HEADLINE query's exact production parameters (32, 8)
+            "SELECT * FROM (%s) WHERE jaccard >= 0.5" % _minhash_portable_sql(32, 8)
         ),
         "emb_cosine_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
