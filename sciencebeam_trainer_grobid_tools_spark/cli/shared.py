@@ -263,10 +263,25 @@ def make_default_matcher_stage(args: argparse.Namespace, matcher_config: Matcher
     ``(doc, targets) -> doc`` stage for flavors built on the default stack
     (header / segmentation / reference-segmenter)."""
 
+    # one debug-match reporter per worker process (lazy), not per document:
+    # per-document reporters would reopen the same per-task part file in 'w'
+    # mode and keep only the last document's rows.  atexit flushes/closes
+    # when the python worker exits.
+    reporter_cell: list = []
+
+    def get_reporter():
+        if not args.debug_match:
+            return None
+        if not reporter_cell:
+            import atexit
+
+            reporter = CsvMatchDetailReporter(args.debug_match)
+            atexit.register(reporter.close)
+            reporter_cell.append(reporter)
+        return reporter_cell[0]
+
     def build_complex_config() -> MatchingAnnotatorConfig:
-        reporter = (
-            CsvMatchDetailReporter(args.debug_match) if args.debug_match else None
-        )
+        reporter = get_reporter()
         return MatchingAnnotatorConfig(
             match_detail_reporter=reporter,
             seq_match_filter=get_simple_fuzzy_match_filter(

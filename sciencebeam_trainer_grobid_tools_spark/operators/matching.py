@@ -542,6 +542,9 @@ class CsvMatchDetailReporter:
 
     def __call__(self, detail: dict) -> None:
         self._writer.writerow(detail)
+        # a debug sink inside a long-lived python worker may never reach
+        # close(); flush per row so diagnostics are readable immediately
+        self._handle.flush()
 
     def close(self) -> None:
         self._ctx.__exit__(None, None, None)

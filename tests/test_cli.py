@@ -550,3 +550,30 @@ class TestAnnotateCorpusCli:
         # resume: everything already annotated -> zero new chunks
         counters = annotate_corpus.main(argv)
         assert counters == {"chunks": 0, "rows": 0}
+
+
+class TestDebugMatchCli:
+    def test_complex_matcher_debug_match_keeps_all_documents(self, spark, tmp_path):
+        """--debug-match with the complex matcher: documents in one task must
+        append to one per-task reporter, not overwrite each other."""
+        import csv
+        import glob
+
+        write_header_pair(tmp_path, "<note>%s</note>" % TITLE_1, target_xml(TITLE_1))
+        write_header_pair(
+            tmp_path, "<note>%s</note>" % TITLE_1, target_xml(TITLE_1), stem="document2"
+        )
+        debug_path = str(tmp_path / "debug.csv")
+        counters = auto_annotate_header.main(
+            header_argv(
+                tmp_path, "--fields", "title", "--matcher", "complex",
+                "--debug-match", debug_path,
+            )
+        )
+        assert counters == {"passed": 2, "failed": 0}
+        rows = []
+        for part in glob.glob(str(tmp_path / "debug*.csv")):
+            with open(part, encoding="utf-8") as handle:
+                rows.extend(list(csv.DictReader(handle)))
+        accepted_titles = [r for r in rows if r["tag"] == "title" and r["accepted"] == "True"]
+        assert len(accepted_titles) == 2, rows
