@@ -36,6 +36,23 @@ from ..sources.corpus import DEFAULT_XML_MAPPING
 
 SPAN_TYPE = "array<struct<field:string,start:int,end:int,text:string>>"
 
+# Oversized-document guard (SURVEY §7.3.5 "large partition class"): one
+# 50-100 MB HTML blob would stall a core inside the per-document kernel for
+# minutes, exactly like the reference's one-doc-per-future model
+# (auto_annotate_utils.py:740-757).  Documents whose payload exceeds this
+# byte threshold are routed to the failed/error output instead of the
+# kernel; the payload is nulled JVM-side so the bytes never cross Arrow
+# into Python.  Override with SPARK_GRAFT_MAX_DOC_BYTES (0 disables).
+DEFAULT_MAX_DOC_BYTES = 64 * 1024 * 1024
+
+
+def _resolve_max_doc_bytes(max_doc_bytes) -> int:
+    import os
+
+    if max_doc_bytes is not None:
+        return int(max_doc_bytes)
+    return int(os.environ.get("SPARK_GRAFT_MAX_DOC_BYTES", DEFAULT_MAX_DOC_BYTES))
+
 ANNOTATED_SCHEMA = (
     "url string, lang string, extracted_text string, "
     "n_lines int, n_tokens int, "
@@ -137,6 +154,7 @@ def annotate_documents(
     matcher: str = "simple",
     observation=None,
     kernel_counter=None,
+    max_doc_bytes: Optional[int] = None,
 ) -> DataFrame:
     """documents -> annotated spans table (the north-star job).
 
@@ -146,11 +164,19 @@ def annotate_documents(
     ``kernel_counter``: optional Spark accumulator incremented per document
     actually fed through the kernel — used by tests to assert the expensive
     stage runs exactly once per chunk.
+    ``max_doc_bytes``: oversized-document guard threshold (None -> env
+    ``SPARK_GRAFT_MAX_DOC_BYTES`` -> 64 MiB default; 0 disables).  Documents
+    over the threshold emit an ``oversized_document`` error row (counted in
+    the ``errors`` metric, landing in the failed output) — the payload is
+    nulled JVM-side before Arrow, so a 100 MB blob neither crosses into
+    Python nor stalls a core in the alignment kernel.
     """
     import pandas as pd
 
     columns = set(docs.columns)
     has_target = "target_xml" in columns
+    max_bytes = _resolve_max_doc_bytes(max_doc_bytes)
+    payload_col = "html" if (use_html and "html" in columns) else "text"
 
     def annotate_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -160,6 +186,29 @@ def annotate_documents(
             for row in pdf.itertuples(index=False):
                 url = row.url
                 lang = getattr(row, "lang", None)
+                doc_bytes = getattr(row, "doc_bytes", None)
+                if doc_bytes is not None and not pd.isna(doc_bytes) and doc_bytes > max_bytes:
+                    # oversized-document guard: payload was nulled JVM-side;
+                    # account for the doc on the error/failed output
+                    out.append(
+                        {
+                            "url": url,
+                            "lang": lang,
+                            "extracted_text": None,
+                            "n_lines": 0,
+                            "n_tokens": 0,
+                            "spans": [],
+                            "sub_spans": [],
+                            "alignment_attempts": 0,
+                            "alignment_hits": 0,
+                            "passed": False,
+                            "reason": "oversized_document",
+                            "error": "oversized_document: %d bytes > max_doc_bytes=%d"
+                            % (int(doc_bytes), max_bytes),
+                            "tei_xml": None,
+                        }
+                    )
+                    continue
                 try:
                     result = annotate_document_row(
                         url=url,
@@ -211,8 +260,19 @@ def annotate_documents(
                 ],
             )
 
-    needed = [c for c in ("url", "warc_ts", "html", "text", "lang", "target_xml") if c in columns]
+    wanted = ("url", "warc_ts", "html", "text", "lang", "target_xml")
+    needed = [
+        c for c in wanted if c in columns and not (c == "html" and not use_html)
+    ]
     plan = docs.select(*needed)
+    if max_bytes > 0 and payload_col in columns:
+        # guard runs JVM-side: size the payload, then null it for oversized
+        # rows so the bytes never get Arrow-serialized into the Python worker
+        size = F.coalesce(F.octet_length(F.col(payload_col)), F.lit(0))
+        plan = plan.withColumn("doc_bytes", size.cast("long")).withColumn(
+            payload_col,
+            F.when(F.col("doc_bytes") <= F.lit(max_bytes), F.col(payload_col)),
+        )
     if repartition:
         # salted spread by url-hash: giant-HTML rows distribute uniformly
         # instead of clustering in ingest order (north_star skew requirement)
@@ -256,13 +316,38 @@ def spans_table(annotated: DataFrame) -> DataFrame:
 
 
 def write_outputs(annotated: DataFrame, output_dir: str) -> None:
-    """Partitioned-by-outcome write: passing docs to ``annotated/``, failing
-    docs to ``failed/`` (reference S7: annotation/annotator.py:185-196)."""
-    annotated.cache()
-    annotated.filter(F.col("passed")).write.mode("overwrite").parquet(
-        output_dir.rstrip("/") + "/annotated"
+    """Partitioned-by-outcome write (reference S6/S7 semantics: passing docs
+    to one location, failing docs to another — annotation/annotator.py:185-196).
+
+    SINGLE write job with Hive partitioning on ``passed``: the kernel runs
+    exactly once and each outcome lands in its own directory
+    (``documents/passed=true/``, ``documents/passed=false/``), with no
+    ``cache()`` of the full annotated table (at 100 TB that cache —
+    including ``tei_xml`` strings — is pure memory/disk pressure).
+    Readers use :func:`read_annotated` / :func:`read_failed`, whose outcome
+    filter is satisfied by PARTITION PRUNING — the other outcome's files are
+    never opened."""
+    annotated.write.mode("overwrite").partitionBy("passed").parquet(
+        output_dir.rstrip("/") + "/documents"
     )
-    annotated.filter(~F.col("passed")).write.mode("overwrite").parquet(
-        output_dir.rstrip("/") + "/failed"
-    )
-    annotated.unpersist()
+
+
+def _read_outcome(spark, output_dir: str, passed: bool) -> DataFrame:
+    # Hive partition inference types the `passed` directory values as STRING
+    # ("true"/"false"); filter on the string (still a pure partition filter —
+    # pruned, the other outcome's files never open) and cast back to boolean
+    # so the reader's schema matches what write_outputs was given.
+    docs = spark.read.parquet(output_dir.rstrip("/") + "/documents")
+    return docs.filter(
+        F.col("passed") == F.lit("true" if passed else "false")
+    ).withColumn("passed", F.col("passed").cast("boolean"))
+
+
+def read_annotated(spark, output_dir: str) -> DataFrame:
+    """Passing documents from a :func:`write_outputs` directory (pruned scan)."""
+    return _read_outcome(spark, output_dir, passed=True)
+
+
+def read_failed(spark, output_dir: str) -> DataFrame:
+    """Failing documents from a :func:`write_outputs` directory (pruned scan)."""
+    return _read_outcome(spark, output_dir, passed=False)

@@ -79,3 +79,100 @@ class TestSparkPipeline:
             .filter(F.col("n1") != F.col("n2"))
         )
         assert joined.count() == 0
+
+
+class TestWriteOutputs:
+    def test_single_pass_partitioned_write(self, spark, tmp_path):
+        """S6/S7 sink: ONE write job partitioned by outcome — the kernel runs
+        exactly once per document (no cache + double filtered write), and
+        readers of either outcome open only that outcome's partition dir."""
+        import os
+
+        from sciencebeam_trainer_grobid_tools_spark.plans.pipeline import (
+            read_annotated,
+            read_failed,
+            write_outputs,
+        )
+
+        docs = corpus_dataframe(spark, 20, seed=11, partitions=2)
+        counter = spark.sparkContext.accumulator(0)
+        annotated = annotate_documents(docs, repartition=4, kernel_counter=counter)
+        out = str(tmp_path / "out")
+        write_outputs(annotated, out)
+        # single pass: every document fed through the kernel exactly once
+        assert counter.value == 20
+
+        # Hive-partitioned layout on outcome
+        part_dirs = sorted(
+            d for d in os.listdir(out + "/documents") if d.startswith("passed=")
+        )
+        assert part_dirs and set(part_dirs) <= {"passed=false", "passed=true"}
+
+        passed = read_annotated(spark, out)
+        failed = read_failed(spark, out)
+        assert passed.count() + failed.count() == 20
+        assert passed.schema["passed"].dataType.simpleString() == "boolean"
+        assert passed.filter(~F.col("passed")).count() == 0
+        # the outcome filter is satisfied by partition pruning, not a scan
+        plan = passed._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+
+
+class TestOversizedDocGuard:
+    """SURVEY §7.3.5 'large partition class': a giant HTML blob must not
+    stall a core inside the alignment kernel (the reference's
+    one-doc-per-future model does stall: auto_annotate_utils.py:740-757)."""
+
+    def _docs_with_giant(self, spark, giant_bytes):
+        normal = corpus_dataframe(spark, 5, seed=3, partitions=2)
+        giant_html = (
+            b"<html><body><p>start</p>" + b"x" * giant_bytes + b"</body></html>"
+        )
+        giant = spark.createDataFrame(
+            [("https://giant.example/doc", giant_html, None, "en")],
+            "url string, html binary, text string, lang string",
+        )
+        return normal.select("url", "html", "text", "lang").unionByName(giant)
+
+    def test_giant_doc_routed_to_error_output(self, spark):
+        import time
+
+        docs = self._docs_with_giant(spark, 50 * 1024 * 1024)
+        t0 = time.time()
+        rows = annotate_documents(docs, repartition=4, max_doc_bytes=8 * 1024 * 1024).collect()
+        elapsed = time.time() - t0
+        assert len(rows) == 6  # the giant doc is accounted for, not dropped
+        by_url = {r.url: r for r in rows}
+        giant = by_url["https://giant.example/doc"]
+        assert giant.passed is False
+        assert giant.reason == "oversized_document"
+        assert "max_doc_bytes=8388608" in giant.error
+        assert giant.extracted_text is None
+        ok = [r for r in rows if r.url != "https://giant.example/doc"]
+        assert all(r.error is None for r in ok)
+        # the 50 MB payload was nulled JVM-side: the batch completes in
+        # seconds, not the minutes a kernel pass over 50 MB would take
+        assert elapsed < 60
+
+    def test_guard_disabled_processes_payload(self, spark):
+        # 0 disables the guard: the doc goes through the kernel normally
+        docs = self._docs_with_giant(spark, 200 * 1024)
+        rows = annotate_documents(docs, repartition=4, max_doc_bytes=0).collect()
+        giant = {r.url: r for r in rows}["https://giant.example/doc"]
+        assert giant.error is None
+        assert giant.n_lines >= 1
+        assert "start" in giant.extracted_text
+
+    def test_guard_counts_in_errors_metric(self, spark):
+        from pyspark.sql import Observation
+
+        docs = self._docs_with_giant(spark, 64 * 1024)
+        obs = Observation()
+        rows = annotate_documents(
+            docs, repartition=2, max_doc_bytes=16 * 1024, observation=obs
+        ).collect()
+        metrics = obs.get
+        oversized = [r for r in rows if r.reason == "oversized_document"]
+        assert {r.url for r in oversized} >= {"https://giant.example/doc"}
+        assert metrics["docs_processed"] == 6
+        assert metrics["errors"] == len(oversized)
