@@ -277,18 +277,25 @@ def q_docs_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_docs_minhash_xxhash_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-family check of the PRODUCTION xxhash64 minhash path: at the
     HEADLINE query's exact parameters (k=5, num_hashes=32, bands=8), the
-    xxhash64-banding pair
-    set restricted to true near-dups (exact Jaccard >= 0.5) must equal the
-    portable md5-banding pair set under the same restriction — DuckDB
-    computes the portable side, so the equality is value-checked.  Banding
-    recall for high-Jaccard pairs is hash-family-independent on the seeded
-    corpus (collision probability 1-(1-j^4)^8 ~ 1 at j >= 0.5 for the
-    seeded near-dup construction), which makes the pair LISTS comparable."""
+    xxhash64-banding pair set restricted to true near-dups (exact Jaccard
+    >= 0.8) must equal the portable md5-banding pair set under the same
+    restriction — DuckDB computes the portable side, so the equality is
+    value-checked.
+
+    Validity note: the two hash families draw banding collisions
+    INDEPENDENTLY, and at the r=4,b=8 boundary j=0.8 the per-pair collision
+    probability is 1-(1-0.8^4)^8 ~ 0.985, not 1 — so pair-set equality is
+    not guaranteed for arbitrary corpora.  The check is sound here because
+    the SEEDED near-dup construction in the driver testdata yields pairs
+    with Jaccard >= 0.875 (measured: min 0.875, p10 0.953 at sf0.01), where
+    each family's recall is >= 1-(1-0.875^4)^8 ~ 0.9991; pairs between 0.8
+    and 0.875 do not occur.  A corpus whose near-dups sat near the 0.8
+    boundary could fail this gate spuriously."""
     docs = _spread(_load(spark, sf_dir, "documents"), spark)
     pairs = dedup.minhash_candidate_pairs(
         docs, k=5, num_hashes=32, bands=8, persist_intermediate=False
     )
-    return pairs.filter(F.col("jaccard") >= 0.5)
+    return pairs.filter(F.col("jaccard") >= 0.8)
 
 
 def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -380,6 +387,14 @@ def q_emb_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # alignment kernel against a SQL oracle
+
+
+def q_emb_centroid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped similarity: each vector's cosine to its LABEL CENTROID, top-5
+    per label (similarity.pairwise_topk_by_label — one centroid shuffle with
+    map-side partials, broadcast join back, window top-k)."""
+    embeddings = _load(spark, sf_dir, "embeddings")
+    return similarity.pairwise_topk_by_label(embeddings, k=5, round_digits=4)
 
 
 def q_align_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1135,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_lsh_prebucketed": q_emb_lsh_prebucketed,
         "emb_label_stats": q_emb_label_stats,
+        "emb_centroid_topk": q_emb_centroid_topk,
         "align_exact_spans": q_align_exact_spans,
         "flagship_extract_align": q_flagship_extract_align,
         "flagship_title_spans": q_flagship_title_spans,
@@ -1245,7 +1261,7 @@ def _lsh_prebucketed_oracle_sql() -> str:
 
 # DuckDB replica of the full portable MinHash+LSH banding pipeline
 # (q_docs_minhash_portable); also the expected-side of the xxhash64-path
-# cross-check when restricted to jaccard >= 0.5
+# cross-check when restricted to jaccard >= 0.8
 def _minhash_portable_sql(num_hashes: int = 8, bands: int = 4) -> str:
     """DuckDB replica of the portable MinHash+LSH banding pipeline at the
     given (num_hashes, bands); rows_per_band = num_hashes // bands."""
@@ -1495,8 +1511,11 @@ def oracle_sql() -> dict[str, str]:
         # expected pair list for the xxhash64-path cross-check (see
         # q_docs_minhash_xxhash_crosscheck)
         "docs_minhash_xxhash_crosscheck": (
-            # at the HEADLINE query's exact production parameters (32, 8)
-            "SELECT * FROM (%s) WHERE jaccard >= 0.5" % _minhash_portable_sql(32, 8)
+            # at the HEADLINE query's exact production parameters (32, 8);
+            # threshold 0.8 per the validity note on the Spark side (seeded
+            # near-dups all sit at jaccard >= 0.875 where banding recall is
+            # ~0.9991 per family)
+            "SELECT * FROM (%s) WHERE jaccard >= 0.8" % _minhash_portable_sql(32, 8)
         ),
         "emb_cosine_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
@@ -1515,6 +1534,34 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(embedding[1]), 4) AS c0,
                    ROUND(AVG(SQRT(list_dot_product(embedding, embedding))), 4) AS avg_norm
             FROM embeddings GROUP BY label
+        """,
+        "emb_centroid_topk": """
+            WITH flat AS (
+                -- dim=64 per TESTDATA.md (same convention as the LSH oracle)
+                SELECT e.label, e.vec_id,
+                       CAST(r.range AS INT) AS i,
+                       e.embedding[CAST(r.range AS INT)] AS v
+                FROM embeddings e, range(1, 65) r
+            ),
+            cent AS (
+                SELECT label, i, AVG(v) AS cv FROM flat GROUP BY label, i
+            ),
+            cos AS (
+                SELECT f.label, f.vec_id,
+                       SUM(f.v * c.cv)
+                           / (SQRT(SUM(f.v * f.v)) * SQRT(SUM(c.cv * c.cv)))
+                           AS cosine
+                FROM flat f
+                JOIN cent c ON f.label = c.label AND f.i = c.i
+                GROUP BY f.label, f.vec_id
+            )
+            SELECT label, vec_id, ROUND(cosine, 4) AS cosine
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY label ORDER BY cosine DESC, vec_id
+                ) AS rn FROM cos
+            )
+            WHERE rn <= 5
         """,
         "flagship_title_spans": """
             SELECT doc_id,

@@ -263,15 +263,21 @@ def make_default_matcher_stage(args: argparse.Namespace, matcher_config: Matcher
     ``(doc, targets) -> doc`` stage for flavors built on the default stack
     (header / segmentation / reference-segmenter)."""
 
-    # one debug-match reporter per worker process (lazy), not per document:
-    # per-document reporters would reopen the same per-task part file in 'w'
-    # mode and keep only the last document's rows.  atexit flushes/closes
-    # when the python worker exits.
+    # one debug-match reporter per task (lazy), not per document: per-document
+    # reporters would reopen the same per-task part file in 'w' mode and keep
+    # only the last document's rows.  The partition iterator closes it at end
+    # of task (matching.close_task_reporters — worker reuse deserializes a
+    # fresh closure per task, so without that a long-lived worker leaks one fd
+    # per task); atexit is only the backstop for driver-side/in-process use
+    # (close is idempotent).  A reporter the task seam already closed is
+    # replaced on next use instead of written-to-after-close.
     reporter_cell: list = []
 
     def get_reporter():
         if not args.debug_match:
             return None
+        if reporter_cell and reporter_cell[0]._closed:
+            reporter_cell.clear()
         if not reporter_cell:
             import atexit
 

@@ -512,10 +512,20 @@ class CsvMatchDetailReporter:
     header on first row; call :meth:`close` (or use as context manager).
 
     Inside a Spark task the given path is suffixed with the task's partition
-    id (``debug.part00007.csv``) so concurrent executor tasks never interleave
-    into one file — enforced here, not left to the caller.  Writes go through
-    the FS seam (``sources/fs.py``) so the sink works against registered
-    object-store backends."""
+    id AND attempt number (``debug.part00007_a0.csv``) so concurrent executor
+    tasks never interleave into one file and a retried/speculative attempt of
+    the same partition never clobbers an earlier attempt's rows — enforced
+    here, not left to the caller.  Writes go through the FS seam
+    (``sources/fs.py``) so the sink works against registered object-store
+    backends.
+
+    Lifecycle inside a long-lived (reused) python worker: every open reporter
+    registers itself process-globally; partition iterators that drive
+    matching call :func:`close_task_reporters` in a ``finally`` at end of
+    task, so a worker that survives many tasks holds at most the current
+    task's file descriptor (PySpark's TaskContext has no completion-listener
+    hook, so end-of-iterator is the task-completion seam).  ``close`` is
+    idempotent — an ``atexit`` backstop may close an already-closed reporter."""
 
     def __init__(self, path: str):
         import csv
@@ -539,6 +549,8 @@ class CsvMatchDetailReporter:
             extrasaction="ignore",
         )
         self._writer.writeheader()
+        self._closed = False
+        _OPEN_REPORTERS.add(self)
 
     def __call__(self, detail: dict) -> None:
         self._writer.writerow(detail)
@@ -547,6 +559,10 @@ class CsvMatchDetailReporter:
         self._handle.flush()
 
     def close(self) -> None:
+        if self._closed:
+            return
+        self._closed = True
+        _OPEN_REPORTERS.discard(self)
         self._ctx.__exit__(None, None, None)
 
     def __enter__(self) -> "CsvMatchDetailReporter":
@@ -556,8 +572,23 @@ class CsvMatchDetailReporter:
         self.close()
 
 
+# reporters opened in this process and not yet closed (worker-reuse seam)
+_OPEN_REPORTERS: set = set()
+
+
+def close_task_reporters() -> None:
+    """Close every reporter opened in this python worker.  Partition-driving
+    iterators (plans/auto_annotate.py kernels) call this in a ``finally`` at
+    end of task: with ``spark.python.worker.reuse`` each task deserializes a
+    fresh stage closure and opens a fresh reporter, so without this a
+    long-lived worker accumulates one open fd per task (EMFILE risk)."""
+    for reporter in list(_OPEN_REPORTERS):
+        reporter.close()
+
+
 def _task_partition_suffix() -> str:
-    """``part%05d`` for the current Spark task's partition, '' on the driver."""
+    """``part%05d_a%d`` (partition, attempt) for the current Spark task,
+    '' on the driver."""
     try:
         from pyspark import TaskContext
     except Exception:
@@ -565,4 +596,4 @@ def _task_partition_suffix() -> str:
     ctx = TaskContext.get()
     if ctx is None:
         return ""
-    return "part%05d" % ctx.partitionId()
+    return "part%05d_a%d" % (ctx.partitionId(), ctx.attemptNumber())

@@ -60,6 +60,25 @@ def cosine_topk(
     )
 
 
+def _embedding_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality via a 1-row probe, with a CLEAR error when it
+    cannot be determined (empty input / null vector) — never a silent 0.
+
+    The probe is an eager Spark job; callers on a hot path should pass an
+    explicit ``dim`` instead (the parquet schema types ``array<float>``
+    without a length, so the schema alone cannot answer this).
+    """
+    probe = df.select(F.size(F.col(vec_col)).alias("d")).filter(
+        F.col("d") > 0
+    ).limit(1).collect()
+    if not probe:
+        raise ValueError(
+            "cannot determine embedding dimension from column %r: input has no "
+            "row with a non-empty vector; pass dim= explicitly" % vec_col
+        )
+    return int(probe[0]["d"])
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> List[List[float]]:
     rng = random.Random(seed)
     return [
@@ -83,6 +102,7 @@ def add_lsh_bucket(
     seed: int = 42,
     vec_col: str = "embedding",
     bucket_col: str = "lsh_bucket",
+    dim: int = None,
 ) -> DataFrame:
     """INGEST-side LSH bucket materialization.
 
@@ -95,9 +115,16 @@ def add_lsh_bucket(
         add_lsh_bucket(df).write.partitionBy("lsh_bucket").parquet(path)
 
     then query the stored table with :func:`lsh_topk_prebucketed`.
+
+    ``dim``: embedding dimensionality.  Pass it explicitly at ingest (no
+    extra Spark job); when omitted, a 1-row probe determines it and raises
+    a clear error on an empty/null-vector input rather than silently
+    degenerating to zero-dimension hyperplanes.
     """
-    dim_probe = df.select(F.size(vec_col).alias("d")).limit(1).collect()
-    dim = dim_probe[0]["d"] if dim_probe else 0
+    if dim is None:
+        dim = _embedding_dim(df, vec_col)
+    if dim <= 0:
+        raise ValueError("embedding dimension must be positive, got %r" % dim)
     planes = random_hyperplanes(dim, n_planes, seed)
     return df.withColumn(bucket_col, lsh_bucket(F.col(vec_col), planes))
 
@@ -183,18 +210,63 @@ def lsh_topk(
     )
 
 
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int = None,
+) -> DataFrame:
+    """Per-label centroid + count: ``(label, centroid array<double>, n_vectors)``.
+
+    One groupBy shuffle; the per-dimension averages partial-aggregate
+    map-side, so the shuffle carries |labels| x dim running sums, not rows.
+    """
+    if dim is None:
+        dim = _embedding_dim(df, vec_col)
+    return df.groupBy(label_col).agg(
+        F.array(*[F.avg(F.col(vec_col)[i]) for i in range(dim)]).alias("centroid"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )
+
+
 def pairwise_topk_by_label(
     df: DataFrame,
+    k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    round_digits: int = 6,
+    dim: int = None,
 ) -> DataFrame:
-    """Per-label centroid cosine: average embedding per label, then each
-    vector's cosine to its label centroid (a grouped-similarity pattern)."""
-    dim_df = df.select(F.size(vec_col).alias("d")).limit(1)
-    dim = dim_df.collect()[0]["d"]
-    agg = df.groupBy(label_col).agg(
-        F.array(*[F.round(F.avg(F.col(vec_col)[i]), 6) for i in range(dim)]).alias("centroid"),
-        F.count(F.lit(1)).alias("n_vectors"),
+    """Each vector's cosine to its LABEL CENTROID, top-k vectors per label:
+    ``(label, id, cosine)`` (a grouped-similarity pattern).
+
+    Plan: :func:`label_centroids` (one shuffle, map-side partials) -> the
+    tiny |labels|-row centroid table is BROADCAST back onto the vectors, so
+    the per-vector cosine is a broadcast hash join + a JVM fold with no
+    second shuffle of the big side; the per-label top-k is a window over the
+    label partitioning.  Ordering uses the unrounded cosine (ties broken by
+    id); the output value is rounded for cross-engine comparison.
+    """
+    from pyspark.sql import Window
+
+    centroids = label_centroids(df, vec_col=vec_col, label_col=label_col, dim=dim)
+    joined = df.join(
+        F.broadcast(centroids.select(label_col, "centroid")), on=label_col
     )
-    return agg
+    cos = dot(F.col(vec_col), F.col("centroid")) / (
+        embedding_norm(F.col(vec_col)) * embedding_norm(F.col("centroid"))
+    )
+    w = Window.partitionBy(label_col).orderBy(
+        F.col("_cos").desc(), F.col(id_col)
+    )
+    return (
+        joined.select(F.col(label_col), F.col(id_col), cos.alias("_cos"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            F.col(label_col),
+            F.col(id_col),
+            F.round(F.col("_cos"), round_digits).alias("cosine"),
+        )
+    )

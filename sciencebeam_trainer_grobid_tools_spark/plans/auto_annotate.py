@@ -235,6 +235,17 @@ def run_auto_annotate(
     def annotate_batches(batches):
         import pandas as pd
 
+        try:
+            yield from _annotate_batches_inner(batches, pd)
+        finally:
+            # end-of-task seam: close any --debug-match reporter this task's
+            # stage closure opened (worker reuse would otherwise accumulate
+            # one open fd per task — see matching.close_task_reporters)
+            from ..operators.matching import close_task_reporters
+
+            close_task_reporters()
+
+    def _annotate_batches_inner(batches, pd):
         for pdf in batches:
             out_rows = []
             for row in pdf.itertuples(index=False):

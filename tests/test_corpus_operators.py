@@ -184,6 +184,51 @@ class TestSimilarity:
             r["vec_id"] for r in expected
         ]
 
+    def test_add_lsh_bucket_empty_input_raises(self, spark, embeddings):
+        empty = embeddings.filter("vec_id < 0")
+        with pytest.raises(ValueError, match="embedding dimension"):
+            similarity.add_lsh_bucket(empty)
+
+    def test_add_lsh_bucket_explicit_dim_matches_probe(self, embeddings):
+        probed = similarity.add_lsh_bucket(embeddings, n_planes=4)
+        explicit = similarity.add_lsh_bucket(embeddings, n_planes=4, dim=16)
+        got = {r["vec_id"]: r["lsh_bucket"] for r in explicit.collect()}
+        want = {r["vec_id"]: r["lsh_bucket"] for r in probed.collect()}
+        assert got == want
+
+    def test_pairwise_topk_by_label_centroid_cosine(self, embeddings):
+        """Per-vector cosine to the label centroid, top-k per label — checked
+        against a numpy recomputation; the centroid side must be broadcast."""
+        import numpy as np
+
+        k = 4
+        result = similarity.pairwise_topk_by_label(embeddings, k=k)
+        plan = result._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+        rows = embeddings.collect()
+        by_label = {}
+        for r in rows:
+            by_label.setdefault(r["label"], []).append(
+                (r["vec_id"], np.array(r["embedding"], dtype=np.float64))
+            )
+        expected = {}
+        for label, vecs in by_label.items():
+            centroid = np.mean([v for _, v in vecs], axis=0)
+            cos = [
+                (
+                    float(v @ centroid / (np.linalg.norm(v) * np.linalg.norm(centroid))),
+                    vid,
+                )
+                for vid, v in vecs
+            ]
+            cos.sort(key=lambda t: (-t[0], t[1]))
+            expected[label] = [vid for _, vid in cos[:k]]
+        got = {}
+        for r in result.collect():
+            got.setdefault(r["label"], []).append(r["vec_id"])
+        assert got == expected
+
 
 class TestTextstats:
     def test_lang_id(self, docs):
