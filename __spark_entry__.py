@@ -471,7 +471,11 @@ def _documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_flagship_extract_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end: html parse -> tokenize -> target extraction -> fuzzy align
-    -> BIO spans + checks (rows-only; byte-identity is asserted in pytest)."""
+    -> BIO spans + checks.  Value-checked: on the deterministic corpus the
+    summary columns (n_lines, n_tokens, n_spans, alignment_hits, passed) have
+    a closed form DuckDB recomputes from documents.text; span OFFSETS and
+    byte-identity of the extracted text are value-checked by the
+    flagship_title_spans twin + pytest."""
     corpus = _documents_as_corpus(spark, sf_dir)
     annotated = annotate_documents(
         corpus, repartition=spark.sparkContext.defaultParallelism
@@ -1562,6 +1566,22 @@ def oracle_sql() -> dict[str, str]:
                 ) AS rn FROM cos
             )
             WHERE rn <= 5
+        """,
+        "flagship_extract_align": """
+            -- closed-form replica of the flagship kernel's summary columns on
+            -- the deterministic corpus: extracted lines equal newline-split
+            -- text (the html wrapper turns newlines into paragraph breaks and
+            -- the extractor strips the nav/script/footer chrome), tokens are
+            -- whitespace runs, and the synthesized title (first 8 words,
+            -- rendered at offset 0) always aligns: one span, one hit, passed
+            SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+                   CAST(LENGTH(string_split(text, chr(10))) AS INT) AS n_lines,
+                   CAST(LENGTH(regexp_extract_all(text, '\\S+')) AS INT)
+                       AS n_tokens,
+                   1 AS n_spans,
+                   1 AS alignment_hits,
+                   TRUE AS passed
+            FROM documents
         """,
         "flagship_title_spans": """
             SELECT doc_id,

@@ -50,19 +50,22 @@ def main() -> None:
     queries["flagship_extract_align"](spark, sf_dir).count()
     queries["docs_minhash_near_dups"](spark, sf_dir).count()
 
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings = {}
+    samples = {}
     flagship_docs = 0
     flagship_sec = None
     for name in HEADLINE:
         fn = queries[name]
-        best = None
         rows = []
-        for _ in range(3):
+        times = []
+        for _ in range(repeats):
             t0 = time.time()
             rows = fn(spark, sf_dir).collect()
-            elapsed = time.time() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
+            times.append(round(time.time() - t0, 3))
+        best = min(times)
+        timings[name] = best
+        samples[name] = times
         if name == "flagship_extract_align":
             flagship_docs = len(rows)
             flagship_sec = best
@@ -72,6 +75,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # all samples (min-of-N protocol, same as the scaling legs): lets a
+        # reader separate a real regression from a one-shot noise spike
+        "query_repeats": repeats,
+        "query_samples": samples,
         "sf": sf,
         "cpus": cpus,
         "flagship_docs": flagship_docs,
@@ -80,15 +87,16 @@ def main() -> None:
     # embed the committed loadavg-gated scaling sample (scripts/
     # quiet_scaling.py) so the round's BENCH json records the two-cluster-
     # size evidence without re-measuring under unknown load
-    scaling_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH", "quiet_scaling_r3.json"
-    )
-    if os.path.exists(scaling_path):
-        try:
-            with open(scaling_path) as fh:
-                result["scaling"] = json.load(fh)
-        except (OSError, ValueError):
-            pass
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    for name in ("quiet_scaling_r4.json", "quiet_scaling_r3.json"):
+        scaling_path = os.path.join(bench_dir, name)
+        if os.path.exists(scaling_path):
+            try:
+                with open(scaling_path) as fh:
+                    result["scaling"] = json.load(fh)
+            except (OSError, ValueError):
+                continue
+            break
     print(json.dumps(result))
     spark.stop()
 

@@ -1,8 +1,19 @@
 """Two-cluster-size scaling bench (the BASELINE.json north_rule criterion).
 
-No real cluster exists in this sandbox, so the "N -> 4N executors with
-scaling efficiency >= 0.8" criterion is evidenced by emulating executors as
-separate pinned processes on one box:
+No real multi-HOST cluster exists in this sandbox; the closest faithful
+evidence is the ``--local-cluster`` mode (CANONICAL since round 4): the
+identical flagship job on Spark's ``local-cluster[n, cores, mem]`` master at
+n=1 vs n=4 — a real standalone master, n separate worker JVMs, n separate
+CoarseGrainedExecutorBackend JVM processes, Spark's own scheduler/shuffle
+between them, and the package shipped to executors as a --py-files zip (the
+north_rule deployment shape).  Each leg is loadavg-gated and core-pinned to
+its executor-core budget + 2 driver cores; efficiency = (rate_4N/rate_N)/4,
+median of SCALING_BENCH_SAMPLES samples, min-of-RUNS within a leg.  The
+executor JVM pids and Spark's executor registry are recorded as evidence
+that the parallelism really crosses JVM boundaries.
+
+The older hand-rolled emulation (default mode, kept for round-over-round
+comparability) emulates executors as separate pinned processes on one box:
 
 - **N leg**: one executor = one subprocess running Spark local[4], pinned to
   cores 0-3, processing the full pre-materialized corpus.
@@ -84,6 +95,153 @@ def run_worker(cpus: int, shard: int, n_shards: int, runs: int) -> dict:
         times.append(time.time() - t0)
     spark.stop()
     return {"docs": n_docs, "runs_sec": [round(t, 2) for t in times]}
+
+
+def run_cluster_worker(n_executors: int, runs: int) -> dict:
+    """One leg of the REAL multi-JVM scaling sample: the flagship job on a
+    ``local-cluster[n, c, mem]`` master — Spark standalone master + n worker
+    JVMs + n separate CoarseGrainedExecutorBackend JVMs + a real shuffle
+    service between them, with the package shipped to executors as a
+    --py-files zip (the north_rule's deployment shape).  Unlike the
+    hand-rolled executor emulation (run_executor_emulation), Spark does the
+    scheduling/sharding itself; the result includes evidence that the
+    executors really are separate JVM processes."""
+    from pyspark.sql import SparkSession, functions as F
+
+    from scripts.build_pyfiles_zip import build
+
+    archive = build()
+    c = CORES_PER_EXECUTOR
+    spark = (
+        SparkSession.builder.master(
+            "local-cluster[%d,%d,4096]" % (n_executors, c)
+        )
+        .appName("scaling-cluster-%d" % n_executors)
+        .config("spark.executor.memory", "3g")
+        .config("spark.driver.memory", "4g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(n_executors * c * 2))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    sc = spark.sparkContext
+    sc.setLogLevel("ERROR")
+    sc.addPyFile(archive)
+
+    from sciencebeam_trainer_grobid_tools_spark.plans.pipeline import (
+        annotate_documents,
+    )
+
+    docs = spark.read.parquet(CORPUS_DIR)
+    n_docs = docs.count()
+    # warm-up: executor registration, python workers, codegen, C-kernel
+    # compile cache, page cache
+    annotate_documents(docs, repartition=n_executors * c * 4).agg(
+        F.count(F.lit(1))
+    ).collect()
+    times = []
+    for _ in range(runs):
+        t0 = time.time()
+        annotate_documents(docs, repartition=n_executors * c * 4).agg(
+            F.count(F.lit(1)).alias("docs")
+        ).collect()
+        times.append(time.time() - t0)
+    # separate-JVM evidence: Spark's own executor registry (minus the
+    # driver's block manager) + the executor backend OS processes
+    reported = sc._jsc.sc().getExecutorMemoryStatus().size() - 1
+    pgrep = subprocess.run(
+        ["pgrep", "-f", "CoarseGrainedExecutorBackend"],
+        capture_output=True,
+        text=True,
+    )
+    pids = sorted(int(p) for p in pgrep.stdout.split())
+    spark.stop()
+    return {
+        "docs": n_docs,
+        "runs_sec": [round(t, 2) for t in times],
+        "executor_jvms_reported": reported,
+        "executor_jvm_pids": pids,
+    }
+
+
+def _gate_load(max_load: float = 0.7, timeout: int = 900) -> float:
+    """Wait for a quiet host (1-min loadavg under the gate); returns the
+    loadavg that passed (or the last seen on timeout)."""
+    waited = 0
+    load = os.getloadavg()[0]
+    while load > max_load and waited < timeout:
+        time.sleep(10)
+        waited += 10
+        load = os.getloadavg()[0]
+    return round(load, 2)
+
+
+def run_local_cluster() -> None:
+    """The canonical two-cluster-size sample on REAL separate executor JVMs:
+    local-cluster[1,c,4096] vs local-cluster[4,c,4096], loadavg-gated,
+    min-of-RUNS within each leg, median efficiency across samples.
+
+    Pinning mirrors the emulation protocol: each leg is pinned to (its
+    executor cores + 2 driver cores), so the N leg models one 6-core node
+    (plus driver) and the 4N leg four of them."""
+    c = CORES_PER_EXECUTOR
+    n_samples = int(os.environ.get("SCALING_BENCH_SAMPLES", "3"))
+    samples = []
+    for s in range(n_samples):
+        load_n = _gate_load()
+        n_res = _result_of(
+            _spawn("0-%d" % (c + 1), ["--cluster-worker", "1", str(RUNS)])
+        )
+        load_4n = _gate_load()
+        big_res = _result_of(
+            _spawn(
+                "0-%d" % (N_EXECUTORS_BIG * c + 1),
+                ["--cluster-worker", str(N_EXECUTORS_BIG), str(RUNS)],
+            )
+        )
+        rate_n = n_res["docs"] / min(n_res["runs_sec"])
+        rate_4n = big_res["docs"] / min(big_res["runs_sec"])
+        eff = (rate_4n / rate_n) / N_EXECUTORS_BIG
+        sample = {
+            "sample": s + 1,
+            "docs": n_res["docs"],
+            "load_before_n_leg": load_n,
+            "load_before_4n_leg": load_4n,
+            "single_runs_sec": n_res["runs_sec"],
+            "cluster_runs_sec": big_res["runs_sec"],
+            "rate_n": round(rate_n, 1),
+            "rate_4n": round(rate_4n, 1),
+            "efficiency": round(eff, 3),
+            "executor_jvms_n_leg": n_res["executor_jvms_reported"],
+            "executor_jvms_4n_leg": big_res["executor_jvms_reported"],
+            "executor_jvm_pids_4n_leg": big_res["executor_jvm_pids"],
+        }
+        samples.append(sample)
+        print(json.dumps(sample))
+    effs = sorted(x["efficiency"] for x in samples)
+    median = (
+        effs[len(effs) // 2]
+        if len(effs) % 2
+        else (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2
+    )
+    print(
+        json.dumps(
+            {
+                "mode": "local-cluster",
+                "docs": samples[0]["docs"],
+                "executors": [1, N_EXECUTORS_BIG],
+                "cores_per_executor": c,
+                "samples": samples,
+                "efficiencies": effs,
+                "median_efficiency": round(median, 3),
+                "target": 0.8,
+                "meets_target": median >= 0.8,
+            }
+        )
+    )
 
 
 def _spawn(cores: str, args: list) -> subprocess.Popen:
@@ -220,8 +378,15 @@ def main() -> None:
         cpus, shard, n_shards, runs = (int(v) for v in sys.argv[i + 1 : i + 5])
         print(json.dumps(run_worker(cpus, shard, n_shards, runs)))
         return
+    if "--cluster-worker" in sys.argv:
+        i = sys.argv.index("--cluster-worker")
+        n_executors, runs = (int(v) for v in sys.argv[i + 1 : i + 3])
+        print(json.dumps(run_cluster_worker(n_executors, runs)))
+        return
     materialize_corpus()
-    if "--interleaved" in sys.argv:
+    if "--local-cluster" in sys.argv:
+        run_local_cluster()
+    elif "--interleaved" in sys.argv:
         run_interleaved_levels()
     elif "--single-jvm" in sys.argv:
         run_single_jvm_levels()
