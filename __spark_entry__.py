@@ -1155,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_prebucketed": q_emb_lsh_prebucketed,
         "emb_label_stats": q_emb_label_stats,
         "emb_centroid_topk": q_emb_centroid_topk,
+        "emb_near_dup_pairs": q_emb_near_dup_pairs,
         "align_exact_spans": q_align_exact_spans,
         "flagship_extract_align": q_flagship_extract_align,
         "flagship_title_spans": q_flagship_title_spans,
@@ -1173,6 +1174,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jats_fix_identifiers": q_jats_fix_identifiers,
         "media_features": q_media_features,
     }
+
+
+def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup via banded signed-random-projection LSH
+    (dedup.embedding_near_dup_pairs): band/bucket keys JVM-side, id-only
+    band shuffle, exact cosine only on candidates.  The testdata embeddings
+    are unclustered gaussians (pairwise cosine max ~0.44), so the DEMO
+    threshold is 0.35 to yield a non-trivial pair set; the production
+    operating point (threshold 0.9, recall >= 0.999) is pinned by pytest on
+    a seeded clustered corpus.  The oracle recomputes the same banding, so
+    the value check covers bucket assignment + candidate generation + the
+    cosine verification."""
+    embeddings = _load(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_pairs(
+        embeddings, threshold=0.35, n_bands=8, rows_per_band=4, seed=7, dim=64
+    )
+
+
+def _emb_near_dup_oracle_sql() -> str:
+    """DuckDB replica of q_emb_near_dup_pairs: the seed-7 hyperplanes are
+    inlined; band buckets (4 sign bits per band, 8 bands), the candidate
+    self-join, and the exact-cosine filter are recomputed in SQL."""
+    from sciencebeam_trainer_grobid_tools_spark.operators.similarity import (
+        random_hyperplanes,
+    )
+
+    planes = random_hyperplanes(dim=64, n_planes=32, seed=7)
+    plane_rows = ",\n".join(
+        "(%d, [%s]::DOUBLE[])" % (i, ", ".join("%.17g" % v for v in plane))
+        for i, plane in enumerate(planes)
+    )
+    return """
+        WITH planes(plane_id, plane) AS (VALUES %s),
+        buckets AS (
+            SELECT e.vec_id,
+                   p.plane_id // 4 AS band,
+                   CAST(SUM(
+                       CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.plane) >= 0
+                            THEN 1 << (p.plane_id %% 4) ELSE 0 END
+                   ) AS BIGINT) AS bucket
+            FROM embeddings e, planes p
+            GROUP BY e.vec_id, p.plane_id // 4
+        ),
+        pairs AS (
+            SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+            FROM buckets l
+            JOIN buckets r
+              ON l.band = r.band AND l.bucket = r.bucket
+             AND l.vec_id < r.vec_id
+        ),
+        cosines AS (
+            SELECT p.id_a, p.id_b,
+                   list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                   / (SQRT(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                      * SQRT(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+                       AS c
+            FROM pairs p
+            JOIN embeddings a ON a.vec_id = p.id_a
+            JOIN embeddings b ON b.vec_id = p.id_b
+        )
+        SELECT id_a, id_b, ROUND(c, 4) AS cosine
+        FROM cosines WHERE c >= 0.35
+    """ % plane_rows
 
 
 def _lsh_topk_oracle_sql() -> str:
@@ -1492,6 +1556,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "emb_lsh_topk": _lsh_topk_oracle_sql(),
         "emb_lsh_prebucketed": _lsh_prebucketed_oracle_sql(),
+        "emb_near_dup_pairs": _emb_near_dup_oracle_sql(),
         "docs_simhash": """
             WITH tok AS (
                 SELECT doc_id,

@@ -518,3 +518,86 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["doc_id_a", "doc_id_b"])
     )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_bands: int = 8,
+    rows_per_band: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via BANDED signed-random-
+    projection LSH — the scale path for semantic dedup (no reference
+    counterpart: the reference has no embedding operators; this is the
+    LLM-training-data extension, SURVEY §9).
+
+    Plan shape mirrors :func:`minhash_candidate_pairs`: every band/bucket
+    key is a codegen'd JVM-side dot-product sign fold, ONE explode yields
+    the ``(id, band, bucket)`` table, the self-join shuffle carries ids
+    only (never the vectors), and the exact cosine verifies candidates
+    after joining the vectors back onto the candidate set — at corpus scale
+    the difference between shuffling ids and shuffling the embedding matrix.
+
+    Returns ``(id_a, id_b, cosine)`` with ``id_a < id_b`` and
+    ``cosine >= threshold`` among banding candidates.  Recall: a pair at
+    angle theta collides in one band with prob ``(1-theta/pi)^r`` and in
+    any of L bands with ``1-(1-(1-theta/pi)^r)^L``; at the production
+    operating point (cos >= 0.9, r=4, L=8) that is >= 0.999, at looser
+    thresholds raise L or lower r (the standard recall/cost dial —
+    pytest pins the production point on a seeded clustered corpus).
+    """
+    from .similarity import _embedding_dim, dot, embedding_norm, lsh_bucket, random_hyperplanes
+
+    if dim is None:
+        dim = _embedding_dim(df, vec_col)
+    planes = random_hyperplanes(dim, n_bands * rows_per_band, seed)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                lsh_bucket(
+                    F.col(vec_col),
+                    planes[b * rows_per_band : (b + 1) * rows_per_band],
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    vectors = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    buckets = df.select(
+        F.col(id_col).alias("id"), F.explode(band_structs).alias("bb")
+    ).select("id", "bb.band", "bb.bucket")
+    pairs = (
+        buckets.alias("l")
+        .join(
+            buckets.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = dot(F.col("vec_a"), F.col("vec_b")) / (
+        embedding_norm(F.col("vec_a")) * embedding_norm(F.col("vec_b"))
+    )
+    return (
+        pairs.join(
+            vectors.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a")),
+            "id_a",
+        )
+        .join(
+            vectors.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b")),
+            "id_b",
+        )
+        .select("id_a", "id_b", cos.alias("_cos"))
+        .filter(F.col("_cos") >= threshold)
+        .select(
+            "id_a", "id_b", F.round(F.col("_cos"), round_digits).alias("cosine")
+        )
+    )

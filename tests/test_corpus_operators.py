@@ -229,6 +229,51 @@ class TestSimilarity:
             got.setdefault(r["label"], []).append(r["vec_id"])
         assert got == expected
 
+    def test_embedding_near_dup_production_point(self, spark):
+        """Banded SRP near-dup at the production operating point (threshold
+        0.9, r=4, L=8): on a corpus with seeded near-duplicate vectors the
+        operator must find exactly the exact-all-pairs >= 0.9 set (banding
+        recall ~0.999/pair at this angle), with numpy-verified cosines."""
+        import random as pyrandom
+
+        import numpy as np
+
+        from sciencebeam_trainer_grobid_tools_spark.operators.dedup import (
+            embedding_near_dup_pairs,
+        )
+
+        rng = pyrandom.Random(99)
+        vecs = {}
+        for i in range(40):
+            vecs[i] = np.array([rng.gauss(0, 1) for _ in range(32)])
+        for j in range(10):  # ids 100+j are near-dups of ids j
+            base = vecs[j]
+            noise = np.array([rng.gauss(0, 0.02) for _ in range(32)])
+            vecs[100 + j] = base + noise
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in vecs.items()],
+            "vec_id long, embedding array<float>",
+        )
+        got = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in embedding_near_dup_pairs(
+                df, threshold=0.9, n_bands=8, rows_per_band=4, seed=7
+            ).collect()
+        }
+        # exact all-pairs reference
+        expected = {}
+        ids = sorted(vecs)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = vecs[ids[x]], vecs[ids[y]]
+                c = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+                if c >= 0.9:
+                    expected[(ids[x], ids[y])] = round(c, 4)
+        assert set(got) == set(expected)
+        assert len(expected) >= 10  # all seeded dup pairs present
+        for pair, c in got.items():
+            assert abs(c - expected[pair]) < 2e-4  # float32 storage noise
+
 
 class TestTextstats:
     def test_lang_id(self, docs):
