@@ -568,7 +568,13 @@ def embedding_near_dup_pairs(
             for b in range(n_bands)
         ]
     )
-    vectors = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # norms precomputed ONCE per vector (not per candidate pair): the
+    # verification join then folds one dot product per pair instead of three
+    vectors = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        embedding_norm(F.col(vec_col)).alias("norm"),
+    )
     buckets = df.select(
         F.col(id_col).alias("id"), F.explode(band_structs).alias("bb")
     ).select("id", "bb.band", "bb.bucket")
@@ -584,15 +590,23 @@ def embedding_near_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     cos = dot(F.col("vec_a"), F.col("vec_b")) / (
-        embedding_norm(F.col("vec_a")) * embedding_norm(F.col("vec_b"))
+        F.col("norm_a") * F.col("norm_b")
     )
     return (
         pairs.join(
-            vectors.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a")),
+            vectors.select(
+                F.col("id").alias("id_a"),
+                F.col("vec").alias("vec_a"),
+                F.col("norm").alias("norm_a"),
+            ),
             "id_a",
         )
         .join(
-            vectors.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b")),
+            vectors.select(
+                F.col("id").alias("id_b"),
+                F.col("vec").alias("vec_b"),
+                F.col("norm").alias("norm_b"),
+            ),
             "id_b",
         )
         .select("id_a", "id_b", cos.alias("_cos"))
