@@ -55,6 +55,13 @@ def add_main_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--repartition", type=int, default=None,
                         help="salted url-hash repartition width before the "
                              "kernel (default: defaultParallelism)")
+    parser.add_argument("--max-doc-bytes", type=int, default=None,
+                        help="oversized-document guard threshold in bytes: "
+                             "bigger payloads become accounted "
+                             "oversized_document error rows instead of "
+                             "stalling a core (default: env "
+                             "SPARK_GRAFT_MAX_DOC_BYTES or 64 MiB; 0 "
+                             "disables)")
     spark_group = parser.add_argument_group("spark")
     spark_group.add_argument("--spark-cpus", type=int, default=None)
     spark_group.add_argument("--spark-shuffle-partitions", type=int, default=None)
@@ -79,6 +86,7 @@ def run(args: argparse.Namespace) -> dict:
         use_html=not args.use_text,
         render_tei=args.render_tei,
         repartition=args.repartition or spark.sparkContext.defaultParallelism,
+        max_doc_bytes=args.max_doc_bytes,
     )
     if args.mapping_path:
         with open(args.mapping_path, encoding="utf-8") as fh:

@@ -551,6 +551,41 @@ class TestAnnotateCorpusCli:
         counters = annotate_corpus.main(argv)
         assert counters == {"chunks": 0, "rows": 0}
 
+    def test_max_doc_bytes_flag_routes_oversized_docs(self, spark, tmp_path):
+        """--max-doc-bytes: oversized payloads become accounted
+        oversized_document error rows instead of entering the kernel."""
+        from pyspark.sql import functions as F
+
+        from sciencebeam_trainer_grobid_tools_spark.cli import annotate_corpus
+        from sciencebeam_trainer_grobid_tools_spark.sources.corpus import (
+            corpus_dataframe,
+        )
+
+        corpus_path = str(tmp_path / "corpus")
+        docs = corpus_dataframe(spark, 6, seed=13, partitions=1).select(
+            "url", "html", "text", "lang", "target_xml"
+        )
+        giant = spark.createDataFrame(
+            [("doc://giant", b"<html><p>big</p>" + b"z" * 300000 + b"</html>",
+              None, "en", None)],
+            "url string, html binary, text string, lang string, target_xml string",
+        )
+        docs.unionByName(giant).write.parquet(corpus_path)
+        out_dir = str(tmp_path / "out")
+        counters = annotate_corpus.main([
+            "--input-path", corpus_path,
+            "--output-path", out_dir,
+            "--max-doc-bytes", "100000",
+        ])
+        assert counters["rows"] == 7
+        annotated = spark.read.parquet(out_dir + "/annotated")
+        oversized = annotated.filter(
+            F.col("reason") == "oversized_document"
+        ).collect()
+        assert [r["url"] for r in oversized] == ["doc://giant"]
+        assert oversized[0]["passed"] is False
+        assert annotated.filter(F.col("error").isNull()).count() == 6
+
 
 class TestDebugMatchCli:
     def test_complex_matcher_debug_match_keeps_all_documents(self, spark, tmp_path):
