@@ -376,6 +376,22 @@ def q_emb_lsh_prebucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN end-to-end: deterministic coarse quantizer (iters=0 -> the 8
+    lowest-id vectors, the SQL-replicable configuration; Lloyd training is
+    pytest-verified against numpy), JVM-side cell assignment
+    (similarity.ivf_assign — no shuffle, no python), driver-side nprobe=2
+    cell selection, exact cosine re-rank of the probed cells only.  The
+    returned cell column value-checks the assignment itself."""
+    embeddings = _load(spark, sf_dir, "embeddings")
+    centroids = similarity.ivf_train(embeddings, n_cells=8, iters=0)
+    assigned = similarity.ivf_assign(embeddings, centroids)
+    return similarity.ivf_topk(
+        assigned, _query_vector(spark, sf_dir), centroids,
+        k=10, nprobe=2, round_digits=4,
+    )
+
+
 def q_emb_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings = _load(spark, sf_dir, "embeddings")
     return embeddings.groupBy("label").agg(
@@ -1156,6 +1172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_label_stats": q_emb_label_stats,
         "emb_centroid_topk": q_emb_centroid_topk,
         "emb_near_dup_pairs": q_emb_near_dup_pairs,
+        "emb_ivf_topk": q_emb_ivf_topk,
         "align_exact_spans": q_align_exact_spans,
         "flagship_extract_align": q_flagship_extract_align,
         "flagship_title_spans": q_flagship_title_spans,
@@ -1237,6 +1254,55 @@ def _emb_near_dup_oracle_sql() -> str:
         SELECT id_a, id_b, ROUND(c, 4) AS cosine
         FROM cosines WHERE c >= 0.35
     """ % plane_rows
+
+
+# DuckDB replica of q_emb_ivf_topk: centroids are the 8 lowest-id vectors
+# (the deterministic iters=0 quantizer), assignment is max-cosine with
+# lowest-cell tie-break (correlated ORDER BY ... LIMIT 1), the probe set is
+# the 2 best cells for the vec_id=0 query, and the probed cells re-rank by
+# exact cosine.
+_EMB_IVF_ORACLE_SQL = """
+    WITH cent AS (
+        SELECT vec_id AS cell, embedding AS cvec,
+               SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                   AS cnorm
+        FROM embeddings WHERE vec_id < 8
+    ),
+    assigned AS (
+        SELECT e.vec_id, e.embedding,
+               (SELECT c.cell FROM cent c
+                ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cvec::DOUBLE[])
+                         / (SQRT(list_dot_product(e.embedding::DOUBLE[],
+                                                  e.embedding::DOUBLE[]))
+                            * c.cnorm) DESC, c.cell
+                LIMIT 1) AS ivf_cell
+        FROM embeddings e
+    ),
+    q AS (
+        SELECT embedding AS qe,
+               SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                   AS qn
+        FROM embeddings WHERE vec_id = 0
+    ),
+    probe AS (
+        SELECT c.cell FROM cent c, q
+        ORDER BY list_dot_product(q.qe::DOUBLE[], c.cvec::DOUBLE[])
+                 / (c.cnorm * q.qn) DESC, c.cell
+        LIMIT 2
+    )
+    SELECT a.vec_id, CAST(a.ivf_cell AS INT) AS ivf_cell,
+           ROUND(list_dot_product(a.embedding::DOUBLE[], q.qe::DOUBLE[])
+                 / (SQRT(list_dot_product(a.embedding::DOUBLE[],
+                                          a.embedding::DOUBLE[])) * q.qn),
+                 4) AS cosine
+    FROM assigned a, q
+    WHERE a.ivf_cell IN (SELECT cell FROM probe)
+    ORDER BY list_dot_product(a.embedding::DOUBLE[], q.qe::DOUBLE[])
+             / (SQRT(list_dot_product(a.embedding::DOUBLE[],
+                                      a.embedding::DOUBLE[])) * q.qn)
+             DESC, a.vec_id
+    LIMIT 10
+"""
 
 
 def _lsh_topk_oracle_sql() -> str:
@@ -1557,6 +1623,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_lsh_topk": _lsh_topk_oracle_sql(),
         "emb_lsh_prebucketed": _lsh_prebucketed_oracle_sql(),
         "emb_near_dup_pairs": _emb_near_dup_oracle_sql(),
+        "emb_ivf_topk": _EMB_IVF_ORACLE_SQL,
         "docs_simhash": """
             WITH tok AS (
                 SELECT doc_id,

@@ -270,3 +270,142 @@ def pairwise_topk_by_label(
             F.round(F.col("_cos"), round_digits).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the clustering-based scale path, complementing
+# the hyperplane-based LSH path above.  No reference counterpart (the
+# reference has no embedding operators; LLM-training-data extension).
+
+
+def ivf_train(
+    df: DataFrame,
+    n_cells: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = None,
+) -> List[List[float]]:
+    """Deterministic spherical k-means coarse quantizer, trained IN SPARK.
+
+    Init: the ``n_cells`` vectors with the smallest ids (deterministic —
+    no RNG, so retraining on the same table reproduces the same model).
+    Each Lloyd iteration is one broadcast (the k x dim centroid table rides
+    into the assignment expression as literals) + ONE groupBy shuffle whose
+    map-side partials carry k x dim running sums — the vectors are never
+    shuffled.  Returns the centroids driver-side (k x dim floats — a model
+    artifact, stored with the table like the LSH seed).
+
+    ``iters=0`` returns the deterministic seed centroids unchanged (the
+    SQL-replicable configuration the oracle uses); production tables train
+    offline with more cells/iterations — the Spark machinery is identical.
+    """
+    if dim is None:
+        dim = _embedding_dim(df, vec_col)
+    seed_rows = (
+        df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = [[float(v) for v in r[vec_col]] for r in seed_rows]
+    if len(centroids) < n_cells:
+        raise ValueError(
+            "ivf_train needs >= n_cells=%d rows, got %d" % (n_cells, len(centroids))
+        )
+    for _ in range(iters):
+        assigned = ivf_assign(
+            df, centroids, vec_col=vec_col, cell_col="_cell"
+        )
+        new_rows = (
+            assigned.groupBy("_cell")
+            .agg(
+                *[F.avg(F.col(vec_col)[i]).alias("c%d" % i) for i in range(dim)]
+            )
+            .collect()
+        )
+        by_cell = {r["_cell"]: [r["c%d" % i] for i in range(dim)] for r in new_rows}
+        # an emptied cell keeps its previous centroid (standard Lloyd fix,
+        # and keeps the model deterministic)
+        centroids = [
+            [float(v) for v in by_cell.get(c, centroids[c])]
+            for c in range(n_cells)
+        ]
+    return centroids
+
+
+def _cell_cosines(vec: Column, centroids: List[List[float]]) -> List[Column]:
+    return [
+        dot(vec, _query_literal(c))
+        / (embedding_norm(vec) * F.lit(math.sqrt(sum(v * v for v in c)) or 1.0))
+        for c in centroids
+    ]
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: List[List[float]],
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """Adds the nearest-centroid (max cosine, ties to the LOWEST cell id)
+    cell column — pure JVM expressions (k dot-product folds + a greatest
+    chain), no Python, no shuffle.  Like ``add_lsh_bucket``, this is the
+    INGEST-side materialization: write the table
+    ``partitionBy(ivf_cell)`` and the query-side probe filter becomes
+    partition pruning."""
+    cos = _cell_cosines(F.col(vec_col), centroids)
+    best = cos[0]
+    for c in cos[1:]:
+        best = F.greatest(best, c)
+    cell = F.lit(None).cast("int")
+    # first cell achieving the max wins -> deterministic lowest-id tie-break
+    for idx in range(len(centroids) - 1, -1, -1):
+        cell = F.when(cos[idx] == best, F.lit(idx)).otherwise(cell)
+    return df.withColumn(cell_col, cell)
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vector: Sequence[float],
+    centroids: List[List[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+    round_digits: int = 6,
+) -> DataFrame:
+    """ANN top-k against a table with a MATERIALIZED ``cell_col``
+    (see :func:`ivf_assign`): the ``nprobe`` nearest cells to the query are
+    computed DRIVER-side from the stored centroids, the scan filters the
+    stored cell column only (partition pruning on a cell-partitioned
+    layout), and the exact cosine re-ranks just the probed cells.
+    Returns ``(id, cell, cosine)`` so the cell assignment itself is
+    value-checkable."""
+    q_norm = math.sqrt(sum(float(v) ** 2 for v in query_vector)) or 1.0
+    cell_scores = sorted(
+        (
+            (
+                sum(p * v for p, v in zip(c, query_vector))
+                / ((math.sqrt(sum(v * v for v in c)) or 1.0) * q_norm),
+                idx,
+            )
+            for idx, c in enumerate(centroids)
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )
+    probe_cells = sorted(idx for _, idx in cell_scores[:nprobe])
+    q = _query_literal(query_vector)
+    cos = dot(F.col(vec_col), q) / (embedding_norm(F.col(vec_col)) * F.lit(q_norm))
+    return (
+        df.filter(F.col(cell_col).isin(*probe_cells))
+        .select(F.col(id_col), F.col(cell_col), cos.alias("_cos"))
+        .orderBy(F.col("_cos").desc(), F.col(id_col))
+        .limit(k)
+        .select(
+            F.col(id_col),
+            F.col(cell_col),
+            F.round(F.col("_cos"), round_digits).alias("cosine"),
+        )
+    )

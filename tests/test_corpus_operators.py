@@ -275,6 +275,81 @@ class TestSimilarity:
             assert abs(c - expected[pair]) < 2e-4  # float32 storage noise
 
 
+class TestIvf:
+    @pytest.fixture(scope="class")
+    def embeddings(self, spark):
+        import random as pyrandom
+
+        rng = pyrandom.Random(17)
+        rows = []
+        for i in range(120):
+            rows.append((i, [rng.gauss(0, 1) for _ in range(16)]))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).cache()
+
+    def test_train_matches_numpy_lloyd(self, embeddings):
+        """Spark-side Lloyd (broadcast centroids + one groupBy per iter)
+        must reproduce a numpy reference exactly: same deterministic init
+        (lowest ids), same max-cosine assignment, same means."""
+        import numpy as np
+
+        got = similarity.ivf_train(embeddings, n_cells=4, iters=2)
+
+        data = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+                for r in embeddings.collect()}
+        cents = [data[i].copy() for i in range(4)]
+        for _ in range(2):
+            cells = {c: [] for c in range(4)}
+            for vid in sorted(data):
+                v = data[vid]
+                cos = [
+                    v @ c / (np.linalg.norm(v) * np.linalg.norm(c))
+                    for c in cents
+                ]
+                cells[int(np.argmax(cos))].append(v)  # argmax = lowest-id tie
+            cents = [
+                np.mean(cells[c], axis=0) if cells[c] else cents[c]
+                for c in range(4)
+            ]
+        for a, b in zip(got, cents):
+            assert max(abs(x - y) for x, y in zip(a, b)) < 1e-9
+
+    def test_assign_is_jvm_only(self, embeddings):
+        cents = similarity.ivf_train(embeddings, n_cells=4, iters=1)
+        assigned = similarity.ivf_assign(embeddings, cents)
+        plan = assigned._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Python" not in plan and "MapInPandas" not in plan
+        cells = {r["ivf_cell"] for r in assigned.collect()}
+        assert cells <= {0, 1, 2, 3} and len(cells) > 1
+
+    def test_topk_recall_and_pruning(self, spark, embeddings, tmp_path):
+        """nprobe=all cells must equal brute force exactly; on a
+        cell-partitioned layout the probe filter is partition pruning."""
+        cents = similarity.ivf_train(embeddings, n_cells=4, iters=2)
+        query = [float(v) for v in embeddings.filter("vec_id = 7").collect()[0]["embedding"]]
+
+        path = str(tmp_path / "ivf")
+        similarity.ivf_assign(embeddings, cents).write.partitionBy(
+            "ivf_cell"
+        ).parquet(path)
+        stored = spark.read.parquet(path)
+
+        full = similarity.ivf_topk(stored, query, cents, k=10, nprobe=4)
+        exact = similarity.cosine_topk(embeddings, query, k=10)
+        assert [r["vec_id"] for r in full.collect()] == [
+            r["vec_id"] for r in exact.collect()
+        ]
+
+        probed = similarity.ivf_topk(stored, query, cents, k=10, nprobe=1)
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        assert "ivf_cell" in plan.split("PartitionFilters")[1].splitlines()[0]
+        # the query vector's own cell is probed -> the vector itself is found
+        assert probed.collect()[0]["vec_id"] == 7
+
+
 class TestTextstats:
     def test_lang_id(self, docs):
         langs = {r["doc_id"]: r["g"] for r in docs.select(
