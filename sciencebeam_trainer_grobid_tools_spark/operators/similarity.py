@@ -17,6 +17,7 @@ import math
 import random
 from typing import List, Sequence
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -299,6 +300,15 @@ def ivf_train(
     ``iters=0`` returns the deterministic seed centroids unchanged (the
     SQL-replicable configuration the oracle uses); production tables train
     offline with more cells/iterations — the Spark machinery is identical.
+
+    Scale notes: each iteration ``collect()``s the k x dim centroid table
+    driver-side (the model artifact — ~512 MB worst case at k=65536,
+    dim=1024 float64, typically a few MB) and the reduce builds ``dim``
+    ``avg`` expressions; assignment inside the loop goes through
+    :func:`ivf_assign`'s ``auto`` method, so above ``_IVF_EXPR_MAX_CELLS``
+    cells it uses the numpy-matmul path rather than the O(k * dim)
+    Catalyst expression tree.  Data-side the plan stays one broadcast +
+    one groupBy shuffle per iteration regardless of k.
     """
     if dim is None:
         dim = _embedding_dim(df, vec_col)
@@ -335,11 +345,63 @@ def ivf_train(
 
 
 def _cell_cosines(vec: Column, centroids: List[List[float]]) -> List[Column]:
+    # zero-norm vectors get a guarded divisor of 1.0 (ANSI mode would raise
+    # DIVIDE_BY_ZERO otherwise): every cosine is then 0.0 and the assignment
+    # tie-breaks to cell 0 — the same defined behavior as the matmul path.
+    norm = embedding_norm(vec)
+    safe_norm = F.when(norm == 0.0, F.lit(1.0)).otherwise(norm)
     return [
         dot(vec, _query_literal(c))
-        / (embedding_norm(vec) * F.lit(math.sqrt(sum(v * v for v in c)) or 1.0))
+        / (safe_norm * F.lit(math.sqrt(sum(v * v for v in c)) or 1.0))
         for c in centroids
     ]
+
+
+# Above this cell count the expression path's Catalyst tree (k dot-product
+# folds + a k-deep greatest chain + k when branches) stops being the right
+# tool: at k=4096, dim=256 it is a multi-million-node expression — plan
+# COMPILATION, not data movement, becomes the bottleneck.  The matmul path
+# replaces it with one Arrow-batched numpy matmul per batch.
+_IVF_EXPR_MAX_CELLS = 16
+
+
+def _ivf_assign_matmul(
+    df: DataFrame,
+    centroids: List[List[float]],
+    vec_col: str,
+    cell_col: str,
+) -> DataFrame:
+    """Matmul assignment: ONE vectorized Python stage, still no shuffle.
+
+    The (k x dim) centroid matrix is row-normalized once driver-side and
+    rides into the executors inside the UDF closure (broadcast by Spark's
+    task serialization — k=65536 x dim=1024 float64 is ~512 MB worst case,
+    typically a few MB); each Arrow batch is stacked into an (n x dim)
+    matrix and a single ``batch @ centroids.T`` + ``argmax`` assigns every
+    row.  ``np.argmax`` takes the FIRST maximal column — the same
+    lowest-cell-id tie-break as the expression path — and a zero-norm
+    vector gets a guarded divisor of 1.0 in BOTH paths, so its cosine row
+    is all zeros and it lands deterministically in cell 0.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.asarray(centroids, dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    cnorm[cnorm == 0.0] = 1.0
+    cmat_t = np.ascontiguousarray((cmat / cnorm[:, None]).T)  # dim x k
+
+    @pandas_udf("int")
+    def _nearest_cell(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        vnorm = np.sqrt((m * m).sum(axis=1))
+        vnorm[vnorm == 0.0] = 1.0
+        cos = (m @ cmat_t) / vnorm[:, None]
+        return pd.Series(np.argmax(cos, axis=1).astype("int32"))
+
+    return df.withColumn(cell_col, _nearest_cell(F.col(vec_col)))
 
 
 def ivf_assign(
@@ -347,13 +409,32 @@ def ivf_assign(
     centroids: List[List[float]],
     vec_col: str = "embedding",
     cell_col: str = "ivf_cell",
+    method: str = "auto",
 ) -> DataFrame:
     """Adds the nearest-centroid (max cosine, ties to the LOWEST cell id)
-    cell column — pure JVM expressions (k dot-product folds + a greatest
-    chain), no Python, no shuffle.  Like ``add_lsh_bucket``, this is the
-    INGEST-side materialization: write the table
-    ``partitionBy(ivf_cell)`` and the query-side probe filter becomes
-    partition pruning."""
+    cell column.  Like ``add_lsh_bucket``, this is the INGEST-side
+    materialization: write the table ``partitionBy(ivf_cell)`` and the
+    query-side probe filter becomes partition pruning.
+
+    ``method``:
+
+    - ``"expr"`` — pure JVM expressions (k dot-product folds + a greatest
+      chain), no Python, no shuffle.  SQL-replicable (the oracle path), but
+      the Catalyst tree grows as O(k * dim): practical only for small k.
+    - ``"matmul"`` — one Arrow-batched numpy matmul per batch against a
+      broadcast row-normalized centroid matrix (see
+      :func:`_ivf_assign_matmul`).  One vectorized Python stage, still no
+      shuffle; the scale path for realistic cell counts (k = 4096–65536).
+    - ``"auto"`` (default) — ``expr`` for ``len(centroids) <= 16``, else
+      ``matmul``.  Both paths produce identical assignments (parity-pinned
+      in ``tests/test_corpus_operators.py``).
+    """
+    if method == "auto":
+        method = "expr" if len(centroids) <= _IVF_EXPR_MAX_CELLS else "matmul"
+    if method == "matmul":
+        return _ivf_assign_matmul(df, centroids, vec_col, cell_col)
+    if method != "expr":
+        raise ValueError("ivf_assign method must be auto/expr/matmul, got %r" % method)
     cos = _cell_cosines(F.col(vec_col), centroids)
     best = cos[0]
     for c in cos[1:]:

@@ -324,6 +324,91 @@ class TestIvf:
         cells = {r["ivf_cell"] for r in assigned.collect()}
         assert cells <= {0, 1, 2, 3} and len(cells) > 1
 
+    def test_assign_matmul_matches_expr(self, spark, embeddings):
+        """The matmul path (Arrow-batched numpy, the scale path for large k)
+        must assign IDENTICALLY to the SQL-replicable expression path —
+        including the lowest-cell-id tie-break and the zero-vector edge
+        (guarded norm -> all-zero cosines -> cell 0) both paths share."""
+        with_zero = embeddings.union(
+            spark.createDataFrame(
+                [(999, [0.0] * 16)], "vec_id long, embedding array<float>"
+            )
+        )
+        cents = similarity.ivf_train(embeddings, n_cells=4, iters=1)
+        expr = {
+            r["vec_id"]: r["ivf_cell"]
+            for r in similarity.ivf_assign(
+                with_zero, cents, method="expr"
+            ).collect()
+        }
+        matmul = {
+            r["vec_id"]: r["ivf_cell"]
+            for r in similarity.ivf_assign(
+                with_zero, cents, method="matmul"
+            ).collect()
+        }
+        assert expr == matmul
+        assert expr[999] == 0  # zero vector: guarded norm -> cell 0
+        # ... and at k=16, the expr/matmul auto-dispatch boundary
+        cents16 = similarity.ivf_train(embeddings, n_cells=16, iters=0)
+        e16 = {
+            r["vec_id"]: r["ivf_cell"]
+            for r in similarity.ivf_assign(
+                embeddings, cents16, method="expr"
+            ).collect()
+        }
+        m16 = {
+            r["vec_id"]: r["ivf_cell"]
+            for r in similarity.ivf_assign(
+                embeddings, cents16, method="matmul"
+            ).collect()
+        }
+        assert e16 == m16
+
+    def test_assign_matmul_large_k_no_shuffle(self, spark):
+        """k=256 cells / dim=64: the expression path would be a ~10^5-node
+        Catalyst tree; the matmul path must complete with ONE vectorized
+        Python stage, no shuffle, and match a pure-numpy argmax."""
+        import numpy as np
+
+        rng = np.random.default_rng(23)
+        vecs = rng.normal(size=(500, 64))
+        cents = rng.normal(size=(256, 64))
+        df = spark.createDataFrame(
+            [(i, [float(v) for v in vecs[i]]) for i in range(500)],
+            "vec_id long, embedding array<float>",
+        )
+        assigned = similarity.ivf_assign(
+            df, [[float(v) for v in c] for c in cents], method="matmul"
+        )
+        plan = assigned._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "ArrowEvalPython" in plan or "Python" in plan
+        got = {r["vec_id"]: r["ivf_cell"] for r in assigned.collect()}
+        # numpy reference on the float32-roundtripped vectors (what Spark stores)
+        stored = vecs.astype(np.float32).astype(np.float64)
+        cn = np.linalg.norm(cents, axis=1)
+        cos = (stored @ (cents / cn[:, None]).T)
+        expected = np.argmax(cos, axis=1)
+        assert got == {i: int(expected[i]) for i in range(500)}
+
+    def test_assign_auto_dispatch(self, embeddings):
+        """auto: expr (no Python) at k<=16, matmul (one Python stage) above."""
+        cents16 = similarity.ivf_train(embeddings, n_cells=16, iters=0)
+        plan = (
+            similarity.ivf_assign(embeddings, cents16)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Python" not in plan
+        cents17 = similarity.ivf_train(embeddings, n_cells=17, iters=0)
+        plan = (
+            similarity.ivf_assign(embeddings, cents17)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "ArrowEvalPython" in plan or "Python" in plan
+        with pytest.raises(ValueError):
+            similarity.ivf_assign(embeddings, cents16, method="nope")
+
     def test_topk_recall_and_pruning(self, spark, embeddings, tmp_path):
         """nprobe=all cells must equal brute force exactly; on a
         cell-partitioned layout the probe filter is partition pruning."""
