@@ -278,24 +278,26 @@ def q_docs_minhash_xxhash_crosscheck(spark: SparkSession, sf_dir: str) -> DataFr
     """Cross-family check of the PRODUCTION xxhash64 minhash path: at the
     HEADLINE query's exact parameters (k=5, num_hashes=32, bands=8), the
     xxhash64-banding pair set restricted to true near-dups (exact Jaccard
-    >= 0.8) must equal the portable md5-banding pair set under the same
+    >= 0.95) must equal the portable md5-banding pair set under the same
     restriction — DuckDB computes the portable side, so the equality is
     value-checked.
 
     Validity note: the two hash families draw banding collisions
-    INDEPENDENTLY, and at the r=4,b=8 boundary j=0.8 the per-pair collision
-    probability is 1-(1-0.8^4)^8 ~ 0.985, not 1 — so pair-set equality is
-    not guaranteed for arbitrary corpora.  The check is sound here because
-    the SEEDED near-dup construction in the driver testdata yields pairs
-    with Jaccard >= 0.875 (measured: min 0.875, p10 0.953 at sf0.01), where
-    each family's recall is >= 1-(1-0.875^4)^8 ~ 0.9991; pairs between 0.8
-    and 0.875 do not occur.  A corpus whose near-dups sat near the 0.8
-    boundary could fail this gate spuriously."""
+    INDEPENDENTLY, so an exact-equality gate is only sound where BOTH
+    families' banding recall is effectively 1.  At r=4,b=8 the per-pair
+    miss probability (1-j^4)^8 is ~8.6e-4 at j=0.875 — across the seeded
+    pairs (25 at sf0.01, scaling with sf) a gate at 0.8 has a ~4% chance
+    per regenerated sf0.01 corpus (tens of percent at larger sf) of one
+    spurious set difference, even though the current corpus happens to be
+    green.  At the j >= 0.95 gate used here the per-pair miss probability
+    is ~1.4e-6 per family (expected misses < 1e-4 at sf0.01, < 0.1 even at
+    ~10^4 retained pairs), so equality holds for any plausible regeneration
+    while still exercising 24 of the 25 seeded near-dup pairs at sf0.01."""
     docs = _spread(_load(spark, sf_dir, "documents"), spark)
     pairs = dedup.minhash_candidate_pairs(
         docs, k=5, num_hashes=32, bands=8, persist_intermediate=False
     )
-    return pairs.filter(F.col("jaccard") >= 0.8)
+    return pairs.filter(F.col("jaccard") >= 0.95)
 
 
 def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1648,10 +1650,10 @@ def oracle_sql() -> dict[str, str]:
         # q_docs_minhash_xxhash_crosscheck)
         "docs_minhash_xxhash_crosscheck": (
             # at the HEADLINE query's exact production parameters (32, 8);
-            # threshold 0.8 per the validity note on the Spark side (seeded
-            # near-dups all sit at jaccard >= 0.875 where banding recall is
-            # ~0.9991 per family)
-            "SELECT * FROM (%s) WHERE jaccard >= 0.8" % _minhash_portable_sql(32, 8)
+            # threshold 0.95 per the validity note on the Spark side (per-
+            # family banding miss probability ~1.4e-6 there, so the exact
+            # pair-set equality survives corpus regeneration)
+            "SELECT * FROM (%s) WHERE jaccard >= 0.95" % _minhash_portable_sql(32, 8)
         ),
         "emb_cosine_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

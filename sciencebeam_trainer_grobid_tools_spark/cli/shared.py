@@ -268,9 +268,11 @@ def make_default_matcher_stage(args: argparse.Namespace, matcher_config: Matcher
     # only the last document's rows.  The partition iterator closes it at end
     # of task (matching.close_task_reporters — worker reuse deserializes a
     # fresh closure per task, so without that a long-lived worker leaks one fd
-    # per task); atexit is only the backstop for driver-side/in-process use
-    # (close is idempotent).  A reporter the task seam already closed is
-    # replaced on next use instead of written-to-after-close.
+    # per task); the reporter's own process-level atexit backstop covers
+    # driver-side/in-process use (close is idempotent, and the hook is
+    # registered ONCE per process, not per reporter — a reused worker must
+    # not accumulate a callback per task).  A reporter the task seam already
+    # closed is replaced on next use instead of written-to-after-close.
     reporter_cell: list = []
 
     def get_reporter():
@@ -279,11 +281,7 @@ def make_default_matcher_stage(args: argparse.Namespace, matcher_config: Matcher
         if reporter_cell and reporter_cell[0]._closed:
             reporter_cell.clear()
         if not reporter_cell:
-            import atexit
-
-            reporter = CsvMatchDetailReporter(args.debug_match)
-            atexit.register(reporter.close)
-            reporter_cell.append(reporter)
+            reporter_cell.append(CsvMatchDetailReporter(args.debug_match))
         return reporter_cell[0]
 
     def build_complex_config() -> MatchingAnnotatorConfig:

@@ -551,6 +551,7 @@ class CsvMatchDetailReporter:
         self._writer.writeheader()
         self._closed = False
         _OPEN_REPORTERS.add(self)
+        _ensure_atexit_backstop()
 
     def __call__(self, detail: dict) -> None:
         self._writer.writerow(detail)
@@ -575,6 +576,22 @@ class CsvMatchDetailReporter:
 # reporters opened in this process and not yet closed (worker-reuse seam)
 _OPEN_REPORTERS: set = set()
 
+_ATEXIT_REGISTERED = False
+
+
+def _ensure_atexit_backstop() -> None:
+    """Register ONE process-level atexit hook closing whatever reporters are
+    still open — not one callback per reporter: a reused python worker
+    constructs a reporter per task, and per-instance ``atexit.register``
+    calls would pin every closed reporter (and its callback) for the
+    worker's whole task history."""
+    global _ATEXIT_REGISTERED
+    if not _ATEXIT_REGISTERED:
+        import atexit
+
+        atexit.register(close_task_reporters)
+        _ATEXIT_REGISTERED = True
+
 
 def close_task_reporters() -> None:
     """Close every reporter opened in this python worker.  Partition-driving
@@ -584,6 +601,66 @@ def close_task_reporters() -> None:
     long-lived worker accumulates one open fd per task (EMFILE risk)."""
     for reporter in list(_OPEN_REPORTERS):
         reporter.close()
+
+
+_DEBUG_PART_RE = None  # compiled lazily (module import stays regex-free)
+
+
+def list_debug_match_files(base_path: str) -> List[str]:
+    """Attempt-deduped part files of a ``--debug-match`` sink.
+
+    Task-side reporters write ``<base>.part%05d_a%d.<ext>`` per (partition,
+    attempt); a failed or speculative attempt leaves its partial file
+    alongside the winning attempt's, so a consumer globbing the sink
+    directory would double-count that partition's rows.  This keeps only
+    the HIGHEST attempt per partition — the attempt that ran last (a retry
+    only happens after the prior attempt failed mid-task).  A bare
+    ``<base>`` file (driver-side reporter, no task context) is included
+    as-is.  Local paths only (the glob runs on the driver's filesystem);
+    object-store sinks should list with their own client and apply the same
+    max-attempt rule.
+    """
+    import glob as globmod
+    import re
+
+    global _DEBUG_PART_RE
+    if _DEBUG_PART_RE is None:
+        _DEBUG_PART_RE = re.compile(r"\.part(\d{5})_a(\d+)(\.[^.]*)?$")
+    base, dot, ext = base_path.rpartition(".")
+    pattern = (
+        "%s.part[0-9][0-9][0-9][0-9][0-9]_a*%s%s" % (base, dot, ext)
+        if dot
+        else "%s.part[0-9][0-9][0-9][0-9][0-9]_a*" % base_path
+    )
+    best = {}  # partition id -> (attempt, path)
+    for path in globmod.glob(pattern):
+        m = _DEBUG_PART_RE.search(path)
+        if not m:
+            continue
+        part, attempt = int(m.group(1)), int(m.group(2))
+        if part not in best or attempt > best[part][0]:
+            best[part] = (attempt, path)
+    files = [p for _, p in sorted(best.values(), key=lambda t: t[1])]
+    import os
+
+    if os.path.exists(base_path):
+        files.insert(0, base_path)
+    return files
+
+
+def read_debug_matches(base_path: str) -> "object":
+    """All rows of a ``--debug-match`` sink as ONE pandas DataFrame, with
+    retried/speculative attempts deduped via :func:`list_debug_match_files`
+    (highest attempt per partition wins)."""
+    import pandas as pd
+
+    files = list_debug_match_files(base_path)
+    if not files:
+        return pd.DataFrame(columns=MATCH_DEBUG_COLUMNS)
+    frames = [
+        pd.read_csv(f, sep="\t" if f.endswith(".tsv") else ",") for f in files
+    ]
+    return pd.concat(frames, ignore_index=True)
 
 
 def _task_partition_suffix() -> str:

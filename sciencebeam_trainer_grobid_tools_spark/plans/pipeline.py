@@ -62,6 +62,23 @@ ANNOTATED_SCHEMA = (
     % (SPAN_TYPE, SPAN_TYPE)
 )
 
+# canonical column order of ANNOTATED_SCHEMA (kernel output + outcome writes)
+ANNOTATED_COLUMNS = (
+    "url",
+    "lang",
+    "extracted_text",
+    "n_lines",
+    "n_tokens",
+    "spans",
+    "sub_spans",
+    "alignment_attempts",
+    "alignment_hits",
+    "passed",
+    "reason",
+    "error",
+    "tei_xml",
+)
+
 
 _observation_counter = 0
 
@@ -176,7 +193,6 @@ def annotate_documents(
     columns = set(docs.columns)
     has_target = "target_xml" in columns
     max_bytes = _resolve_max_doc_bytes(max_doc_bytes)
-    payload_col = "html" if (use_html and "html" in columns) else "text"
 
     def annotate_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -241,38 +257,31 @@ def annotate_documents(
                         "tei_xml": None,
                     }
                 out.append(result)
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "url",
-                    "lang",
-                    "extracted_text",
-                    "n_lines",
-                    "n_tokens",
-                    "spans",
-                    "sub_spans",
-                    "alignment_attempts",
-                    "alignment_hits",
-                    "passed",
-                    "reason",
-                    "error",
-                    "tei_xml",
-                ],
-            )
+            yield pd.DataFrame(out, columns=list(ANNOTATED_COLUMNS))
 
     wanted = ("url", "warc_ts", "html", "text", "lang", "target_xml")
     needed = [
         c for c in wanted if c in columns and not (c == "html" and not use_html)
     ]
     plan = docs.select(*needed)
-    if max_bytes > 0 and payload_col in columns:
+    # every column the kernel may consume: html is the primary payload but
+    # with a null html the kernel falls back to text_to_lines, so a row with
+    # a giant text and no html must be sized (and nulled) too — sizing only
+    # one column would let the core-stall the guard exists for through, and
+    # would let the unsized column's bytes cross Arrow for oversized rows
+    payload_cols = [c for c in ("html", "text") if c in needed]
+    if max_bytes > 0 and payload_cols:
         # guard runs JVM-side: size the payload, then null it for oversized
         # rows so the bytes never get Arrow-serialized into the Python worker
-        size = F.coalesce(F.octet_length(F.col(payload_col)), F.lit(0))
-        plan = plan.withColumn("doc_bytes", size.cast("long")).withColumn(
-            payload_col,
-            F.when(F.col("doc_bytes") <= F.lit(max_bytes), F.col(payload_col)),
-        )
+        sizes = [
+            F.coalesce(F.octet_length(F.col(c)), F.lit(0)) for c in payload_cols
+        ]
+        size = sizes[0] if len(sizes) == 1 else F.greatest(*sizes)
+        plan = plan.withColumn("doc_bytes", size.cast("long"))
+        for c in payload_cols:
+            plan = plan.withColumn(
+                c, F.when(F.col("doc_bytes") <= F.lit(max_bytes), F.col(c))
+            )
     if repartition:
         # salted spread by url-hash: giant-HTML rows distribute uniformly
         # instead of clustering in ingest order (north_star skew requirement)
@@ -326,10 +335,26 @@ def write_outputs(annotated: DataFrame, output_dir: str) -> None:
     including ``tei_xml`` strings — is pure memory/disk pressure).
     Readers use :func:`read_annotated` / :func:`read_failed`, whose outcome
     filter is satisfied by PARTITION PRUNING — the other outcome's files are
-    never opened."""
-    annotated.write.mode("overwrite").partitionBy("passed").parquet(
+    never opened.
+
+    ``passed`` is coalesced to false before partitioning: a null outcome
+    would otherwise land in ``passed=__HIVE_DEFAULT_PARTITION__`` and be
+    invisible to BOTH readers (a silently-dropped document)."""
+    annotated.withColumn(
+        "passed", F.coalesce(F.col("passed"), F.lit(False))
+    ).write.mode("overwrite").partitionBy("passed").parquet(
         output_dir.rstrip("/") + "/documents"
     )
+
+
+def _annotated_column_order(read_columns) -> list:
+    """Written-frame column order for a read-back outcome table: partition
+    discovery appends the ``passed`` partition column last, so restore the
+    canonical ANNOTATED_COLUMNS position for every known column (extra
+    columns keep their read order, appended at the end)."""
+    known = [c for c in ANNOTATED_COLUMNS if c in read_columns]
+    extras = [c for c in read_columns if c not in known]
+    return known + extras
 
 
 def _read_outcome(spark, output_dir: str, passed: bool) -> DataFrame:
@@ -338,9 +363,11 @@ def _read_outcome(spark, output_dir: str, passed: bool) -> DataFrame:
     # pruned, the other outcome's files never open) and cast back to boolean
     # so the reader's schema matches what write_outputs was given.
     docs = spark.read.parquet(output_dir.rstrip("/") + "/documents")
-    return docs.filter(
-        F.col("passed") == F.lit("true" if passed else "false")
-    ).withColumn("passed", F.col("passed").cast("boolean"))
+    return (
+        docs.filter(F.col("passed") == F.lit("true" if passed else "false"))
+        .withColumn("passed", F.col("passed").cast("boolean"))
+        .select(*_annotated_column_order(docs.columns))
+    )
 
 
 def read_annotated(spark, output_dir: str) -> DataFrame:

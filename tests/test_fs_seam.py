@@ -161,3 +161,61 @@ class TestDebugSinkPartFiles:
                 rows = list(csv.DictReader(handle, delimiter="\t"))
             total_rows += len(rows)
         assert total_rows == 4
+
+
+class TestDebugSinkAttemptDedup:
+    def _write(self, path, rows):
+        with open(path, "w", encoding="utf-8") as handle:
+            handle.write("tag,value\n")
+            for tag, value in rows:
+                handle.write("%s,%s\n" % (tag, value))
+
+    def test_reader_keeps_highest_attempt_per_partition(self, tmp_path):
+        """A failed/speculative attempt's partial part file sits alongside
+        the winning attempt's — a raw glob would double-count that
+        partition.  The reader keeps only the highest attempt each."""
+        from sciencebeam_trainer_grobid_tools_spark.operators.matching import (
+            list_debug_match_files,
+            read_debug_matches,
+        )
+
+        base = str(tmp_path / "debug.csv")
+        self._write(str(tmp_path / "debug.part00000_a0.csv"), [("t0", 1)])
+        self._write(
+            str(tmp_path / "debug.part00000_a1.csv"), [("t0", 1), ("t1", 2)]
+        )
+        self._write(str(tmp_path / "debug.part00001_a0.csv"), [("t2", 3)])
+
+        files = [os.path.basename(f) for f in list_debug_match_files(base)]
+        assert files == ["debug.part00000_a1.csv", "debug.part00001_a0.csv"]
+
+        rows = read_debug_matches(base)
+        assert len(rows) == 3  # a0 partial of partition 0 excluded
+
+    def test_reader_includes_driver_side_bare_file(self, tmp_path):
+        from sciencebeam_trainer_grobid_tools_spark.operators.matching import (
+            list_debug_match_files,
+        )
+
+        base = str(tmp_path / "debug.csv")
+        self._write(base, [("drv", 0)])
+        self._write(str(tmp_path / "debug.part00002_a0.csv"), [("t", 1)])
+        files = [os.path.basename(f) for f in list_debug_match_files(base)]
+        assert files == ["debug.csv", "debug.part00002_a0.csv"]
+
+    def test_reader_empty_sink(self, tmp_path):
+        from sciencebeam_trainer_grobid_tools_spark.operators.matching import (
+            MATCH_DEBUG_COLUMNS,
+            read_debug_matches,
+        )
+
+        rows = read_debug_matches(str(tmp_path / "missing.csv"))
+        assert len(rows) == 0
+        assert list(rows.columns) == MATCH_DEBUG_COLUMNS
+
+    def test_atexit_backstop_registered_once_per_process(self, tmp_path):
+        from sciencebeam_trainer_grobid_tools_spark.operators import matching
+
+        with matching.CsvMatchDetailReporter(str(tmp_path / "a.csv")):
+            pass
+        assert matching._ATEXIT_REGISTERED is True

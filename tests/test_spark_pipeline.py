@@ -117,6 +117,42 @@ class TestWriteOutputs:
         plan = passed._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters" in plan
 
+    def test_null_passed_lands_in_failed_and_column_order_roundtrips(
+        self, spark, tmp_path
+    ):
+        """A null ``passed`` must NOT fall into passed=__HIVE_DEFAULT_PARTITION__
+        (invisible to both readers): it is coalesced to false at write time.
+        Read-back column order must match the written frame (partition
+        discovery appends the partition column last; the readers restore
+        the canonical position)."""
+        from sciencebeam_trainer_grobid_tools_spark.plans.pipeline import (
+            ANNOTATED_COLUMNS,
+            read_annotated,
+            read_failed,
+            write_outputs,
+        )
+
+        docs = corpus_dataframe(spark, 6, seed=13, partitions=2)
+        annotated = annotate_documents(docs, repartition=2)
+        assert list(annotated.columns) == list(ANNOTATED_COLUMNS)
+        with_null = annotated.withColumn(
+            "passed",
+            F.when(F.col("url").contains("0"), F.lit(None)).otherwise(
+                F.col("passed")
+            ),
+        )
+        n_nulled = with_null.filter(F.col("passed").isNull()).count()
+        assert n_nulled >= 1
+        out = str(tmp_path / "out_null")
+        write_outputs(with_null, out)
+        passed = read_annotated(spark, out)
+        failed = read_failed(spark, out)
+        # nothing silently dropped; nulls landed on the failed side
+        assert passed.count() + failed.count() == 6
+        assert failed.count() >= n_nulled
+        assert list(passed.columns) == list(ANNOTATED_COLUMNS)
+        assert list(failed.columns) == list(ANNOTATED_COLUMNS)
+
 
 class TestOversizedDocGuard:
     """SURVEY §7.3.5 'large partition class': a giant HTML blob must not
@@ -176,3 +212,27 @@ class TestOversizedDocGuard:
         assert {r.url for r in oversized} >= {"https://giant.example/doc"}
         assert metrics["docs_processed"] == 6
         assert metrics["errors"] == len(oversized)
+
+    def test_giant_text_with_null_html_also_guarded(self, spark):
+        """use_html=True + null html: the kernel falls back to text_to_lines,
+        so a giant TEXT payload must be sized (and nulled) too — sizing only
+        the html column would let the core-stall through with doc_bytes=0."""
+        import time
+
+        normal = corpus_dataframe(spark, 5, seed=3, partitions=2)
+        giant_text = "start " + "x" * (50 * 1024 * 1024)
+        giant = spark.createDataFrame(
+            [("https://giant-text.example/doc", None, giant_text, "en")],
+            "url string, html binary, text string, lang string",
+        )
+        docs = normal.select("url", "html", "text", "lang").unionByName(giant)
+        t0 = time.time()
+        rows = annotate_documents(
+            docs, repartition=4, max_doc_bytes=8 * 1024 * 1024, use_html=True
+        ).collect()
+        elapsed = time.time() - t0
+        giant_row = {r.url: r for r in rows}["https://giant-text.example/doc"]
+        assert giant_row.reason == "oversized_document"
+        assert giant_row.passed is False
+        # the 50 MB text was nulled JVM-side: no Arrow transfer, no kernel
+        assert elapsed < 60
