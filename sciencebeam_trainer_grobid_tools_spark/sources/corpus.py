@@ -113,7 +113,14 @@ def _noisify(rng: random.Random, text: str) -> str:
     return text
 
 
-def generate_document(seed: int, index: int) -> Dict[str, object]:
+def generate_document(
+    seed: int, index: int, n_paragraphs_override: Optional[int] = None
+) -> Dict[str, object]:
+    """``n_paragraphs_override``: fixes the body length instead of the
+    default 2-5 (+1% 50x tail) draw — the hook the skew-bench corpora use
+    to impose a controlled size distribution (see
+    :func:`sized_corpus_dataframe`).  ``None`` keeps the default corpus
+    byte-identical (the override branch consumes the same rng draws)."""
     rng = random.Random((seed << 20) ^ index)
     n_authors = rng.randint(2, 4)
     authors = [(rng.choice(GIVEN_NAMES), rng.choice(SURNAMES)) for _ in range(n_authors)]
@@ -140,6 +147,8 @@ def generate_document(seed: int, index: int) -> Dict[str, object]:
     n_paragraphs = rng.randint(2, 5)
     if rng.random() < 0.01:
         n_paragraphs *= 50
+    if n_paragraphs_override is not None:
+        n_paragraphs = n_paragraphs_override
     body_paragraphs = [
         " ".join(_sentence(rng) for _ in range(rng.randint(2, 5)))
         for _ in range(n_paragraphs)
@@ -250,6 +259,68 @@ def corpus_dataframe(spark, n_docs: int, seed: int = 42, partitions: Optional[in
     def generate_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = list(generate_documents(seed, pdf["id"].tolist()))
+            yield pd.DataFrame(rows)
+
+    return (
+        spark.range(0, n_docs, 1, partitions)
+        .mapInPandas(generate_batches, schema=CORPUS_SCHEMA)
+    )
+
+
+def pareto_paragraph_counts(
+    n_docs: int,
+    seed: int = 42,
+    alpha: float = 1.2,
+    cap: float = 300.0,
+    base_paragraphs: int = 3,
+) -> List[int]:
+    """Deterministic heavy-tailed per-document body sizes: paragraph count
+    ``round(base * min(cap, (1-u)^(-1/alpha)))`` with u ~ seeded uniform —
+    a Pareto(alpha) size distribution capped at ``cap`` x base (default
+    ~250x the median document, i.e. giants well under the oversized-doc
+    guard threshold but hundreds of times the typical kernel cost)."""
+    rng = random.Random((seed << 22) ^ 0x5EED)
+    counts = []
+    for _ in range(n_docs):
+        u = rng.random()
+        mult = min(cap, (1.0 - u) ** (-1.0 / alpha))
+        counts.append(max(1, int(round(base_paragraphs * mult))))
+    return counts
+
+
+def uniform_paragraph_counts(n_docs: int, total_paragraphs: int) -> List[int]:
+    """Per-document sizes for the EQUAL-TOTAL-BYTES uniform control corpus:
+    the same paragraph budget as a skewed corpus, spread evenly (the first
+    ``total % n`` documents take the remainder)."""
+    base, rem = divmod(total_paragraphs, n_docs)
+    return [base + (1 if i < rem else 0) for i in range(n_docs)]
+
+
+def sized_corpus_dataframe(
+    spark,
+    paragraph_counts: List[int],
+    seed: int = 42,
+    partitions: Optional[int] = None,
+):
+    """Corpus with an imposed per-document body-size distribution
+    (``paragraph_counts[i]`` body paragraphs for document i) — the
+    skew-bench input builder.  Counts ride to executors inside the task
+    closure (one int per document; for a 10^12-row table the counts would
+    instead be a column computed from (seed, id) like everything else)."""
+    import pandas as pd
+
+    if partitions is None:
+        partitions = max(2, spark.sparkContext.defaultParallelism)
+    n_docs = len(paragraph_counts)
+
+    def generate_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                generate_document(
+                    seed, int(i), n_paragraphs_override=paragraph_counts[int(i)]
+                )
+                for i in pdf["id"].tolist()
+            ]
             yield pd.DataFrame(rows)
 
     return (
