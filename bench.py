@@ -69,6 +69,49 @@ def main() -> None:
         if name == "flagship_extract_align":
             flagship_docs = len(rows)
             flagship_sec = best
+    # ---- big flagship leg: move the headline out of the noise floor ----
+    # Per-query sf0.1 timings are 0.2-1.5s where stage overhead dominates
+    # (round-over-round deltas on this shared box are +-20% on identical
+    # code).  A ~50k-doc flagship run is 8-12s of real kernel work, so its
+    # docs/sec is a signal, not noise.  The corpus is generated once
+    # (deterministic) and cached on disk; the timed runs only read parquet.
+    big_docs_n = int(os.environ.get("SPARK_GRAFT_BENCH_BIG_DOCS", "50000"))
+    big = None
+    if big_docs_n > 0:
+        from pyspark.sql import functions as F
+
+        from sciencebeam_trainer_grobid_tools_spark.sources.corpus import (
+            corpus_dataframe,
+        )
+
+        corpus_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            ".bench",
+            "flagship_corpus_%d" % big_docs_n,
+        )
+        if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+            corpus_dataframe(spark, big_docs_n, seed=42, partitions=64).write.mode(
+                "overwrite"
+            ).parquet(corpus_path)
+        from sciencebeam_trainer_grobid_tools_spark.plans.pipeline import (
+            annotate_documents,
+        )
+
+        big_docs = spark.read.parquet(corpus_path)
+        big_times = []
+        for _ in range(max(2, repeats - 1)):
+            t0 = time.time()
+            annotate_documents(big_docs, repartition=cpus * 4).agg(
+                F.count(F.lit(1))
+            ).collect()
+            big_times.append(round(time.time() - t0, 3))
+        big = {
+            "docs": big_docs_n,
+            "runs_sec": big_times,
+            "wall_sec": min(big_times),
+            "docs_per_sec": round(big_docs_n / min(big_times), 1),
+        }
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline query wall-clock (extraction+alignment flagship + shell)",
@@ -84,11 +127,17 @@ def main() -> None:
         "flagship_docs": flagship_docs,
         "docs_per_sec": round(flagship_docs / flagship_sec, 2) if flagship_sec else None,
     }
-    # embed the committed loadavg-gated scaling sample (scripts/
-    # quiet_scaling.py) so the round's BENCH json records the two-cluster-
-    # size evidence without re-measuring under unknown load
+    if big is not None:
+        result["big_flagship"] = big
+    # embed the committed loadavg-gated scaling + skew samples (scripts/
+    # quiet_scaling.py, scripts/skew_bench.py) so the round's BENCH json
+    # records that evidence without re-measuring under unknown load
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
-    for name in ("quiet_scaling_r4.json", "quiet_scaling_r3.json"):
+    for name in (
+        "quiet_scaling_r5.json",
+        "quiet_scaling_r4.json",
+        "quiet_scaling_r3.json",
+    ):
         scaling_path = os.path.join(bench_dir, name)
         if os.path.exists(scaling_path):
             try:
@@ -97,6 +146,13 @@ def main() -> None:
             except (OSError, ValueError):
                 continue
             break
+    skew_path = os.path.join(bench_dir, "skew_r5.json")
+    if os.path.exists(skew_path):
+        try:
+            with open(skew_path) as fh:
+                result["skew"] = json.load(fh)
+        except (OSError, ValueError):
+            pass
     print(json.dumps(result))
     spark.stop()
 
