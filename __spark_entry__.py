@@ -394,6 +394,29 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_ivf_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One FULL Lloyd iteration of the IVF coarse quantizer, value-checked:
+    deterministic seed (8 lowest-id vectors), max-cosine assignment
+    (lowest-cell tie-break) and the per-cell elementwise mean — the
+    `ivf_train` reduce itself, previously pinned only by numpy-parity
+    pytest.  The assignment + reduce run IN SPARK (one projection + one
+    groupBy shuffle; the k x dim collect is the documented model artifact);
+    the artifact is returned exploded to scalar ``(cell, dim, value)`` rows
+    so the oracle hash covers every element."""
+    embeddings = _load(spark, sf_dir, "embeddings")
+    centroids = similarity.ivf_train(embeddings, n_cells=8, iters=1)
+    rows = [
+        (cell, i, float(v))
+        for cell, vec in enumerate(centroids)
+        for i, v in enumerate(vec)
+    ]
+    return (
+        spark.createDataFrame(rows, "cell int, dim int, value double")
+        .withColumn("value", F.round("value", 6))
+        .orderBy("cell", "dim")
+    )
+
+
 def q_emb_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings = _load(spark, sf_dir, "embeddings")
     return embeddings.groupBy("label").agg(
@@ -1175,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_centroid_topk": q_emb_centroid_topk,
         "emb_near_dup_pairs": q_emb_near_dup_pairs,
         "emb_ivf_topk": q_emb_ivf_topk,
+        "emb_ivf_train_step": q_emb_ivf_train_step,
         "align_exact_spans": q_align_exact_spans,
         "flagship_extract_align": q_flagship_extract_align,
         "flagship_title_spans": q_flagship_title_spans,
@@ -1304,6 +1328,42 @@ _EMB_IVF_ORACLE_SQL = """
                                       a.embedding::DOUBLE[])) * q.qn)
              DESC, a.vec_id
     LIMIT 10
+"""
+
+
+# DuckDB replica of q_emb_ivf_train_step: the same seed/assignment CTEs as
+# the topk oracle, then one Lloyd step — per-cell elementwise AVG over the
+# assigned vectors, an emptied cell keeping its seed centroid (the same
+# deterministic rule ivf_train applies).
+_EMB_IVF_TRAIN_STEP_ORACLE_SQL = """
+    WITH cent AS (
+        SELECT vec_id AS cell, embedding AS cvec,
+               SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                   AS cnorm
+        FROM embeddings WHERE vec_id < 8
+    ),
+    assigned AS (
+        SELECT e.vec_id, e.embedding,
+               (SELECT c.cell FROM cent c
+                ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cvec::DOUBLE[])
+                         / (SQRT(list_dot_product(e.embedding::DOUBLE[],
+                                                  e.embedding::DOUBLE[]))
+                            * c.cnorm) DESC, c.cell
+                LIMIT 1) AS ivf_cell
+        FROM embeddings e
+    ),
+    dims AS (SELECT UNNEST(RANGE(64)) AS dim),
+    means AS (
+        SELECT a.ivf_cell AS cell, d.dim,
+               AVG(a.embedding[d.dim + 1]::DOUBLE) AS value
+        FROM assigned a CROSS JOIN dims d
+        GROUP BY 1, 2
+    )
+    SELECT CAST(c.cell AS INT) AS cell, CAST(d.dim AS INT) AS dim,
+           ROUND(COALESCE(m.value, c.cvec[d.dim + 1]::DOUBLE), 6) AS value
+    FROM cent c CROSS JOIN dims d
+    LEFT JOIN means m ON m.cell = c.cell AND m.dim = d.dim
+    ORDER BY cell, dim
 """
 
 
@@ -1626,6 +1686,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_lsh_prebucketed": _lsh_prebucketed_oracle_sql(),
         "emb_near_dup_pairs": _emb_near_dup_oracle_sql(),
         "emb_ivf_topk": _EMB_IVF_ORACLE_SQL,
+        "emb_ivf_train_step": _EMB_IVF_TRAIN_STEP_ORACLE_SQL,
         "docs_simhash": """
             WITH tok AS (
                 SELECT doc_id,

@@ -84,10 +84,23 @@ def main() -> None:
             corpus_dataframe,
         )
 
+        # cache key includes a generator-version token (hash of the corpus
+        # module source): if the generator changes in a later round the
+        # stale parquet is NOT silently reused — a silent reuse would
+        # invalidate exactly the cross-round docs/sec comparison this leg
+        # exists to make trustworthy
+        import hashlib
+        import inspect
+
+        from sciencebeam_trainer_grobid_tools_spark.sources import corpus as corpus_mod
+
+        gen_token = hashlib.md5(
+            inspect.getsource(corpus_mod).encode("utf-8")
+        ).hexdigest()[:8]
         corpus_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
             ".bench",
-            "flagship_corpus_%d" % big_docs_n,
+            "flagship_corpus_%d_g%s" % (big_docs_n, gen_token),
         )
         if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
             corpus_dataframe(spark, big_docs_n, seed=42, partitions=64).write.mode(
@@ -134,7 +147,7 @@ def main() -> None:
     # records that evidence without re-measuring under unknown load
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
     for name in (
-        "quiet_scaling_r5.json",
+        "quiet_scaling_r6.json",
         "quiet_scaling_r4.json",
         "quiet_scaling_r3.json",
     ):

@@ -625,12 +625,16 @@ def list_debug_match_files(base_path: str) -> List[str]:
 
     global _DEBUG_PART_RE
     if _DEBUG_PART_RE is None:
-        _DEBUG_PART_RE = re.compile(r"\.part(\d{5})_a(\d+)(\.[^.]*)?$")
+        # {5,}: part%05d zero-pads to 5 digits but WIDENS past partition
+        # 99999 — a fixed-width pattern would silently drop those files
+        _DEBUG_PART_RE = re.compile(r"\.part(\d{5,})_a(\d+)(\.[^.]*)?$")
     base, dot, ext = base_path.rpartition(".")
+    # glob.escape the user-supplied base (a [ or * in the path must match
+    # literally); the loose part*_a* wildcard is then filtered by the regex
     pattern = (
-        "%s.part[0-9][0-9][0-9][0-9][0-9]_a*%s%s" % (base, dot, ext)
+        "%s.part*_a*%s%s" % (globmod.escape(base), dot, globmod.escape(ext))
         if dot
-        else "%s.part[0-9][0-9][0-9][0-9][0-9]_a*" % base_path
+        else "%s.part*_a*" % globmod.escape(base_path)
     )
     best = {}  # partition id -> (attempt, path)
     for path in globmod.glob(pattern):

@@ -279,6 +279,79 @@ def pairwise_topk_by_label(
 # reference has no embedding operators; LLM-training-data extension).
 
 
+# Above this dimension the per-iteration centroid reduce stops building
+# ``dim`` separate F.avg expressions (the same Catalyst-tree-growth ceiling
+# the matmul path closes for assignment) and switches to one Arrow-batched
+# per-partition partial-sum stage whose plan size is dim-independent.
+_IVF_TRAIN_EXPR_MAX_DIM = 1024
+
+
+def _centroid_sums_expr(assigned: DataFrame, vec_col: str, dim: int):
+    """Per-cell (count, elementwise vector sum) via ``dim`` JVM expressions —
+    SQL-replicable, practical to dim ~1024."""
+    return (
+        assigned.groupBy("_cell")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[F.sum(F.col(vec_col)[i]).alias("c%d" % i) for i in range(dim)]
+        )
+        .collect(),
+        lambda r: [r["c%d" % i] / r["_n"] for i in range(dim)],
+    )
+
+
+def _centroid_reduce_arrow_plan(
+    assigned: DataFrame, vec_col: str, dim: int
+) -> DataFrame:
+    """Per-cell (count, elementwise vector sum) with a dim-independent plan:
+    one ``mapInPandas`` stage folds each PARTITION into at most k partial
+    rows ``(_cell, _n, _sums)`` (the vectors die in place — never shuffled,
+    same as the expr path's map-side combine), then a single
+    ``aggregate(collect_list, zip_with)`` expression — one Catalyst node
+    regardless of dim — merges the <= num_partitions partials per cell."""
+    import numpy as np
+
+    def _partials(batches):
+        counts, sums = {}, {}
+        for pdf in batches:
+            for cell, grp in pdf.groupby("_cell"):
+                m = np.vstack(
+                    [np.asarray(v, dtype=np.float64) for v in grp[vec_col]]
+                )
+                cell = int(cell)
+                counts[cell] = counts.get(cell, 0) + len(m)
+                prev = sums.get(cell)
+                s = m.sum(axis=0)
+                sums[cell] = s if prev is None else prev + s
+        if counts:
+            cells = sorted(counts)
+            yield pd.DataFrame(
+                {
+                    "_cell": cells,
+                    "_n": [counts[c] for c in cells],
+                    "_sums": [sums[c].tolist() for c in cells],
+                }
+            )
+
+    partials = assigned.select("_cell", vec_col).mapInPandas(
+        _partials, schema="_cell int, _n long, _sums array<double>"
+    )
+    zero = F.array_repeat(F.lit(0.0), dim)
+    return partials.groupBy("_cell").agg(
+        F.sum("_n").alias("_n"),
+        F.aggregate(
+            F.collect_list("_sums"),
+            zero,
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+        ).alias("_sums"),
+    )
+
+
+def _centroid_sums_arrow(assigned: DataFrame, vec_col: str, dim: int):
+    rows = _centroid_reduce_arrow_plan(assigned, vec_col, dim).collect()
+    return rows, lambda r: [s / r["_n"] for s in r["_sums"]]
+
+
 def ivf_train(
     df: DataFrame,
     n_cells: int = 8,
@@ -286,6 +359,7 @@ def ivf_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = None,
+    reduce: str = "auto",
 ) -> List[List[float]]:
     """Deterministic spherical k-means coarse quantizer, trained IN SPARK.
 
@@ -303,15 +377,25 @@ def ivf_train(
 
     Scale notes: each iteration ``collect()``s the k x dim centroid table
     driver-side (the model artifact — ~512 MB worst case at k=65536,
-    dim=1024 float64, typically a few MB) and the reduce builds ``dim``
-    ``avg`` expressions; assignment inside the loop goes through
-    :func:`ivf_assign`'s ``auto`` method, so above ``_IVF_EXPR_MAX_CELLS``
-    cells it uses the numpy-matmul path rather than the O(k * dim)
-    Catalyst expression tree.  Data-side the plan stays one broadcast +
-    one groupBy shuffle per iteration regardless of k.
+    dim=1024 float64, typically a few MB).  ``reduce`` picks how the
+    per-cell means are computed: ``"expr"`` builds ``dim`` JVM ``sum``
+    expressions (SQL-replicable, practical to dim ~1024); ``"arrow"``
+    replaces them with one ``mapInPandas`` per-partition partial-sum stage
+    + a single dim-independent ``aggregate(zip_with)`` merge (the large-dim
+    path — vectors still never shuffled, only <= k partial rows per
+    partition); ``"auto"`` switches at ``_IVF_TRAIN_EXPR_MAX_DIM``.
+    Assignment inside the loop goes through :func:`ivf_assign`'s ``auto``
+    method, so above ``_IVF_EXPR_MAX_CELLS`` cells it uses the numpy-matmul
+    path rather than the O(k * dim) Catalyst expression tree.  Data-side
+    the plan stays one broadcast + one groupBy shuffle per iteration
+    regardless of k and dim.
     """
     if dim is None:
         dim = _embedding_dim(df, vec_col)
+    if reduce == "auto":
+        reduce = "expr" if dim <= _IVF_TRAIN_EXPR_MAX_DIM else "arrow"
+    if reduce not in ("expr", "arrow"):
+        raise ValueError("ivf_train reduce must be auto/expr/arrow, got %r" % reduce)
     seed_rows = (
         df.select(id_col, vec_col)
         .orderBy(id_col)
@@ -323,18 +407,13 @@ def ivf_train(
         raise ValueError(
             "ivf_train needs >= n_cells=%d rows, got %d" % (n_cells, len(centroids))
         )
+    reducer = _centroid_sums_expr if reduce == "expr" else _centroid_sums_arrow
     for _ in range(iters):
         assigned = ivf_assign(
             df, centroids, vec_col=vec_col, cell_col="_cell"
         )
-        new_rows = (
-            assigned.groupBy("_cell")
-            .agg(
-                *[F.avg(F.col(vec_col)[i]).alias("c%d" % i) for i in range(dim)]
-            )
-            .collect()
-        )
-        by_cell = {r["_cell"]: [r["c%d" % i] for i in range(dim)] for r in new_rows}
+        new_rows, mean_of = reducer(assigned, vec_col, dim)
+        by_cell = {r["_cell"]: mean_of(r) for r in new_rows}
         # an emptied cell keeps its previous centroid (standard Lloyd fix,
         # and keeps the model deterministic)
         centroids = [
@@ -379,9 +458,10 @@ def _ivf_assign_matmul(
     typically a few MB); each Arrow batch is stacked into an (n x dim)
     matrix and a single ``batch @ centroids.T`` + ``argmax`` assigns every
     row.  ``np.argmax`` takes the FIRST maximal column — the same
-    lowest-cell-id tie-break as the expression path — and a zero-norm
-    vector gets a guarded divisor of 1.0 in BOTH paths, so its cosine row
-    is all zeros and it lands deterministically in cell 0.
+    lowest-cell-id tie-break as the expression path — a zero-norm vector
+    gets a guarded divisor of 1.0 in BOTH paths (all-zero cosine row ->
+    cell 0), and a NULL embedding yields a NULL cell in both paths (in the
+    expression path the null cosines fall through every WHEN branch).
     """
     import numpy as np
     from pyspark.sql.functions import pandas_udf
@@ -393,13 +473,19 @@ def _ivf_assign_matmul(
 
     @pandas_udf("int")
     def _nearest_cell(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:
-            return pd.Series([], dtype="int32")
-        m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
-        vnorm = np.sqrt((m * m).sum(axis=1))
-        vnorm[vnorm == 0.0] = 1.0
-        cos = (m @ cmat_t) / vnorm[:, None]
-        return pd.Series(np.argmax(cos, axis=1).astype("int32"))
+        # null embeddings -> null cell (parity with the expression path,
+        # which would otherwise work at k<=16 and crash here at k=17)
+        mask = vecs.isna().to_numpy(dtype=bool)
+        out = pd.array([None] * len(vecs), dtype="Int32")
+        if (~mask).any():
+            m = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in vecs[~mask]]
+            )
+            vnorm = np.sqrt((m * m).sum(axis=1))
+            vnorm[vnorm == 0.0] = 1.0
+            cos = (m @ cmat_t) / vnorm[:, None]
+            out[~mask] = np.argmax(cos, axis=1).astype("int32")
+        return pd.Series(out, dtype="Int32")
 
     return df.withColumn(cell_col, _nearest_cell(F.col(vec_col)))
 
@@ -426,8 +512,12 @@ def ivf_assign(
       :func:`_ivf_assign_matmul`).  One vectorized Python stage, still no
       shuffle; the scale path for realistic cell counts (k = 4096–65536).
     - ``"auto"`` (default) — ``expr`` for ``len(centroids) <= 16``, else
-      ``matmul``.  Both paths produce identical assignments (parity-pinned
-      in ``tests/test_corpus_operators.py``).
+      ``matmul``.  The paths agree up to floating-point rounding of
+      near-tied cosines (expr folds float32 arrays in SQL operation order;
+      matmul pre-normalizes float64 centroids), and share the defined
+      edges: zero-norm vector -> cell 0, null embedding -> null cell.
+      Parity is pinned in ``tests/test_corpus_operators.py`` on data with
+      no near-ties.
     """
     if method == "auto":
         method = "expr" if len(centroids) <= _IVF_EXPR_MAX_CELLS else "matmul"

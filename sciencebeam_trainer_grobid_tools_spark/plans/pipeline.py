@@ -182,11 +182,15 @@ def annotate_documents(
     actually fed through the kernel — used by tests to assert the expensive
     stage runs exactly once per chunk.
     ``max_doc_bytes``: oversized-document guard threshold (None -> env
-    ``SPARK_GRAFT_MAX_DOC_BYTES`` -> 64 MiB default; 0 disables).  Documents
-    over the threshold emit an ``oversized_document`` error row (counted in
-    the ``errors`` metric, landing in the failed output) — the payload is
-    nulled JVM-side before Arrow, so a 100 MB blob neither crosses into
-    Python nor stalls a core in the alignment kernel.
+    ``SPARK_GRAFT_MAX_DOC_BYTES`` -> 64 MiB default; 0 disables).  The size
+    measured is that of the column the kernel will actually consume — html
+    when present, else the text fallback — so a small-html/giant-text row is
+    still processed (its unconsumed text is dropped JVM-side regardless of
+    size).  Documents whose consumed payload exceeds the threshold emit an
+    ``oversized_document`` error row (counted in the ``errors`` metric,
+    landing in the failed output) — the payload is nulled JVM-side before
+    Arrow, so a 100 MB blob neither crosses into Python nor stalls a core in
+    the alignment kernel.
     """
     import pandas as pd
 
@@ -264,23 +268,32 @@ def annotate_documents(
         c for c in wanted if c in columns and not (c == "html" and not use_html)
     ]
     plan = docs.select(*needed)
-    # every column the kernel may consume: html is the primary payload but
-    # with a null html the kernel falls back to text_to_lines, so a row with
-    # a giant text and no html must be sized (and nulled) too — sizing only
-    # one column would let the core-stall the guard exists for through, and
-    # would let the unsized column's bytes cross Arrow for oversized rows
+    # size the payload the kernel will actually CONSUME: html when present,
+    # else the text fallback (annotate_document_row reads text only for
+    # null-html rows).  A small-html/giant-text row is therefore processable
+    # — the giant text is dead weight, dropped JVM-side below, never sized
+    # against the budget and never Arrow-serialized.
     payload_cols = [c for c in ("html", "text") if c in needed]
     if max_bytes > 0 and payload_cols:
-        # guard runs JVM-side: size the payload, then null it for oversized
-        # rows so the bytes never get Arrow-serialized into the Python worker
-        sizes = [
-            F.coalesce(F.octet_length(F.col(c)), F.lit(0)) for c in payload_cols
-        ]
-        size = sizes[0] if len(sizes) == 1 else F.greatest(*sizes)
+        # guard runs JVM-side: size the consumed payload, then null it for
+        # oversized rows so the bytes never reach the Python worker
+        if payload_cols == ["html", "text"]:
+            size = F.when(
+                F.col("html").isNotNull(), F.octet_length(F.col("html"))
+            ).otherwise(F.coalesce(F.octet_length(F.col("text")), F.lit(0)))
+        else:
+            size = F.coalesce(F.octet_length(F.col(payload_cols[0])), F.lit(0))
         plan = plan.withColumn("doc_bytes", size.cast("long"))
         for c in payload_cols:
             plan = plan.withColumn(
                 c, F.when(F.col("doc_bytes") <= F.lit(max_bytes), F.col(c))
+            )
+        if payload_cols == ["html", "text"]:
+            # text is never read when html is present, so drop it before
+            # Arrow regardless of its size — this is what keeps the
+            # small-html/giant-text row cheap as well as processable
+            plan = plan.withColumn(
+                "text", F.when(F.col("html").isNull(), F.col("text"))
             )
     if repartition:
         # salted spread by url-hash: giant-HTML rows distribute uniformly

@@ -331,7 +331,8 @@ class TestIvf:
         (guarded norm -> all-zero cosines -> cell 0) both paths share."""
         with_zero = embeddings.union(
             spark.createDataFrame(
-                [(999, [0.0] * 16)], "vec_id long, embedding array<float>"
+                [(999, [0.0] * 16), (998, None)],
+                "vec_id long, embedding array<float>",
             )
         )
         cents = similarity.ivf_train(embeddings, n_cells=4, iters=1)
@@ -349,6 +350,7 @@ class TestIvf:
         }
         assert expr == matmul
         assert expr[999] == 0  # zero vector: guarded norm -> cell 0
+        assert expr[998] is None and matmul[998] is None  # null embedding
         # ... and at k=16, the expr/matmul auto-dispatch boundary
         cents16 = similarity.ivf_train(embeddings, n_cells=16, iters=0)
         e16 = {
@@ -364,6 +366,53 @@ class TestIvf:
             ).collect()
         }
         assert e16 == m16
+
+    def test_train_arrow_reduce_matches_expr(self, embeddings):
+        """The Arrow partial-sum reduce (the large-dim path) must train the
+        same centroids as the dim F.sum-expressions path, to fp tolerance."""
+        expr = similarity.ivf_train(embeddings, n_cells=4, iters=2, reduce="expr")
+        arrow = similarity.ivf_train(embeddings, n_cells=4, iters=2, reduce="arrow")
+        for a, b in zip(expr, arrow):
+            assert max(abs(x - y) for x, y in zip(a, b)) < 1e-9
+
+    def test_train_large_dim_uses_arrow_reduce(self, spark):
+        """dim=4096 > _IVF_TRAIN_EXPR_MAX_DIM: auto must route the reduce
+        through the mapInPandas partial-sum stage (a dim-independent plan —
+        no 4096 per-element sum expressions), one train step must complete,
+        and the result must match a numpy Lloyd step."""
+        import numpy as np
+
+        rng = np.random.default_rng(31)
+        vecs = rng.normal(size=(40, 4096)).astype(np.float32)
+        df = spark.createDataFrame(
+            [(i, [float(v) for v in vecs[i]]) for i in range(40)],
+            "vec_id long, embedding array<float>",
+        ).cache()
+        # the plan the auto reduce builds is dim-independent: one
+        # mapInPandas partial stage + one groupBy — no per-element sums
+        assert similarity._IVF_TRAIN_EXPR_MAX_DIM < 4096
+        cents0 = [[float(v) for v in vecs[i]] for i in range(4)]
+        assigned = similarity.ivf_assign(df, cents0, cell_col="_cell")
+        reduce_plan = similarity._centroid_reduce_arrow_plan(
+            assigned, "embedding", 4096
+        )
+        plan = reduce_plan._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan
+        assert "embedding[4095]" not in plan and "c4095" not in plan
+        got = similarity.ivf_train(df, n_cells=4, iters=1, dim=4096)
+        # numpy reference: one assignment + mean step on the stored floats
+        data = vecs.astype(np.float64)
+        cents = data[:4]
+        cn = np.linalg.norm(cents, axis=1)
+        vn = np.linalg.norm(data, axis=1)
+        cos = (data / vn[:, None]) @ (cents / cn[:, None]).T
+        cells = np.argmax(cos, axis=1)
+        expected = [
+            data[cells == c].mean(axis=0) if (cells == c).any() else cents[c]
+            for c in range(4)
+        ]
+        for a, b in zip(got, expected):
+            assert float(np.max(np.abs(np.asarray(a) - b))) < 1e-9
 
     def test_assign_matmul_large_k_no_shuffle(self, spark):
         """k=256 cells / dim=64: the expression path would be a ~10^5-node

@@ -192,6 +192,28 @@ class TestDebugSinkAttemptDedup:
         rows = read_debug_matches(base)
         assert len(rows) == 3  # a0 partial of partition 0 excluded
 
+    def test_reader_handles_wide_partition_ids_and_glob_metachars(self, tmp_path):
+        """part%05d WIDENS past partition 99999, and the base path may
+        contain glob metacharacters — neither may silently drop files
+        (round-6 ADVICE: the fixed [0-9]x5 glob excluded 6-digit parts)."""
+        from sciencebeam_trainer_grobid_tools_spark.operators.matching import (
+            list_debug_match_files,
+            read_debug_matches,
+        )
+
+        sink_dir = tmp_path / "run[2026]"  # glob metachars in the base path
+        sink_dir.mkdir()
+        base = str(sink_dir / "debug.csv")
+        self._write(str(sink_dir / "debug.part00003_a0.csv"), [("t0", 1)])
+        self._write(str(sink_dir / "debug.part123456_a0.csv"), [("t1", 2)])
+        self._write(
+            str(sink_dir / "debug.part123456_a2.csv"), [("t1", 2), ("t2", 3)]
+        )
+
+        files = [os.path.basename(f) for f in list_debug_match_files(base)]
+        assert files == ["debug.part00003_a0.csv", "debug.part123456_a2.csv"]
+        assert len(read_debug_matches(base)) == 3
+
     def test_reader_includes_driver_side_bare_file(self, tmp_path):
         from sciencebeam_trainer_grobid_tools_spark.operators.matching import (
             list_debug_match_files,

@@ -213,6 +213,35 @@ class TestOversizedDocGuard:
         assert metrics["docs_processed"] == 6
         assert metrics["errors"] == len(oversized)
 
+    def test_small_html_with_giant_unconsumed_text_is_processed(self, spark):
+        """The guard sizes the column the kernel will CONSUME: with html
+        present, text is never read, so a small-html/giant-text row must be
+        annotated normally — and the giant text must be dropped JVM-side so
+        it never crosses Arrow (round-6 ADVICE: the greatest-of-both sizing
+        silently rerouted such rows to the failed output)."""
+        import time
+
+        normal = corpus_dataframe(spark, 5, seed=3, partitions=2)
+        small_html = b"<html><body><p>start of a small doc</p></body></html>"
+        giant_text = "fallback " + "x" * (50 * 1024 * 1024)
+        mixed = spark.createDataFrame(
+            [("https://mixed.example/doc", small_html, giant_text, "en")],
+            "url string, html binary, text string, lang string",
+        )
+        docs = normal.select("url", "html", "text", "lang").unionByName(mixed)
+        t0 = time.time()
+        rows = annotate_documents(
+            docs, repartition=4, max_doc_bytes=8 * 1024 * 1024
+        ).collect()
+        elapsed = time.time() - t0
+        row = {r.url: r for r in rows}["https://mixed.example/doc"]
+        # processed via the html path, not rejected as oversized
+        assert row.reason != "oversized_document"
+        assert row.error is None
+        assert "start of a small doc" in row.extracted_text
+        # the 50 MB unconsumed text never crossed Arrow
+        assert elapsed < 60
+
     def test_giant_text_with_null_html_also_guarded(self, spark):
         """use_html=True + null html: the kernel falls back to text_to_lines,
         so a giant TEXT payload must be sized (and nulled) too — sizing only
