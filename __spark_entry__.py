@@ -323,6 +323,36 @@ def q_docs_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (Gopher-style quality rule):
+    per-doc bigram occurrence totals, top-ngram fraction and
+    duplicate-ngram fraction — codegen'd explode+hash construction, two
+    partial-aggregated shuffles, nothing wider than (id, hash, count)
+    shuffled.  Output fractions are hash-identity-independent, so the
+    oracle groups by the gram string."""
+    docs = _spread(_load(spark, sf_dir, "documents"), spark)
+    return dedup.repetition_features(docs, k=2).orderBy("doc_id")
+
+
+def q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix-C 13-gram rule).  The
+    'eval set' is a deterministic PROMPT slice — the first 20 tokens of
+    every doc_id % 83 == 1 document — so a flagged training document is
+    one whose body CONTAINS an eval prompt's 13-gram (partial overlap,
+    the realistic contamination shape), not merely an exact duplicate.
+    Eval k-gram set broadcasts; the corpus side explodes inside codegen
+    and only collision rows reach a shuffle."""
+    docs = _spread(_load(spark, sf_dir, "documents"), spark)
+    prompt = F.concat_ws(
+        " ",
+        F.slice(F.split(F.lower(F.replace(F.col("text"), F.lit("\n"), F.lit(" "))), " "), 1, 20),
+    )
+    eval_df = docs.filter(F.col("doc_id") % 83 == 1).select(
+        "doc_id", prompt.alias("text")
+    )
+    return dedup.ngram_contamination(docs, eval_df, k=13).orderBy("doc_id")
+
+
 def q_docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact bigram-shingle Jaccard pairs over a bounded id range (the
     correctness baseline the LSH path verifies against)."""
@@ -1191,6 +1221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_portable": q_docs_minhash_portable,
         "docs_simhash": q_docs_simhash,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
+        "docs_repetition": q_docs_repetition,
+        "docs_decontaminate": q_docs_decontaminate,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_lsh_prebucketed": q_emb_lsh_prebucketed,
@@ -1328,6 +1360,71 @@ _EMB_IVF_ORACLE_SQL = """
                                       a.embedding::DOUBLE[])) * q.qn)
              DESC, a.vec_id
     LIMIT 10
+"""
+
+
+# DuckDB replica of q_docs_repetition: identical tokenization to the minhash
+# oracles, k-gram OCCURRENCES (multiplicity) grouped by the gram string —
+# the fractions are hash-identity-independent, so string grouping verifies
+# the xxhash64 production path's output values directly.
+_DOCS_REPETITION_ORACLE_SQL = """
+    WITH tok AS (
+        SELECT doc_id,
+               string_split(LOWER(REPLACE(text, chr(10), ' ')), ' ') AS tokens
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(CASE WHEN LEN(tokens) >= 2 THEN
+                   [array_to_string(tokens[i:i+1], ' ')
+                    for i in range(1, LEN(tokens))]
+                 ELSE [array_to_string(tokens, ' ')] END) AS g
+        FROM tok
+    ),
+    cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_ngrams,
+           ROUND(MAX(c) / SUM(c), 6) AS top_ngram_frac,
+           ROUND(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) / SUM(c), 6)
+               AS dup_ngram_frac
+    FROM cnt GROUP BY doc_id ORDER BY doc_id
+"""
+
+# DuckDB replica of q_docs_decontaminate: 13-gram collision counts against
+# the deterministic prompt eval set (first 20 tokens of doc_id % 83 == 1
+# documents); short prompts/documents degrade to a whole-text identity on
+# both sides, exactly like the Spark fallback.
+_DOCS_DECONTAMINATE_ORACLE_SQL = """
+    WITH tok AS (
+        SELECT doc_id,
+               string_split(LOWER(REPLACE(text, chr(10), ' ')), ' ') AS tokens
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(CASE WHEN LEN(tokens) >= 13 THEN
+                   [array_to_string(tokens[i:i+12], ' ')
+                    for i in range(1, LEN(tokens) - 11)]
+                 ELSE [array_to_string(tokens, ' ')] END) AS g
+        FROM tok
+    ),
+    ev AS (
+        SELECT string_split(array_to_string(tokens[1:20], ' '), ' ') AS etoks
+        FROM tok WHERE doc_id % 83 = 1
+    ),
+    eval_grams AS (
+        SELECT DISTINCT unnest(CASE WHEN LEN(etoks) >= 13 THEN
+                   [array_to_string(etoks[i:i+12], ' ')
+                    for i in range(1, LEN(etoks) - 11)]
+                 ELSE [array_to_string(etoks, ' ')] END) AS g
+        FROM ev
+    ),
+    hits AS (
+        SELECT DISTINCT gr.doc_id, gr.g
+        FROM grams gr JOIN eval_grams e USING (g)
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated_ngrams
+    FROM hits GROUP BY doc_id ORDER BY doc_id
 """
 
 
@@ -1682,6 +1779,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE LEN(list_intersect(l.shingles, r.shingles))
                   / LEN(list_distinct(list_concat(l.shingles, r.shingles))) >= 0.05
         """,
+        "docs_repetition": _DOCS_REPETITION_ORACLE_SQL,
+        "docs_decontaminate": _DOCS_DECONTAMINATE_ORACLE_SQL,
         "emb_lsh_topk": _lsh_topk_oracle_sql(),
         "emb_lsh_prebucketed": _lsh_prebucketed_oracle_sql(),
         "emb_near_dup_pairs": _emb_near_dup_oracle_sql(),

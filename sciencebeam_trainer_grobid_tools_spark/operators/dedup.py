@@ -615,3 +615,87 @@ def embedding_near_dup_pairs(
             "id_a", "id_b", F.round(F.col("_cos"), round_digits).alias("cosine")
         )
     )
+
+
+def repetition_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 2,
+) -> DataFrame:
+    """Within-document repetition signals (Gopher-style repetition rules,
+    Rae et al. 2021 §A1.1: documents dominated by a few repeated n-grams
+    are low-quality training data).
+
+    Per document over its k-gram OCCURRENCES (multiplicity counts, unlike
+    the shingle *sets* dedup uses):
+
+    - ``n_ngrams``        — total k-gram occurrences;
+    - ``top_ngram_frac``  — occurrences of the most frequent k-gram / total;
+    - ``dup_ngram_frac``  — fraction of occurrences whose k-gram appears
+      more than once.
+
+    Scale design: reuses :func:`shingle_hash_table`'s codegen'd
+    explode+hash construction (one row per position, multiplicity
+    preserved), then TWO partial-aggregated shuffles — ``(doc_id, g)``
+    counts, then per-``doc_id`` ratios.  Both keys are fine-grained (no
+    skew: a single document's k-grams spread nowhere — the first groupBy
+    key includes the gram), nothing wider than (id, hash, count) is ever
+    shuffled, and the output fractions are hash-identity-independent, so
+    the DuckDB oracle verifies them grouping by the k-gram STRING."""
+    per = shingle_hash_table(df, id_col=id_col, text_col=text_col, k=k)
+    counts = per.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    total = F.sum("c")
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            total.cast("long").alias("n_ngrams"),
+            F.round(F.max("c") / total, 6).alias("top_ngram_frac"),
+            F.round(
+                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)) / total, 6
+            ).alias("dup_ngram_frac"),
+        )
+    )
+
+
+def ngram_contamination(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "doc_id",
+    eval_text_col: str = "text",
+    k: int = 13,
+    min_collisions: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: training documents sharing any k-gram
+    with an evaluation set (the GPT-3 appendix-C / PaLM 13-gram rule).
+    Returns ``(doc_id, n_contaminated_ngrams)`` for documents with at
+    least ``min_collisions`` distinct colliding k-grams.
+
+    Scale design: the EVAL side is small (a benchmark suite is 10^3-10^6
+    documents), so its DISTINCT k-gram hash set is explicitly
+    ``broadcast()`` — no shuffle of the corpus side for the join.  The
+    corpus side is the 100 TB scan: k-grams materialize inside whole-stage
+    codegen (:func:`shingle_hash_table` — one row per position, never a
+    string build), the broadcast hash join discards everything but the
+    rare collisions, and only ``(doc_id, g)`` collision rows reach the
+    dedup + per-doc count shuffles (tiny by construction).  Documents
+    shorter than k tokens degrade to a whole-text identity on BOTH sides,
+    so an exact short duplicate of an eval doc still flags."""
+    corpus = shingle_hash_table(df, id_col=id_col, text_col=text_col, k=k)
+    eval_grams = (
+        shingle_hash_table(
+            eval_df, id_col=eval_id_col, text_col=eval_text_col, k=k
+        )
+        .select("g")
+        .distinct()
+    )
+    return (
+        corpus.join(F.broadcast(eval_grams), "g")
+        .select("doc_id", "g")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated_ngrams"))
+        .filter(F.col("n_contaminated_ngrams") >= min_collisions)
+    )

@@ -110,6 +110,64 @@ class TestDedup:
         assert found == exact  # max_hamming filter makes them equal
 
 
+class TestRepetitionAndDecontamination:
+    def test_repetition_features_planted(self, spark):
+        """Hand-computable bigram repetition: 'a b a b a b' -> grams
+        (a b),(b a),(a b),(b a),(a b): top 3/5, every occurrence duplicated;
+        'x y z' -> 2 distinct grams, no repetition."""
+        docs = spark.createDataFrame(
+            [(0, "a b a b a b"), (1, "x y z"), (2, "solo")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in dedup.repetition_features(docs, k=2).collect()}
+        assert rows[0]["n_ngrams"] == 5
+        assert rows[0]["top_ngram_frac"] == 0.6
+        assert rows[0]["dup_ngram_frac"] == 1.0
+        assert rows[1]["n_ngrams"] == 2
+        assert rows[1]["top_ngram_frac"] == 0.5
+        assert rows[1]["dup_ngram_frac"] == 0.0
+        # single-token doc: whole-text fallback identity, one occurrence
+        assert rows[2]["n_ngrams"] == 1 and rows[2]["dup_ngram_frac"] == 0.0
+
+    def test_ngram_contamination_partial_overlap(self, spark):
+        """A training doc CONTAINING an eval prompt's k-gram mid-body is
+        flagged; a clean doc is not; an eval prompt shorter than k flags
+        exact short duplicates via the whole-text fallback identity."""
+        prompt = "w1 w2 w3 w4 w5"  # 5 tokens; k=4 -> grams at pos 1,2
+        corpus = spark.createDataFrame(
+            [
+                (10, "pad lead " + prompt + " trail pad"),  # contains prompt
+                (11, "completely different words here entirely"),
+                (12, "tiny"),  # exact dup of the short eval doc
+            ],
+            "doc_id long, text string",
+        )
+        eval_df = spark.createDataFrame(
+            [(0, prompt), (1, "tiny")], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r["n_contaminated_ngrams"]
+            for r in dedup.ngram_contamination(corpus, eval_df, k=4).collect()
+        }
+        assert got[10] == 2  # both 4-grams of the 5-token prompt found
+        assert 11 not in got
+        assert got[12] == 1  # short-doc whole-text identity
+
+    def test_ngram_contamination_broadcasts_eval_side(self, spark):
+        """The scale claim: the eval k-gram set joins via broadcast — the
+        corpus side is never shuffled for the join."""
+        corpus = spark.createDataFrame(
+            [(i, "w%d x y z q r s t u v" % i) for i in range(30)],
+            "doc_id long, text string",
+        )
+        eval_df = spark.createDataFrame([(0, "x y z q")], "doc_id long, text string")
+        plan = (
+            dedup.ngram_contamination(corpus, eval_df, k=4)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
 class TestSimilarity:
     @pytest.fixture(scope="class")
     def embeddings(self, spark):
