@@ -1,0 +1,86 @@
+"""URL canonicalization + recrawl dedup for Common-Crawl-style corpora.
+
+The north-rule input is an Iceberg table keyed by ``(url, warc_ts)``; real
+crawls carry the same page many times under trivially-different URLs
+(tracking parameters, case-variant hosts, fragments) and under the same URL
+across recrawls.  ``canonical_url`` folds the trivial variants with pure
+Catalyst expressions (whole-stage codegen — a 100 TB pass is IO-bound), and
+``dedup_by_canonical_url`` keeps one row per canonical URL.
+
+Normalization choices (documented, deliberately conservative):
+
+- scheme and host are case-folded (RFC 3986 §6.2.2.1); path/query case is
+  preserved (significant on most origins);
+- explicit default ports (``:80`` for http, ``:443`` for https) drop;
+- the fragment drops (never sent to the server);
+- tracking parameters (``utm_*``, ``fbclid``, ``gclid``, ``msclkid``) drop,
+  other parameters keep their ORDER (reordering can change semantics for
+  duplicate keys, so we do not sort);
+- a trailing ``/`` on a non-root path drops;
+- anything unparseable passes through unchanged (a data-cleaning operator
+  must not throw mid-scan).
+
+Scale design: ``dedup_by_canonical_url`` is ONE shuffle keyed by the
+canonical URL string (fine-grained — no skew concentration; a mega-domain
+spreads across its pages), with a window ``row_number`` keeping the newest
+``warc_ts`` (ties broken on the raw url for determinism).  No collect, no
+Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+_TRACKING_PARAM_RE = r"(?i)(utm_[a-z0-9]+|fbclid|gclid|msclkid)=[^&#]*"
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a URL column — pure Catalyst expression chain."""
+    # 1. drop the fragment
+    u = F.regexp_replace(url, r"#.*$", "")
+    # 2. case-fold scheme://host[:port] (up to the first '/' after '://')
+    head = F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    tail = F.substring(u, F.length(head) + F.lit(1), F.length(u))
+    u = F.when(head == "", u).otherwise(F.concat(F.lower(head), tail))
+    # 3. drop explicit default ports
+    u = F.regexp_replace(u, r"^(http://[^/:?#]*):80(?=[/?#]|$)", r"$1")
+    u = F.regexp_replace(u, r"^(https://[^/:?#]*):443(?=[/?#]|$)", r"$1")
+    # 4. drop tracking parameters: first every non-final one (keeps its
+    # trailing '&' out, preserving the leading '?'/'&' of what follows),
+    # then a final one together with its leading separator
+    u = F.regexp_replace(u, r"(?<=[?&])" + _TRACKING_PARAM_RE + r"&", "")
+    u = F.regexp_replace(u, r"[?&]" + _TRACKING_PARAM_RE + r"$", "")
+    # 5. drop a trailing slash on a non-root path
+    u = F.regexp_replace(u, r"^([a-z][a-z0-9+.-]*://[^/?#]+(?:/[^?#]*[^/?#]))/(\?[^#]*)?$", r"$1$2")
+    return u
+
+
+def with_canonical_url(
+    df: DataFrame, url_col: str = "url", out_col: str = "canonical_url"
+) -> DataFrame:
+    return df.withColumn(out_col, canonical_url(F.col(url_col)))
+
+
+def dedup_by_canonical_url(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    keep: str = "latest",
+) -> DataFrame:
+    """One row per canonical URL — the CC recrawl/variant dedup.
+
+    ``keep='latest'`` keeps the newest ``warc_ts`` (recrawl wins),
+    ``'earliest'`` the oldest; ties break on the raw url (deterministic).
+    One shuffle, keyed by the canonical string; the window carries the
+    full row only within its own key group.
+    """
+    if keep not in ("latest", "earliest"):
+        raise ValueError("keep must be latest/earliest, got %r" % keep)
+    ts = F.col(ts_col).desc() if keep == "latest" else F.col(ts_col).asc()
+    canon = canonical_url(F.col(url_col))
+    w = Window.partitionBy(canon).orderBy(ts, F.col(url_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -1,0 +1,104 @@
+"""URL canonicalization + recrawl dedup (operators/urlnorm.py)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from sciencebeam_trainer_grobid_tools_spark.operators import urlnorm
+from sciencebeam_trainer_grobid_tools_spark.plans.session import build_session
+
+
+@pytest.fixture(scope="module")
+def spark():
+    session = build_session("urlnorm-tests", cpus=4, shuffle_partitions=4)
+    session.sparkContext.setLogLevel("ERROR")
+    yield session
+    session.stop()
+
+
+CASES = [
+    # (raw, canonical)
+    ("http://Example.COM/Path/Page", "http://example.com/Path/Page"),
+    ("HTTP://A.com/x", "http://a.com/x"),  # scheme folds, path case kept
+    ("http://a.com:80/x", "http://a.com/x"),
+    ("https://a.com:443/x", "https://a.com/x"),
+    ("http://a.com:8080/x", "http://a.com:8080/x"),  # non-default kept
+    ("https://a.com:80/x", "https://a.com:80/x"),  # :80 not https default
+    ("http://a.com/x#frag", "http://a.com/x"),
+    ("http://a.com/x?a=1#frag", "http://a.com/x?a=1"),
+    ("http://a.com/x?utm_source=tw&b=2", "http://a.com/x?b=2"),
+    ("http://a.com/x?b=2&utm_source=tw", "http://a.com/x?b=2"),
+    ("http://a.com/x?a=1&fbclid=F&b=2", "http://a.com/x?a=1&b=2"),
+    ("http://a.com/x?utm_a=1&utm_b=2", "http://a.com/x"),
+    ("http://a.com/x?UTM_SOURCE=tw", "http://a.com/x"),  # case-insensitive
+    ("http://a.com/x?butm_a=1", "http://a.com/x?butm_a=1"),  # not utm_
+    ("http://a.com/dir/", "http://a.com/dir"),
+    ("http://a.com/dir/?a=1", "http://a.com/dir?a=1"),
+    ("http://a.com/", "http://a.com/"),  # root slash kept (documented)
+    ("http://a.com", "http://a.com"),
+    # param ORDER is preserved (documented: no sorting)
+    ("http://a.com/x?b=2&a=1", "http://a.com/x?b=2&a=1"),
+    # unparseable / schemeless: pass through
+    ("not a url at all", "not a url at all"),
+    ("/relative/path/", "/relative/path/"),
+]
+
+
+class TestCanonicalUrl:
+    def test_canonicalization_table(self, spark):
+        df = spark.createDataFrame(
+            [(i, raw) for i, (raw, _) in enumerate(CASES)], "i int, url string"
+        )
+        got = {
+            r["i"]: r["canonical_url"]
+            for r in urlnorm.with_canonical_url(df).collect()
+        }
+        for i, (raw, want) in enumerate(CASES):
+            assert got[i] == want, "%r -> %r, want %r" % (raw, got[i], want)
+
+    def test_is_pure_catalyst(self, spark):
+        df = spark.createDataFrame([(1, "http://a.com/x")], "i int, url string")
+        plan = (
+            urlnorm.with_canonical_url(df)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Python" not in plan and "Exchange" not in plan
+
+
+class TestDedupByCanonicalUrl:
+    def _docs(self, spark):
+        t = datetime.datetime
+        rows = [
+            # three variants of one page, distinct warc_ts
+            ("http://A.com/page?utm_source=x", t(2024, 1, 1), "old"),
+            ("http://a.com/page", t(2024, 3, 1), "newest"),
+            ("http://a.com/page#sec", t(2024, 2, 1), "mid"),
+            # an unrelated page
+            ("http://a.com/other", t(2024, 1, 1), "other"),
+        ]
+        return spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+
+    def test_keep_latest_recrawl(self, spark):
+        out = urlnorm.dedup_by_canonical_url(self._docs(spark)).collect()
+        by_text = {r["text"] for r in out}
+        assert by_text == {"newest", "other"}
+        # original columns intact, no helper column leaks
+        assert sorted(out[0].asDict()) == ["text", "url", "warc_ts"]
+
+    def test_keep_earliest(self, spark):
+        out = urlnorm.dedup_by_canonical_url(
+            self._docs(spark), keep="earliest"
+        ).collect()
+        assert {r["text"] for r in out} == {"old", "other"}
+
+    def test_single_shuffle(self, spark):
+        plan = (
+            urlnorm.dedup_by_canonical_url(self._docs(spark))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange") == 1
+
+    def test_invalid_keep_raises(self, spark):
+        with pytest.raises(ValueError, match="keep must be"):
+            urlnorm.dedup_by_canonical_url(self._docs(spark), keep="newest")
