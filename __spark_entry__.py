@@ -353,6 +353,41 @@ def q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_contamination(docs, eval_df, k=13).orderBy("doc_id")
 
 
+def q_docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + scrub (training-data hygiene): deterministic PII
+    (email, IPv4, phone derived from doc_id) is planted into every
+    document, then detected and redacted by the RE2-compatible Catalyst
+    regexps — the oracle runs the SAME pattern strings under DuckDB's
+    RE2 and must reproduce the counts and the scrubbed text md5
+    value-for-value."""
+    from sciencebeam_trainer_grobid_tools_spark.operators import pii
+
+    docs = _spread(_load(spark, sf_dir, "documents"), spark)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".77 or 555-123-4567"),
+        ).alias("text"),
+    )
+    return (
+        pii.pii_features(planted)
+        .select(
+            "doc_id",
+            "pii_emails",
+            "pii_ipv4",
+            "pii_phones",
+            "pii_found",
+            F.md5("scrubbed_text").alias("scrubbed_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact bigram-shingle Jaccard pairs over a bounded id range (the
     correctness baseline the LSH path verifies against)."""
@@ -1221,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_portable": q_docs_minhash_portable,
         "docs_simhash": q_docs_simhash,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
+        "docs_pii_scrub": q_docs_pii_scrub,
         "docs_repetition": q_docs_repetition,
         "docs_decontaminate": q_docs_decontaminate,
         "emb_cosine_topk": q_emb_cosine_topk,
@@ -1426,6 +1462,44 @@ _DOCS_DECONTAMINATE_ORACLE_SQL = """
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated_ngrams
     FROM hits GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# DuckDB replica of q_docs_pii_scrub: identical planted-PII construction,
+# the SAME RE2-compatible pattern strings (operators/pii.py documents the
+# dialect constraint), counts via regexp_extract_all and a global ('g')
+# regexp_replace chain in the same email -> IP -> phone order.
+def _pii_scrub_oracle_sql() -> str:
+    from sciencebeam_trainer_grobid_tools_spark.operators import pii
+
+    return """
+    WITH planted AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com via 10.0.'
+                    || CAST(doc_id %% 256 AS VARCHAR) || '.77 or 555-123-4567'
+                   AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(text, '%(email)s')) AS INT) AS pii_emails,
+           CAST(LEN(regexp_extract_all(text, '%(ip)s')) AS INT) AS pii_ipv4,
+           CAST(LEN(regexp_extract_all(text, '%(phone)s')) AS INT) AS pii_phones,
+           (LEN(regexp_extract_all(text, '%(email)s'))
+            + LEN(regexp_extract_all(text, '%(ip)s'))
+            + LEN(regexp_extract_all(text, '%(phone)s'))) > 0 AS pii_found,
+           md5(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, '%(email)s', '<EMAIL>', 'g'),
+                   '%(ip)s', '<IP>', 'g'),
+                 '%(phone)s', '<PHONE>', 'g')) AS scrubbed_md5
+    FROM planted ORDER BY doc_id
+    """ % {
+        # DuckDB single-quoted literals do not process backslash escapes,
+        # so the pattern strings drop in verbatim
+        "email": pii.EMAIL_PATTERN,
+        "ip": pii.IPV4_PATTERN,
+        "phone": pii.PHONE_PATTERN,
+    }
 
 
 # DuckDB replica of q_emb_ivf_train_step: the same seed/assignment CTEs as
@@ -1780,6 +1854,7 @@ def oracle_sql() -> dict[str, str]:
                   / LEN(list_distinct(list_concat(l.shingles, r.shingles))) >= 0.05
         """,
         "docs_repetition": _DOCS_REPETITION_ORACLE_SQL,
+        "docs_pii_scrub": _pii_scrub_oracle_sql(),
         "docs_decontaminate": _DOCS_DECONTAMINATE_ORACLE_SQL,
         "emb_lsh_topk": _lsh_topk_oracle_sql(),
         "emb_lsh_prebucketed": _lsh_prebucketed_oracle_sql(),

@@ -716,3 +716,36 @@ class TestMultimodalStages:
         assert "NotImplementedError" in str(exc_info.value) or "codec" in str(
             exc_info.value
         )
+
+
+class TestPii:
+    def test_detect_and_scrub(self, spark):
+        from sciencebeam_trainer_grobid_tools_spark.operators import pii
+
+        rows = [
+            (0, "reach me at jane.doe+x@sub.example.co.uk thanks"),
+            (1, "server 192.168.1.200 and backup 10.0.0.7"),
+            (2, "call 555-123-4567 or 555.987.6543 or 555 111 2222"),
+            (3, "clean text with version 1.2.3 and number 12345"),
+            (4, "mixed bob@ex.org at 8.8.8.8 tel 555-000-1111"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in pii.pii_features(df).collect()}
+        assert got[0]["pii_emails"] == 1 and "<EMAIL>" in got[0]["scrubbed_text"]
+        assert "jane" not in got[0]["scrubbed_text"]
+        assert got[1]["pii_ipv4"] == 2
+        assert got[1]["scrubbed_text"] == "server <IP> and backup <IP>"
+        assert got[2]["pii_phones"] == 3
+        assert got[2]["scrubbed_text"] == "call <PHONE> or <PHONE> or <PHONE>"
+        # version strings / bare digit runs are NOT PII (conservative)
+        assert got[3]["pii_found"] is False
+        assert got[3]["scrubbed_text"] == rows[3][1]
+        assert (got[4]["pii_emails"], got[4]["pii_ipv4"], got[4]["pii_phones"]) == (1, 1, 1)
+        assert got[4]["scrubbed_text"] == "mixed <EMAIL> at <IP> tel <PHONE>"
+
+    def test_is_pure_catalyst(self, spark):
+        from sciencebeam_trainer_grobid_tools_spark.operators import pii
+
+        df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        plan = pii.pii_features(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "Exchange" not in plan
