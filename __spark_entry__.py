@@ -353,6 +353,15 @@ def q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_contamination(docs, eval_df, k=13).orderBy("doc_id")
 
 
+def q_docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality score (CCNet-style filter shape): per-doc mean
+    -ln p(token) under the corpus's own smoothed unigram model — the
+    corpus-level statistic (one vocab shuffle + a 1-row N/V collect)
+    re-joined per token, then a per-doc mean."""
+    docs = _spread(_load(spark, sf_dir, "documents"), spark)
+    return textstats.unigram_logprob_features(docs).orderBy("doc_id")
+
+
 def q_docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detect + scrub (training-data hygiene): deterministic PII
     (email, IPv4, phone derived from doc_id) is planted into every
@@ -1257,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash": q_docs_simhash,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "docs_pii_scrub": q_docs_pii_scrub,
+        "docs_unigram_logprob": q_docs_unigram_logprob,
         "docs_repetition": q_docs_repetition,
         "docs_decontaminate": q_docs_decontaminate,
         "emb_cosine_topk": q_emb_cosine_topk,
@@ -1461,6 +1471,27 @@ _DOCS_DECONTAMINATE_ORACLE_SQL = """
     )
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated_ngrams
     FROM hits GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# DuckDB replica of q_docs_unigram_logprob: same tokenization, same
+# additive smoothing p = (c + 0.5) / (N + 0.5 V), score = mean -ln p.
+_DOCS_UNIGRAM_LOGPROB_ORACLE_SQL = """
+    WITH tokens AS (
+        SELECT doc_id,
+               unnest(string_split(LOWER(REPLACE(text, chr(10), ' ')), ' ')) AS tok
+        FROM documents
+    ),
+    tok AS (SELECT doc_id, tok FROM tokens WHERE tok <> ''),
+    vocab AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+    nv AS (SELECT CAST(SUM(c) AS DOUBLE) AS n, CAST(COUNT(*) AS DOUBLE) AS v
+           FROM vocab)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(-LN((vo.c + 0.5) / (nv.n + 0.5 * nv.v))), 6)
+               AS avg_neg_logprob
+    FROM tok t JOIN vocab vo USING (tok) CROSS JOIN nv
+    GROUP BY t.doc_id ORDER BY t.doc_id
 """
 
 
@@ -1855,6 +1886,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_repetition": _DOCS_REPETITION_ORACLE_SQL,
         "docs_pii_scrub": _pii_scrub_oracle_sql(),
+        "docs_unigram_logprob": _DOCS_UNIGRAM_LOGPROB_ORACLE_SQL,
         "docs_decontaminate": _DOCS_DECONTAMINATE_ORACLE_SQL,
         "emb_lsh_topk": _lsh_topk_oracle_sql(),
         "emb_lsh_prebucketed": _lsh_prebucketed_oracle_sql(),

@@ -749,3 +749,25 @@ class TestPii:
         df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
         plan = pii.pii_features(df)._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan and "Exchange" not in plan
+
+
+class TestUnigramLogprob:
+    def test_hand_computed_smoothed_scores(self, spark):
+        """Corpus 'a a a' + 'a b': N=5, V=2, denom=6 -> p(a)=0.75,
+        p(b)=0.25; doc0 = -ln .75, doc1 = mean(-ln .75, -ln .25)."""
+        import math
+
+        docs = spark.createDataFrame(
+            [(0, "a a a"), (1, "a b")], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r
+            for r in textstats.unigram_logprob_features(docs).collect()
+        }
+        assert got[0]["n_tokens"] == 3 and got[1]["n_tokens"] == 2
+        assert got[0]["avg_neg_logprob"] == round(-math.log(0.75), 6)
+        assert got[1]["avg_neg_logprob"] == round(
+            (-math.log(0.75) - math.log(0.25)) / 2, 6
+        )
+        # the rare-token doc is the filter tail (scores strictly higher)
+        assert got[1]["avg_neg_logprob"] > got[0]["avg_neg_logprob"]
