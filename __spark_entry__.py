@@ -362,6 +362,31 @@ def q_docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.unigram_logprob_features(docs).orderBy("doc_id")
 
 
+def q_docs_token_budget_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sampling, SCALE mode: per-lang keep-rate = budget /
+    stratum-total, applied via a deterministic md5-uniform draw per id —
+    no window, no per-stratum sort; the kept row SET is reproduced
+    engine-for-engine by the oracle."""
+    docs = _spread(_load(spark, sf_dir, "documents"), spark)
+    return (
+        textstats.token_budget_sample(docs, 2000, strata=("lang",), mode="rate")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def q_docs_token_budget_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sampling, exact fill-to-budget mode (small strata
+    only — documented single-task sort per stratum): md5-ordered window
+    cumsum, keep while cum <= budget."""
+    docs = _spread(_load(spark, sf_dir, "documents"), spark)
+    return (
+        textstats.token_budget_sample(docs, 2000, strata=("lang",), mode="exact")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
 def q_docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detect + scrub (training-data hygiene): deterministic PII
     (email, IPv4, phone derived from doc_id) is planted into every
@@ -1266,6 +1291,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash": q_docs_simhash,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "docs_pii_scrub": q_docs_pii_scrub,
+        "docs_token_budget_rate": q_docs_token_budget_rate,
+        "docs_token_budget_exact": q_docs_token_budget_exact,
         "docs_unigram_logprob": q_docs_unigram_logprob,
         "docs_repetition": q_docs_repetition,
         "docs_decontaminate": q_docs_decontaminate,
@@ -1471,6 +1498,39 @@ _DOCS_DECONTAMINATE_ORACLE_SQL = """
     )
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated_ngrams
     FROM hits GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# DuckDB replicas of the token-budget sampling modes: the md5-uniform
+# draw is CAST('0x' || substr(md5(id),1,8) AS BIGINT) / 2^32 — exact in
+# double on both engines, so the kept row sets match exactly.
+_DOCS_TOKEN_BUDGET_RATE_ORACLE_SQL = """
+    WITH t AS (
+        SELECT doc_id, lang, LEN(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ),
+    tot AS (SELECT lang, CAST(SUM(n_tok) AS DOUBLE) AS st FROM t GROUP BY lang)
+    SELECT t.doc_id, t.lang
+    FROM t JOIN tot USING (lang)
+    WHERE CAST('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+              / 4294967296.0
+          < LEAST(1.0, 2000.0 / tot.st)
+    ORDER BY t.doc_id
+"""
+
+_DOCS_TOKEN_BUDGET_EXACT_ORACLE_SQL = """
+    WITH t AS (
+        SELECT doc_id, lang, LEN(string_split(text, ' ')) AS n_tok,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, lang,
+               SUM(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    )
+    SELECT doc_id, lang FROM c WHERE cum <= 2000 ORDER BY doc_id
 """
 
 
@@ -1886,6 +1946,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_repetition": _DOCS_REPETITION_ORACLE_SQL,
         "docs_pii_scrub": _pii_scrub_oracle_sql(),
+        "docs_token_budget_rate": _DOCS_TOKEN_BUDGET_RATE_ORACLE_SQL,
+        "docs_token_budget_exact": _DOCS_TOKEN_BUDGET_EXACT_ORACLE_SQL,
         "docs_unigram_logprob": _DOCS_UNIGRAM_LOGPROB_ORACLE_SQL,
         "docs_decontaminate": _DOCS_DECONTAMINATE_ORACLE_SQL,
         "emb_lsh_topk": _lsh_topk_oracle_sql(),

@@ -162,3 +162,71 @@ def unigram_logprob_features(
             _F.round(_F.avg(neg_logp), 6).alias("avg_neg_logprob"),
         )
     )
+
+
+def _hash_uniform(col) -> "Column":
+    """Deterministic uniform-[0,1) draw per id: first 8 hex chars of md5.
+    md5 (not xxhash64) so the DuckDB oracle reproduces the exact rows."""
+    from pyspark.sql import functions as _F
+
+    return _F.conv(_F.substring(_F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / _F.lit(float(16 ** 8))
+
+
+def token_budget_sample(
+    df: "DataFrame",
+    budget_tokens: int,
+    strata=("lang",),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "rate",
+) -> "DataFrame":
+    """Deterministic per-stratum sampling to a token budget (the corpus-
+    mixing step of FineWeb/Dolma-style recipes: "X billion tokens of each
+    language/source").
+
+    ``mode='rate'`` (the SCALE path): one partial-aggregated shuffle
+    computes each stratum's total token count; each document keeps with
+    probability ``budget / total`` via a DETERMINISTIC md5-uniform draw on
+    its id — no window, no per-stratum sort, rows filter in codegen after
+    a broadcast of the tiny per-stratum rate table.  The sample hits the
+    budget in expectation (binomial concentration: within ~1/sqrt(docs)
+    relative error — at web scale, exact); reproducible run-to-run and
+    engine-to-engine.
+
+    ``mode='exact'`` fills the budget exactly (documents in md5 order
+    until the cumulative token count would exceed it) via a window cumsum
+    PER STRATUM — a single-task sort per stratum, correct but only for
+    strata that fit one executor; kept for small-corpus work and as the
+    oracle-checkable definition of "fill to budget".  A 100 TB stratum
+    must use ``rate``."""
+    from pyspark.sql import Window as _W, functions as _F
+
+    strata = list(strata)
+    n_tok = whitespace_token_count(_F.col(text_col)).alias("_n_tok")
+    with_tok = df.select("*", n_tok)
+    if mode == "rate":
+        totals = with_tok.groupBy(*strata).agg(
+            _F.sum("_n_tok").cast("double").alias("_stratum_tokens")
+        )
+        rate = _F.least(
+            _F.lit(1.0), _F.lit(float(budget_tokens)) / _F.col("_stratum_tokens")
+        )
+        return (
+            with_tok.join(_F.broadcast(totals), strata)
+            .filter(_hash_uniform(_F.col(id_col)) < rate)
+            .drop("_n_tok", "_stratum_tokens")
+        )
+    if mode != "exact":
+        raise ValueError("token_budget_sample mode must be rate/exact, got %r" % mode)
+    w = (
+        _W.partitionBy(*strata)
+        .orderBy(_F.md5(_F.col(id_col).cast("string")), _F.col(id_col))
+        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    )
+    return (
+        with_tok.withColumn("_cum", _F.sum("_n_tok").over(w))
+        .filter(_F.col("_cum") <= budget_tokens)
+        .drop("_n_tok", "_cum")
+    )

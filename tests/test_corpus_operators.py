@@ -771,3 +771,57 @@ class TestUnigramLogprob:
         )
         # the rare-token doc is the filter tail (scores strictly higher)
         assert got[1]["avg_neg_logprob"] > got[0]["avg_neg_logprob"]
+
+
+class TestTokenBudgetSample:
+    def _docs(self, spark):
+        # two strata; 'en' has 10 docs x 10 tokens = 100 tokens total
+        rows = [(i, " ".join("w%d" % j for j in range(10)), "en") for i in range(10)]
+        rows += [(100 + i, "a b c d e", "de") for i in range(4)]  # 20 tokens
+        return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    def test_exact_mode_fills_budget(self, spark):
+        from sciencebeam_trainer_grobid_tools_spark.operators import textstats as ts
+
+        kept = ts.token_budget_sample(
+            self._docs(spark), 30, strata=("lang",), mode="exact"
+        ).collect()
+        by_lang = {}
+        for r in kept:
+            by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+        # en: 10-token docs -> exactly 3 fit a 30-token budget
+        assert len(by_lang["en"]) == 3
+        # de: 5-token docs -> all 4 fit (20 <= 30)
+        assert sorted(by_lang["de"]) == [100, 101, 102, 103]
+        # deterministic: same rows on a rerun
+        again = ts.token_budget_sample(
+            self._docs(spark), 30, strata=("lang",), mode="exact"
+        ).collect()
+        assert {r["doc_id"] for r in again} == {r["doc_id"] for r in kept}
+
+    def test_rate_mode_no_window_and_keeps_all_under_budget(self, spark):
+        from sciencebeam_trainer_grobid_tools_spark.operators import textstats as ts
+
+        docs = self._docs(spark)
+        # budget above every stratum's total: rate clamps to 1.0, keep all
+        all_kept = ts.token_budget_sample(docs, 10_000, strata=("lang",), mode="rate")
+        assert all_kept.count() == docs.count()
+        plan = all_kept._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan  # the scale claim: no per-stratum sort
+        # sub-budget: deterministic strict subset
+        some = ts.token_budget_sample(docs, 50, strata=("lang",), mode="rate")
+        ids = {r["doc_id"] for r in some.collect()}
+        assert 0 < len(ids) < docs.count()
+        again = {
+            r["doc_id"]
+            for r in ts.token_budget_sample(
+                docs, 50, strata=("lang",), mode="rate"
+            ).collect()
+        }
+        assert again == ids
+
+    def test_invalid_mode_raises(self, spark):
+        from sciencebeam_trainer_grobid_tools_spark.operators import textstats as ts
+
+        with pytest.raises(ValueError, match="mode must be"):
+            ts.token_budget_sample(self._docs(spark), 10, mode="fuzzy")
