@@ -359,7 +359,11 @@ def q_docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-level statistic (one vocab shuffle + a 1-row N/V collect)
     re-joined per token, then a per-doc mean."""
     docs = _spread(_load(spark, sf_dir, "documents"), spark)
-    return textstats.unigram_logprob_features(docs).orderBy("doc_id")
+    # persist_vocab=False: the gate runs every query repeatedly in one
+    # session; an unreleased cache per invocation would accumulate blocks
+    return textstats.unigram_logprob_features(
+        docs, persist_vocab=False
+    ).orderBy("doc_id")
 
 
 def q_docs_token_budget_rate(spark: SparkSession, sf_dir: str) -> DataFrame:

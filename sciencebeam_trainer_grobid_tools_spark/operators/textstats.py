@@ -121,6 +121,7 @@ def unigram_logprob_features(
     id_col: str = "doc_id",
     text_col: str = "text",
     smoothing: float = 0.5,
+    persist_vocab: bool = True,
 ) -> "DataFrame":
     """Corpus-LM quality score: per-document mean negative log-probability
     under the corpus's own smoothed UNIGRAM model — the shape of the
@@ -141,7 +142,12 @@ def unigram_logprob_features(
     is token-keyed — Spark/AQE picks broadcast vs sort-merge by the
     vocabulary's actual size (a web-scale vocab is a precomputed table
     you'd bucket by token); the final per-doc mean is the second
-    shuffle.  Nothing wider than (doc_id, token) is ever shuffled."""
+    shuffle.  Nothing wider than (doc_id, token) is ever shuffled.
+    ``persist_vocab`` (default True) caches the vocabulary between the
+    N/V collect and the score join — without it the vocab aggregate (a
+    full corpus scan) runs twice; pass False only in repeated-query
+    harnesses that must not accumulate cache blocks (the oracle gate),
+    mirroring ``minhash_candidate_pairs(persist_intermediate=...)``."""
     from pyspark.sql import functions as _F
 
     tok = _F.explode(
@@ -149,6 +155,8 @@ def unigram_logprob_features(
     ).alias("tok")
     tokens = df.select(_F.col(id_col).alias("doc_id"), tok).filter(_F.col("tok") != "")
     vocab = tokens.groupBy("tok").agg(_F.count(_F.lit(1)).alias("c"))
+    if persist_vocab:
+        vocab = vocab.persist()
     n_total, v_size = vocab.agg(
         _F.sum("c").cast("double"), _F.count(_F.lit(1)).cast("double")
     ).first()

@@ -10,7 +10,8 @@ Catalyst expressions (whole-stage codegen — a 100 TB pass is IO-bound), and
 Normalization choices (documented, deliberately conservative):
 
 - scheme and host are case-folded (RFC 3986 §6.2.2.1); path/query case is
-  preserved (significant on most origins);
+  preserved (significant on most origins), and so is userinfo
+  (``user:pass@`` is case-sensitive);
 - explicit default ports (``:80`` for http, ``:443`` for https) drop;
 - the fragment drops (never sent to the server);
 - tracking parameters (``utm_*``, ``fbclid``, ``gclid``, ``msclkid``) drop,
@@ -38,10 +39,28 @@ def canonical_url(url: Column) -> Column:
     """Canonical form of a URL column — pure Catalyst expression chain."""
     # 1. drop the fragment
     u = F.regexp_replace(url, r"#.*$", "")
-    # 2. case-fold scheme://host[:port] (up to the first '/' after '://')
-    head = F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
-    tail = F.substring(u, F.length(head) + F.lit(1), F.length(u))
-    u = F.when(head == "", u).otherwise(F.concat(F.lower(head), tail))
+    # 2. case-fold scheme and host — but NOT userinfo (RFC 3986: user:pass
+    # is case-sensitive; host and scheme are not).  The authority splits as
+    # scheme://[userinfo@]hostport.
+    auth_re = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://(?:([^/?#]*)@)?([^/?#@]*)"
+    scheme = F.regexp_extract(u, auth_re, 1)
+    userinfo = F.regexp_extract(u, auth_re, 2)
+    hostport = F.regexp_extract(u, auth_re, 3)
+    head_len = (
+        F.length(scheme)
+        + F.lit(3)
+        + F.when(userinfo == "", F.lit(0)).otherwise(F.length(userinfo) + 1)
+        + F.length(hostport)
+    )
+    tail = F.substring(u, head_len + F.lit(1), F.length(u))
+    folded = F.concat(
+        F.lower(scheme),
+        F.lit("://"),
+        F.when(userinfo == "", F.lit("")).otherwise(F.concat(userinfo, F.lit("@"))),
+        F.lower(hostport),
+        tail,
+    )
+    u = F.when(scheme == "", u).otherwise(folded)
     # 3. drop explicit default ports
     u = F.regexp_replace(u, r"^(http://[^/:?#]*):80(?=[/?#]|$)", r"$1")
     u = F.regexp_replace(u, r"^(https://[^/:?#]*):443(?=[/?#]|$)", r"$1")

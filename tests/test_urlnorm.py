@@ -39,6 +39,9 @@ CASES = [
     ("http://a.com", "http://a.com"),
     # param ORDER is preserved (documented: no sorting)
     ("http://a.com/x?b=2&a=1", "http://a.com/x?b=2&a=1"),
+    # userinfo is case-SENSITIVE: preserved while host still folds
+    ("http://User:Pw@Host.COM/x", "http://User:Pw@host.com/x"),
+    ("ftp://USER@Files.Example.ORG/a", "ftp://USER@files.example.org/a"),
     # unparseable / schemeless: pass through
     ("not a url at all", "not a url at all"),
     ("/relative/path/", "/relative/path/"),
