@@ -366,6 +366,18 @@ def q_docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_docs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint sets (rolling-hash family, MOSS/Schleimer):
+    Rabin-Karp polynomial per 5-gram, sliding-window-of-4 minima, distinct
+    — the containment/plagiarism detector complementing MinHash
+    resemblance.  Every arithmetic step replays exactly in DuckDB (31-bit
+    prime modulus keeps products under 2^63 on both engines)."""
+    docs = _spread(_load(spark, sf_dir, "documents"), spark)
+    return dedup.winnowing_fingerprints(docs, k=5, window=4).orderBy(
+        "doc_id", "fingerprint"
+    )
+
+
 def q_docs_token_budget_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sampling, SCALE mode: per-lang keep-rate = budget /
     stratum-total, applied via a deterministic md5-uniform draw per id —
@@ -1295,6 +1307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash": q_docs_simhash,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "docs_pii_scrub": q_docs_pii_scrub,
+        "docs_winnowing": q_docs_winnowing,
         "docs_token_budget_rate": q_docs_token_budget_rate,
         "docs_token_budget_exact": q_docs_token_budget_exact,
         "docs_unigram_logprob": q_docs_unigram_logprob,
@@ -1503,6 +1516,51 @@ _DOCS_DECONTAMINATE_ORACLE_SQL = """
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated_ngrams
     FROM hits GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# DuckDB replica of q_docs_winnowing: identical tokenization, the exact
+# polynomial chain ((h*B + t) % P per token, t = 32-bit md5 prefix) and
+# the same window-of-4 minima + distinct.
+def _winnowing_oracle_sql(k: int = 5, window: int = 4) -> str:
+    from sciencebeam_trainer_grobid_tools_spark.operators.dedup import (
+        _WINNOW_B,
+        _WINNOW_P,
+    )
+
+    h = "CAST(0 AS BIGINT)"
+    for j in range(k):
+        t = (
+            "CAST('0x' || substr(md5(toks[i + %d]), 1, 8) AS BIGINT)" % j
+        )
+        # %% here renders ONE literal % for SQL; the outer template below
+        # substitutes h as a VALUE, which % formatting does not re-scan
+        h = "((%s * %d + %s) %% %d)" % (h, _WINNOW_B, t, _WINNOW_P)
+    return """
+    WITH tok AS (
+        SELECT doc_id,
+               string_split(LOWER(REPLACE(text, chr(10), ' ')), ' ') AS toks
+        FROM documents
+    ),
+    sized AS (
+        SELECT doc_id, toks, LEN(toks) AS n FROM tok WHERE LEN(toks) >= %(k)d
+    ),
+    pos AS (
+        SELECT doc_id, toks, n, unnest(range(1, n - %(k)d + 2)) AS i
+        FROM sized
+    ),
+    hashed AS (SELECT doc_id, n, i AS pos, %(h)s AS h FROM pos),
+    winnowed AS (
+        SELECT doc_id, pos, n,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND %(wm1)d FOLLOWING)
+                   AS fp
+        FROM hashed
+    )
+    SELECT DISTINCT doc_id, fp AS fingerprint
+    FROM winnowed
+    WHERE pos <= GREATEST(n - %(k)d + 1 - %(wm1)d, 1)
+    ORDER BY doc_id, fingerprint
+    """ % {"k": k, "h": h, "wm1": window - 1}
 
 
 # DuckDB replicas of the token-budget sampling modes: the md5-uniform
@@ -1950,6 +2008,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_repetition": _DOCS_REPETITION_ORACLE_SQL,
         "docs_pii_scrub": _pii_scrub_oracle_sql(),
+        "docs_winnowing": _winnowing_oracle_sql(),
         "docs_token_budget_rate": _DOCS_TOKEN_BUDGET_RATE_ORACLE_SQL,
         "docs_token_budget_exact": _DOCS_TOKEN_BUDGET_EXACT_ORACLE_SQL,
         "docs_unigram_logprob": _DOCS_UNIGRAM_LOGPROB_ORACLE_SQL,

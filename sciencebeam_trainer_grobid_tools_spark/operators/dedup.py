@@ -699,3 +699,73 @@ def ngram_contamination(
         .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated_ngrams"))
         .filter(F.col("n_contaminated_ngrams") >= min_collisions)
     )
+
+
+# Rabin-Karp polynomial parameters for winnowing (31-bit prime modulus:
+# every intermediate product stays under 2^63, so the SAME arithmetic runs
+# overflow-free under Spark's ANSI longs and DuckDB BIGINTs)
+_WINNOW_P = (1 << 31) - 1
+_WINNOW_B = 1000003
+
+
+def _token_int(tok: Column) -> Column:
+    """Deterministic 32-bit integer per token: first 8 hex chars of md5 —
+    portable (DuckDB: CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints (Schleimer et al., SIGMOD 2003):
+    a Rabin-Karp POLYNOMIAL hash over each k-token gram, then per sliding
+    window of ``window`` consecutive gram positions keep the minimum hash;
+    the distinct kept hashes are the document's fingerprint set.
+    Winnowing guarantees any shared run of ``k + window - 1`` tokens
+    between two documents yields at least one shared fingerprint — the
+    classic plagiarism/containment detector, complementing MinHash (which
+    estimates whole-document resemblance, not containment).
+
+    The hash family is the rolling-hash family
+    ``h(i) = sum_j t_{i+j} * B^(k-1-j) mod P``; the O(1) rolling UPDATE is
+    a per-document sequential scan, so on Spark each position's hash is
+    recomputed directly inside whole-stage codegen instead — O(k) work per
+    position with tiny k, embarrassingly parallel, no serial dependency.
+    Plan: codegen'd position explode + polynomial expressions, ONE window
+    (partitioned by doc — fine-grained keys) for the sliding minimum, one
+    distinct.  Documents shorter than ``k`` tokens yield no fingerprints
+    (documented; exact dedup covers them).
+
+    Returns one row per ``(doc_id, fingerprint)``.
+    """
+    tokens = F.split(normalized_text(F.col(text_col)), " ")
+    toked = df.select(
+        F.col(id_col).alias("doc_id"), tokens.alias("toks"), F.size(tokens).alias("n")
+    ).filter(F.col("n") >= k)
+    pos = toked.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(F.sequence(F.lit(1), F.col("n") - (k - 1))).alias("i"),
+    )
+    h = F.lit(0).cast("long")
+    for j in range(k):
+        t = _token_int(F.element_at("toks", F.col("i") + j))
+        h = (h * F.lit(_WINNOW_B) + t) % F.lit(_WINNOW_P)
+    hashed = pos.select("doc_id", "n", F.col("i").alias("pos"), h.alias("h"))
+    from pyspark.sql import Window as _W
+
+    frame = (
+        _W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    )
+    n_pos = F.col("n") - (k - 1)
+    return (
+        hashed.withColumn("_wmin", F.min("h").over(frame))
+        .filter(F.col("pos") <= F.greatest(n_pos - (window - 1), F.lit(1)))
+        .select("doc_id", F.col("_wmin").alias("fingerprint"))
+        .distinct()
+    )

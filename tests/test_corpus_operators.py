@@ -825,3 +825,48 @@ class TestTokenBudgetSample:
 
         with pytest.raises(ValueError, match="mode must be"):
             ts.token_budget_sample(self._docs(spark), 10, mode="fuzzy")
+
+
+class TestWinnowing:
+    def test_guarantee_and_identity(self, spark):
+        """Winnowing's containment guarantee: any shared run of
+        k + window - 1 = 8 tokens yields at least one shared fingerprint;
+        exact duplicates have identical sets; sub-k docs yield none."""
+        import random
+
+        rng = random.Random(41)
+        vocab = ["w%d" % i for i in range(50)]
+        a_words = [vocab[rng.randrange(50)] for _ in range(40)]
+        shared = ["s%d" % i for i in range(8)]  # the planted 8-token run
+        b_words = [vocab[rng.randrange(50)] for _ in range(15)] + shared + [
+            vocab[rng.randrange(50)] for _ in range(15)
+        ]
+        a_with_shared = a_words[:20] + shared + a_words[20:]
+        docs = spark.createDataFrame(
+            [
+                (0, " ".join(a_with_shared)),
+                (1, " ".join(b_words)),  # different doc, same 8-token run
+                (2, " ".join(a_with_shared)),  # exact dup of 0
+                (3, "too short"),  # < k tokens: no fingerprints
+            ],
+            "doc_id long, text string",
+        )
+        fps = {}
+        for r in dedup.winnowing_fingerprints(docs, k=5, window=4).collect():
+            fps.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+        assert fps[0] & fps[1], "shared 8-token run must share a fingerprint"
+        assert fps[0] == fps[2]
+        assert 3 not in fps
+        # fingerprints are winnowed DOWN: far fewer than gram positions
+        assert len(fps[0]) < len(a_with_shared) - 4
+
+    def test_unrelated_docs_rarely_collide(self, spark):
+        docs = spark.createDataFrame(
+            [(0, " ".join("a%d" % i for i in range(30))),
+             (1, " ".join("b%d" % i for i in range(30)))],
+            "doc_id long, text string",
+        )
+        fps = {}
+        for r in dedup.winnowing_fingerprints(docs).collect():
+            fps.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+        assert not (fps[0] & fps[1])
