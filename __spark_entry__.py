@@ -366,6 +366,20 @@ def q_docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram corpus-LM quality score — the n=2 instantiation of the
+    CCNet-filter shape (proving unigram_logprob_features' claim that the
+    plumbing generalizes in n): context-keyed count table, model derived
+    from the count table (no second corpus scan), (w1, w2)-keyed score
+    join, per-doc mean."""
+    docs = _spread(_load(spark, sf_dir, "documents"), spark)
+    # persist_counts=False: same repeated-query-harness rationale as
+    # q_docs_unigram_logprob
+    return textstats.bigram_logprob_features(
+        docs, persist_counts=False
+    ).orderBy("doc_id")
+
+
 def q_docs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint sets (rolling-hash family, MOSS/Schleimer):
     Rabin-Karp polynomial per 5-gram, sliding-window-of-4 minima, distinct
@@ -1311,6 +1325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_budget_rate": q_docs_token_budget_rate,
         "docs_token_budget_exact": q_docs_token_budget_exact,
         "docs_unigram_logprob": q_docs_unigram_logprob,
+        "docs_bigram_logprob": q_docs_bigram_logprob,
         "docs_repetition": q_docs_repetition,
         "docs_decontaminate": q_docs_decontaminate,
         "emb_cosine_topk": q_emb_cosine_topk,
@@ -1614,6 +1629,42 @@ _DOCS_UNIGRAM_LOGPROB_ORACLE_SQL = """
                AS avg_neg_logprob
     FROM tok t JOIN vocab vo USING (tok) CROSS JOIN nv
     GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
+# DuckDB replica of q_docs_bigram_logprob: same tokenization as the unigram
+# oracle, bigrams via 1-based list indexing over i in [2, len], additive
+# smoothing p = (c2 + 0.5) / (c1 + 0.5 V) with V = distinct tokens in any
+# bigram position, score = mean -ln p; docs with < 2 tokens drop.
+_DOCS_BIGRAM_LOGPROB_ORACLE_SQL = """
+    WITH arrs AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split(LOWER(REPLACE(text, chr(10), ' ')), ' '),
+                   t -> t <> ''
+               ) AS arr
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, arr, unnest(range(2, len(arr) + 1)) AS i
+        FROM arrs WHERE len(arr) >= 2
+    ),
+    bg AS (SELECT doc_id, arr[i - 1] AS w1, arr[i] AS w2 FROM idx),
+    bcounts AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+    ccounts AS (SELECT w1, SUM(c2) AS c1 FROM bcounts GROUP BY w1),
+    vocab AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS v
+        FROM (SELECT w1 AS t FROM bcounts UNION SELECT w2 FROM bcounts)
+    )
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(-LN((bc.c2 + 0.5) / (cc.c1 + 0.5 * vocab.v))), 6)
+               AS avg_neg_logprob2
+    FROM bg b
+    JOIN bcounts bc USING (w1, w2)
+    JOIN ccounts cc USING (w1)
+    CROSS JOIN vocab
+    GROUP BY b.doc_id ORDER BY b.doc_id
 """
 
 
@@ -2012,6 +2063,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_token_budget_rate": _DOCS_TOKEN_BUDGET_RATE_ORACLE_SQL,
         "docs_token_budget_exact": _DOCS_TOKEN_BUDGET_EXACT_ORACLE_SQL,
         "docs_unigram_logprob": _DOCS_UNIGRAM_LOGPROB_ORACLE_SQL,
+        "docs_bigram_logprob": _DOCS_BIGRAM_LOGPROB_ORACLE_SQL,
         "docs_decontaminate": _DOCS_DECONTAMINATE_ORACLE_SQL,
         "emb_lsh_topk": _lsh_topk_oracle_sql(),
         "emb_lsh_prebucketed": _lsh_prebucketed_oracle_sql(),

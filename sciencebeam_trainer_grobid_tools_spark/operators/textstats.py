@@ -122,6 +122,7 @@ def unigram_logprob_features(
     text_col: str = "text",
     smoothing: float = 0.5,
     persist_vocab: bool = True,
+    return_vocab: bool = False,
 ) -> "DataFrame":
     """Corpus-LM quality score: per-document mean negative log-probability
     under the corpus's own smoothed UNIGRAM model — the shape of the
@@ -147,7 +148,13 @@ def unigram_logprob_features(
     N/V collect and the score join — without it the vocab aggregate (a
     full corpus scan) runs twice; pass False only in repeated-query
     harnesses that must not accumulate cache blocks (the oracle gate),
-    mirroring ``minhash_candidate_pairs(persist_intermediate=...)``."""
+    mirroring ``minhash_candidate_pairs(persist_intermediate=...)``.
+
+    Cache lifecycle: with ``persist_vocab=True`` the cached vocabulary
+    OUTLIVES the returned (lazy) plan — the function cannot unpersist it
+    before the score join materializes.  A long-lived session should pass
+    ``return_vocab=True``, which returns ``(scores_df, vocab_df)``, and
+    call ``vocab_df.unpersist()`` once the scores have been consumed."""
     from pyspark.sql import functions as _F
 
     tok = _F.explode(
@@ -162,12 +169,92 @@ def unigram_logprob_features(
     ).first()
     denom = float(n_total) + smoothing * float(v_size)
     neg_logp = -_F.log((_F.col("c") + _F.lit(float(smoothing))) / _F.lit(denom))
-    return (
+    scores = (
         tokens.join(vocab, "tok")
         .groupBy("doc_id")
         .agg(
             _F.count(_F.lit(1)).cast("long").alias("n_tokens"),
             _F.round(_F.avg(neg_logp), 6).alias("avg_neg_logprob"),
+        )
+    )
+    if return_vocab:
+        return scores, vocab
+    return scores
+
+
+def bigram_logprob_features(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smoothing: float = 0.5,
+    persist_counts: bool = True,
+) -> "DataFrame":
+    """Per-document mean -ln p(w2 | w1) under the corpus's own smoothed
+    BIGRAM model — the n=2 instantiation proving what
+    ``unigram_logprob_features`` claims: the corpus-statistic-rejoined-
+    per-token plumbing is identical for any n, only the join key widens
+    from ``tok`` to the (n-1)-token context.
+
+    Model: ``p(w2|w1) = (c(w1,w2) + s) / (c(w1,.) + s * V)`` — additive
+    smoothing over the corpus vocabulary ``V`` (distinct tokens seen in
+    any bigram position).  Score = mean over the doc's bigrams of
+    ``-ln p``; documents with fewer than 2 tokens have no bigrams and do
+    not appear (a closed-form contract the oracle reproduces).
+
+    Scale design (the point of the exercise): the corpus stream is
+    touched exactly twice — ONE partial-aggregated shuffle builds the
+    bigram count table, and the final per-doc mean is the second.  The
+    context table ``c(w1,.)`` and the vocabulary size are DERIVED from
+    the (much smaller) count table, not from a second corpus scan, and
+    the model join ``bcounts x ccounts`` shuffles only count tables.
+    The per-bigram score join is (w1, w2)-keyed — AQE picks broadcast
+    vs sort-merge by the model's actual size.  ``persist_counts``
+    mirrors ``unigram_logprob_features(persist_vocab)`` (the count
+    table has two consumers: V and the score join); the cached table
+    outlives the returned plan — long-lived sessions own the lifecycle,
+    repeated-query harnesses pass False."""
+    from pyspark.sql import functions as _F
+
+    arr = _F.filter(
+        _F.split(
+            _F.lower(_F.replace(_F.col(text_col), _F.lit("\n"), _F.lit(" "))), " "
+        ),
+        lambda t: t != "",
+    )
+    with_arr = df.select(_F.col(id_col).alias("doc_id"), arr.alias("_arr")).filter(
+        _F.size("_arr") >= 2
+    )
+    pairs = _F.transform(
+        _F.sequence(_F.lit(2), _F.size("_arr")),
+        lambda i: _F.struct(
+            _F.get("_arr", i - _F.lit(2)).alias("w1"),
+            _F.get("_arr", i - _F.lit(1)).alias("w2"),
+        ),
+    )
+    bg = with_arr.select("doc_id", _F.explode(pairs).alias("_bg")).select(
+        "doc_id", _F.col("_bg.w1").alias("w1"), _F.col("_bg.w2").alias("w2")
+    )
+    bcounts = bg.groupBy("w1", "w2").agg(_F.count(_F.lit(1)).alias("c2"))
+    if persist_counts:
+        bcounts = bcounts.persist()
+    v_size = float(
+        bcounts.select(_F.col("w1").alias("t"))
+        .union(bcounts.select(_F.col("w2")))
+        .distinct()
+        .count()
+    )
+    ccounts = bcounts.groupBy("w1").agg(_F.sum("c2").alias("c1"))
+    model = bcounts.join(ccounts, "w1")
+    neg_logp = -_F.log(
+        (_F.col("c2") + _F.lit(float(smoothing)))
+        / (_F.col("c1") + _F.lit(float(smoothing)) * _F.lit(v_size))
+    )
+    return (
+        bg.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            _F.count(_F.lit(1)).cast("long").alias("n_bigrams"),
+            _F.round(_F.avg(neg_logp), 6).alias("avg_neg_logprob2"),
         )
     )
 
@@ -218,13 +305,23 @@ def token_budget_sample(
         totals = with_tok.groupBy(*strata).agg(
             _F.sum("_n_tok").cast("double").alias("_stratum_tokens")
         )
+        # null-safe join: a NULL stratum value is still a stratum (groupBy
+        # already treats it as one group, and mode='exact''s window does
+        # too) — a plain inner join on the strata columns would silently
+        # drop those rows, so the two modes would disagree.
+        tot = totals.select(
+            *[_F.col(s).alias("_s_" + s) for s in strata], "_stratum_tokens"
+        )
+        cond = _F.lit(True)
+        for s in strata:
+            cond = cond & _F.col(s).eqNullSafe(_F.col("_s_" + s))
         rate = _F.least(
             _F.lit(1.0), _F.lit(float(budget_tokens)) / _F.col("_stratum_tokens")
         )
         return (
-            with_tok.join(_F.broadcast(totals), strata)
+            with_tok.join(_F.broadcast(tot), cond)
             .filter(_hash_uniform(_F.col(id_col)) < rate)
-            .drop("_n_tok", "_stratum_tokens")
+            .drop("_n_tok", "_stratum_tokens", *["_s_" + s for s in strata])
         )
     if mode != "exact":
         raise ValueError("token_budget_sample mode must be rate/exact, got %r" % mode)

@@ -64,11 +64,20 @@ def canonical_url(url: Column) -> Column:
     # 3. drop explicit default ports
     u = F.regexp_replace(u, r"^(http://[^/:?#]*):80(?=[/?#]|$)", r"$1")
     u = F.regexp_replace(u, r"^(https://[^/:?#]*):443(?=[/?#]|$)", r"$1")
-    # 4. drop tracking parameters: first every non-final one (keeps its
-    # trailing '&' out, preserving the leading '?'/'&' of what follows),
-    # then a final one together with its leading separator
-    u = F.regexp_replace(u, r"(?<=[?&])" + _TRACKING_PARAM_RE + r"&", "")
-    u = F.regexp_replace(u, r"[?&]" + _TRACKING_PARAM_RE + r"$", "")
+    # 4. drop tracking parameters — applied to the query string ONLY.  A
+    # literal '&' is legal in a path (RFC 3986 pchar), so the params must be
+    # anchored past the first '?': split there, scrub, rejoin.  Each match is
+    # a whole key=value at a param boundary ('^' or '&'); a leading '&' left
+    # by a removed first param is stripped, and an emptied query drops its
+    # '?' entirely.
+    qpos = F.instr(u, "?")
+    head = F.when(qpos == 0, u).otherwise(F.substring(u, F.lit(1), qpos - 1))
+    qs = F.substring(u, qpos + 1, F.length(u))
+    qs = F.regexp_replace(qs, r"(?:^|&)" + _TRACKING_PARAM_RE, "")
+    qs = F.regexp_replace(qs, r"^&", "")
+    u = F.when(
+        (qpos == 0) | (qs == ""), head
+    ).otherwise(F.concat(head, F.lit("?"), qs))
     # 5. drop a trailing slash on a non-root path
     u = F.regexp_replace(u, r"^([a-z][a-z0-9+.-]*://[^/?#]+(?:/[^?#]*[^/?#]))/(\?[^#]*)?$", r"$1$2")
     return u

@@ -773,6 +773,51 @@ class TestUnigramLogprob:
         assert got[1]["avg_neg_logprob"] > got[0]["avg_neg_logprob"]
 
 
+class TestBigramLogprob:
+    def test_hand_computed_smoothed_scores(self, spark):
+        """Corpus 'a b a b c' + 'a b' + 'x' + '': bigram counts
+        (a,b)=3 (b,a)=1 (b,c)=1; contexts a=3, b=2; V={a,b,c}=3.
+        Docs with < 2 tokens drop (no bigrams)."""
+        import math
+
+        docs = spark.createDataFrame(
+            [(1, "a b a b c"), (2, "a b"), (3, "x"), (4, "")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r
+            for r in textstats.bigram_logprob_features(
+                docs, persist_counts=False
+            ).collect()
+        }
+        assert sorted(got) == [1, 2]
+        s, v = 0.5, 3.0
+
+        def p(c2, c1):
+            return (c2 + s) / (c1 + s * v)
+
+        assert got[1]["n_bigrams"] == 4
+        assert got[1]["avg_neg_logprob2"] == round(
+            -(2 * math.log(p(3, 3)) + 2 * math.log(p(1, 2))) / 4, 6
+        )
+        assert got[2]["n_bigrams"] == 1
+        assert got[2]["avg_neg_logprob2"] == round(-math.log(p(3, 3)), 6)
+        # doc 1 mixes rarer continuations -> strictly higher (filter tail)
+        assert got[1]["avg_neg_logprob2"] > got[2]["avg_neg_logprob2"]
+
+    def test_scores_against_unigram_shape(self, spark):
+        """Same plumbing contract as unigram: one row per scoring doc,
+        deterministic across reruns."""
+        docs = spark.createDataFrame(
+            [(i, "tok%d the common run of words %d" % (i % 3, i)) for i in range(20)],
+            "doc_id long, text string",
+        )
+        a = textstats.bigram_logprob_features(docs, persist_counts=False).collect()
+        b = textstats.bigram_logprob_features(docs, persist_counts=False).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        assert len(a) == 20
+
+
 class TestTokenBudgetSample:
     def _docs(self, spark):
         # two strata; 'en' has 10 docs x 10 tokens = 100 tokens total
@@ -825,6 +870,23 @@ class TestTokenBudgetSample:
 
         with pytest.raises(ValueError, match="mode must be"):
             ts.token_budget_sample(self._docs(spark), 10, mode="fuzzy")
+
+    def test_null_stratum_is_a_stratum_in_both_modes(self, spark):
+        """A NULL stratum value is still a stratum: groupBy and the
+        exact-mode window both treat it as one group, so rate mode must
+        not silently drop those rows through a null-rejecting inner join
+        (the join is null-safe per stratum column)."""
+        from sciencebeam_trainer_grobid_tools_spark.operators import textstats as ts
+
+        rows = [(i, "a b c d e", "en") for i in range(4)]
+        rows += [(100 + i, "a b c d e", None) for i in range(4)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        for mode in ("rate", "exact"):
+            kept = ts.token_budget_sample(
+                docs, 10_000, strata=("lang",), mode=mode
+            ).collect()
+            assert len(kept) == 8, mode  # null-lang docs survive both modes
+            assert {r["lang"] for r in kept} == {"en", None}, mode
 
 
 class TestWinnowing:

@@ -33,6 +33,12 @@ CASES = [
     ("http://a.com/x?utm_a=1&utm_b=2", "http://a.com/x"),
     ("http://a.com/x?UTM_SOURCE=tw", "http://a.com/x"),  # case-insensitive
     ("http://a.com/x?butm_a=1", "http://a.com/x?butm_a=1"),  # not utm_
+    # '&' is a legal path char (RFC 3986 pchar): tracking-param stripping
+    # must not fire before the first '?'
+    ("http://a.com/path&utm_source=x", "http://a.com/path&utm_source=x"),
+    ("http://a.com/p&gclid=1/q?utm_a=1&b=2", "http://a.com/p&gclid=1/q?b=2"),
+    # a '?' inside a query VALUE is literal, not a new query string
+    ("http://a.com/p?a=?&utm_x=1", "http://a.com/p?a=?"),
     ("http://a.com/dir/", "http://a.com/dir"),
     ("http://a.com/dir/?a=1", "http://a.com/dir?a=1"),
     ("http://a.com/", "http://a.com/"),  # root slash kept (documented)
