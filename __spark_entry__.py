@@ -366,6 +366,69 @@ def q_docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED curation pipeline (plans/curation.py) — canonical-URL
+    recrawl dedup -> PII scrub -> quality filter -> repetition filter ->
+    per-lang token-budget sample, as ONE lazy plan; every stage is
+    individually oracle-verified elsewhere, this query proves they fuse.
+
+    Deterministic construction: documents pair up as recrawls of the same
+    page (pair key doc_id div 2) — the even member carries a case-variant
+    host, a utm_ tracking param and a trailing slash; the odd member a
+    gclid param and the newer warc_ts (= doc_id), so canonicalization must
+    merge each pair and keep='latest' must keep the odd member.  PII
+    (email/IP/phone derived from doc_id) is planted into every text, so
+    the scrub's placeholder suffix is part of the verified md5."""
+    from sciencebeam_trainer_grobid_tools_spark.plans.curation import curate_corpus
+
+    docs = _spread(_load(spark, sf_dir, "documents"), spark)
+    pair = F.expr("doc_id div 2")
+    host_idx = (pair % 7).cast("string")
+    even = F.col("doc_id") % 2 == 0
+    url = F.when(
+        even,
+        F.concat(
+            F.lit("http://WWW.Example"), host_idx, F.lit(".COM/item/"),
+            pair.cast("string"), F.lit("/?utm_source=feed&ref=rss"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("http://www.example"), host_idx, F.lit(".com/item/"),
+            pair.cast("string"), F.lit("?ref=rss&gclid=abc"),
+        )
+    )
+    planted = docs.select(
+        "doc_id",
+        "lang",
+        url.alias("url"),
+        F.col("doc_id").alias("warc_ts"),
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".77 or 555-123-4567"),
+        ).alias("text"),
+    )
+    curated = curate_corpus(
+        planted,
+        url_col="url",
+        ts_col="warc_ts",
+        strata=("lang",),
+        budget_tokens=1500,
+        max_dup_ngram_frac=0.09,
+        rep_k=2,
+        sample_mode="rate",
+    )
+    return curated.select(
+        "doc_id",
+        "lang",
+        textstats.whitespace_token_count(F.col("text")).alias("n_tokens"),
+        F.md5("text").alias("curated_md5"),
+    ).orderBy("doc_id")
+
+
 def q_docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram corpus-LM quality score — the n=2 instantiation of the
     CCNet-filter shape (proving unigram_logprob_features' claim that the
@@ -392,29 +455,24 @@ def q_docs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_docs_token_budget_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budget sampling, SCALE mode: per-lang keep-rate = budget /
-    stratum-total, applied via a deterministic md5-uniform draw per id —
-    no window, no per-stratum sort; the kept row SET is reproduced
-    engine-for-engine by the oracle."""
-    docs = _spread(_load(spark, sf_dir, "documents"), spark)
-    return (
-        textstats.token_budget_sample(docs, 2000, strata=("lang",), mode="rate")
-        .select("doc_id", "lang")
-        .orderBy("doc_id")
-    )
+def q_docs_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sampling, BOTH modes in one gate entry (labeled by a
+    ``mode`` column so each kept row set is value-checked separately):
 
-
-def q_docs_token_budget_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budget sampling, exact fill-to-budget mode (small strata
-    only — documented single-task sort per stratum): md5-ordered window
-    cumsum, keep while cum <= budget."""
+    - ``rate`` (the SCALE mode): per-lang keep-rate = budget /
+      stratum-total via a deterministic md5-uniform draw per id — no
+      window, no per-stratum sort;
+    - ``exact`` (small strata only — documented single-task sort per
+      stratum): md5-ordered window cumsum, keep while cum <= budget."""
     docs = _spread(_load(spark, sf_dir, "documents"), spark)
-    return (
-        textstats.token_budget_sample(docs, 2000, strata=("lang",), mode="exact")
-        .select("doc_id", "lang")
-        .orderBy("doc_id")
-    )
+
+    def kept(mode: str) -> DataFrame:
+        return (
+            textstats.token_budget_sample(docs, 2000, strata=("lang",), mode=mode)
+            .select(F.lit(mode).alias("mode"), "doc_id", "lang")
+        )
+
+    return kept("rate").unionByName(kept("exact")).orderBy("mode", "doc_id")
 
 
 def q_docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -859,8 +917,17 @@ def q_flagship_title_spans_complex(spark: SparkSession, sf_dir: str) -> DataFram
 
 def q_flagship_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segmentation flavor over the corpus: matcher -> per-line majority vote
-    -> merge FSM -> body default; emits per-url segment-class line counts
-    (rows-only: ordered per-document FSM is not SQL-expressible)."""
+    -> merge FSM -> body default; emits per-url segment-class line counts.
+
+    Value-checked (rows-only until r7): on the deterministic corpus the
+    chain has a closed form DuckDB recomputes — extracted lines equal
+    newline-split text; the matcher tags the title (first 8 words, at line-1
+    offset 0); the per-line vote makes line 1 front iff the 8 tagged tokens
+    are a (tie-winning: Counter.most_common insertion order, and the tagged
+    tokens come first) majority of its tokens, i.e. ``2*min(8, l1) >= l1``;
+    every other line defaults to body; no reference targets exist.  The
+    corpus guarantees the title never wraps (min first-line tokens is 10 at
+    every shipped SF) — the ``min(8, l1)`` keeps the form honest below 8."""
     import pandas as pd
     from sciencebeam_trainer_grobid_tools_spark.kernel.doc import tokenize_lines
     from sciencebeam_trainer_grobid_tools_spark.operators.extract import html_to_lines
@@ -1315,17 +1382,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality": q_docs_quality,
         "docs_token_counts": q_docs_token_counts,
         "docs_fingerprint": q_docs_fingerprint,
-        "docs_minhash_near_dups": q_docs_minhash_near_dups,
         "docs_minhash_xxhash_crosscheck": q_docs_minhash_xxhash_crosscheck,
         "docs_minhash_portable": q_docs_minhash_portable,
         "docs_simhash": q_docs_simhash,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "docs_pii_scrub": q_docs_pii_scrub,
         "docs_winnowing": q_docs_winnowing,
-        "docs_token_budget_rate": q_docs_token_budget_rate,
-        "docs_token_budget_exact": q_docs_token_budget_exact,
+        "docs_token_budget": q_docs_token_budget,
         "docs_unigram_logprob": q_docs_unigram_logprob,
         "docs_bigram_logprob": q_docs_bigram_logprob,
+        "docs_curation_pipeline": q_docs_curation_pipeline,
         "docs_repetition": q_docs_repetition,
         "docs_decontaminate": q_docs_decontaminate,
         "emb_cosine_topk": q_emb_cosine_topk,
@@ -1346,12 +1412,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_segmentation_layout": q_docs_segmentation_layout,
         "media_payload_digests": q_media_payload_digests,
         "flagship_segmentation": q_flagship_segmentation,
-        "tei_render": q_tei_render,
         "targets_predicate_extract": q_targets_predicate_extract,
         "flavor_refseg": q_flavor_refseg,
         "flavor_affiliation": q_flavor_affiliation,
         "flavor_table": q_flavor_table,
         "jats_fix_identifiers": q_jats_fix_identifiers,
+    }
+
+
+def demo_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Rows-only demos kept OUT of the driver's gate dict (the gate records
+    at most 50 entries; every ``queries()`` entry must carry an oracle so
+    none can silently drop).  Each demo's values are pinned by an
+    oracle-bearing twin inside the gate plus byte-level pytest:
+
+    - ``docs_minhash_near_dups`` (production xxhash64 path) — twin
+      ``docs_minhash_xxhash_crosscheck`` value-checks it against the
+      portable hash at j >= 0.95; ``docs_minhash_portable`` value-checks
+      the shared pipeline end-to-end;
+    - ``tei_render`` (training-XML lengths over the flagship path) — twin
+      ``tei_render_roundtrip`` value-checks render -> reparse;
+    - ``media_features`` (fake-codec features) — twin
+      ``media_payload_digests`` value-checks the binary transfer
+      byte-for-byte."""
+    return {
+        "docs_minhash_near_dups": q_docs_minhash_near_dups,
+        "tei_render": q_tei_render,
         "media_features": q_media_features,
     }
 
@@ -1610,6 +1696,15 @@ _DOCS_TOKEN_BUDGET_EXACT_ORACLE_SQL = """
     SELECT doc_id, lang FROM c WHERE cum <= 2000 ORDER BY doc_id
 """
 
+# merged gate entry: both sampling modes, labeled; each mode's kept row
+# set value-checks independently under the mode column
+_DOCS_TOKEN_BUDGET_ORACLE_SQL = """
+    SELECT 'rate' AS mode, doc_id, lang FROM (%s)
+    UNION ALL
+    SELECT 'exact' AS mode, doc_id, lang FROM (%s)
+    ORDER BY mode, doc_id
+""" % (_DOCS_TOKEN_BUDGET_RATE_ORACLE_SQL, _DOCS_TOKEN_BUDGET_EXACT_ORACLE_SQL)
+
 
 # DuckDB replica of q_docs_unigram_logprob: same tokenization, same
 # additive smoothing p = (c + 0.5) / (N + 0.5 V), score = mean -ln p.
@@ -1630,6 +1725,89 @@ _DOCS_UNIGRAM_LOGPROB_ORACLE_SQL = """
     FROM tok t JOIN vocab vo USING (tok) CROSS JOIN nv
     GROUP BY t.doc_id ORDER BY t.doc_id
 """
+
+
+# DuckDB replica of q_docs_curation_pipeline: replays all five stages —
+# the dedup stage's closed form is that each (2k, 2k+1) recrawl pair folds
+# to one canonical URL and keep='latest' keeps the odd member (plus an
+# unpaired trailing even doc, if the table ever ends on one); scrub /
+# quality / repetition / rate-sampling reuse the verified per-stage oracle
+# fragments verbatim, applied in the pipeline's order on the pipeline's
+# intermediate text.
+def _curation_pipeline_oracle_sql() -> str:
+    from sciencebeam_trainer_grobid_tools_spark.operators import pii
+
+    return """
+    WITH planted AS (
+        SELECT doc_id, lang,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com via 10.0.'
+                    || CAST(doc_id %% 256 AS VARCHAR) || '.77 or 555-123-4567'
+                   AS text
+        FROM documents
+    ),
+    survivors AS (
+        SELECT * FROM planted
+        WHERE doc_id %% 2 = 1
+           OR doc_id + 1 NOT IN (SELECT doc_id FROM documents)
+    ),
+    scrubbed AS (
+        SELECT doc_id, lang,
+               regexp_replace(regexp_replace(regexp_replace(
+                   text, '%(email)s', '<EMAIL>', 'g'),
+                         '%(ip)s', '<IP>', 'g'),
+                         '%(phone)s', '<PHONE>', 'g') AS text
+        FROM survivors
+    ),
+    quality AS (
+        SELECT * FROM scrubbed
+        WHERE LENGTH(text) >= 100
+          AND ((LENGTH(text) - LENGTH(REPLACE(text, '.', '')))
+               + (LENGTH(text) - LENGTH(REPLACE(text, ',', ''))))
+              / GREATEST(LENGTH(text), 1) < 0.1
+          AND (LENGTH(text) - (LEN(string_split(text, ' ')) - 1))
+              / LEN(string_split(text, ' ')) BETWEEN 3 AND 12
+    ),
+    tok AS (
+        SELECT doc_id,
+               string_split(LOWER(REPLACE(text, chr(10), ' ')), ' ') AS tokens
+        FROM quality
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(CASE WHEN LEN(tokens) >= 2 THEN
+                   [array_to_string(tokens[i:i+1], ' ')
+                    for i in range(1, LEN(tokens))]
+                 ELSE [array_to_string(tokens, ' ')] END) AS g
+        FROM tok
+    ),
+    cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+    rep AS (
+        SELECT doc_id FROM cnt GROUP BY doc_id
+        HAVING ROUND(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) / SUM(c), 6)
+               <= 0.09
+    ),
+    kept AS (SELECT q.* FROM quality q JOIN rep USING (doc_id)),
+    tot AS (
+        SELECT lang, CAST(SUM(LEN(string_split(text, ' '))) AS DOUBLE) AS st
+        FROM kept GROUP BY lang
+    ),
+    sampled AS (
+        SELECT k.doc_id, k.lang, k.text
+        FROM kept k JOIN tot USING (lang)
+        WHERE CAST('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) / 4294967296.0
+              < LEAST(1.0, 1500.0 / tot.st)
+    )
+    SELECT doc_id, lang,
+           CAST(LEN(string_split(text, ' ')) AS INT) AS n_tokens,
+           md5(text) AS curated_md5
+    FROM sampled ORDER BY doc_id
+    """ % {
+        "email": pii.EMAIL_PATTERN,
+        "ip": pii.IPV4_PATTERN,
+        "phone": pii.PHONE_PATTERN,
+    }
 
 
 # DuckDB replica of q_docs_bigram_logprob: same tokenization as the unigram
@@ -2060,10 +2238,10 @@ def oracle_sql() -> dict[str, str]:
         "docs_repetition": _DOCS_REPETITION_ORACLE_SQL,
         "docs_pii_scrub": _pii_scrub_oracle_sql(),
         "docs_winnowing": _winnowing_oracle_sql(),
-        "docs_token_budget_rate": _DOCS_TOKEN_BUDGET_RATE_ORACLE_SQL,
-        "docs_token_budget_exact": _DOCS_TOKEN_BUDGET_EXACT_ORACLE_SQL,
+        "docs_token_budget": _DOCS_TOKEN_BUDGET_ORACLE_SQL,
         "docs_unigram_logprob": _DOCS_UNIGRAM_LOGPROB_ORACLE_SQL,
         "docs_bigram_logprob": _DOCS_BIGRAM_LOGPROB_ORACLE_SQL,
+        "docs_curation_pipeline": _curation_pipeline_oracle_sql(),
         "docs_decontaminate": _DOCS_DECONTAMINATE_ORACLE_SQL,
         "emb_lsh_topk": _lsh_topk_oracle_sql(),
         "emb_lsh_prebucketed": _lsh_prebucketed_oracle_sql(),
@@ -2190,6 +2368,26 @@ def oracle_sql() -> dict[str, str]:
                    1 AS front_lines,
                    CAST(8 + doc_id % 5 AS INT) AS body_lines
             FROM documents
+        """,
+        # closed-form replica of the segmentation chain on the deterministic
+        # corpus (see q_flagship_segmentation's docstring for the derivation)
+        "flagship_segmentation": """
+            WITH lines AS (
+                SELECT doc_id,
+                       LENGTH(string_split(text, chr(10))) AS n_lines,
+                       LENGTH(regexp_extract_all(
+                           string_split(text, chr(10))[1], '\\S+')) AS l1
+                FROM documents
+            )
+            SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+                   CAST(CASE WHEN 2 * LEAST(8, l1) >= l1 THEN 1 ELSE 0 END
+                        AS INT) AS front_lines,
+                   CAST(n_lines
+                        - CASE WHEN 2 * LEAST(8, l1) >= l1 THEN 1 ELSE 0 END
+                        AS INT) AS body_lines,
+                   0 AS reference_lines,
+                   CAST(n_lines AS INT) AS n_lines
+            FROM lines
         """,
         "media_payload_digests": """
             SELECT doc_id,

@@ -1,0 +1,107 @@
+"""End-to-end corpus curation: the composed pipeline a real 100 TB
+training-data run would execute, chaining the individually-verified
+operators into ONE lazy DataFrame plan:
+
+    canonical-URL recrawl dedup  ->  PII scrub  ->  quality filter
+      ->  repetition filter      ->  per-stratum token-budget sample
+
+Nothing materializes between stages — the stages fuse into the minimal
+set of shuffles their semantics require (the dedup window, the two
+repetition aggregations + a doc-keyed semi join, and the sampling
+totals).  The composed plan is what proves the operators COMPOSE: every
+stage consumes the previous stage's columns lazily, Catalyst prunes and
+pushes across the whole chain, and the oracle query replays all five
+stages in SQL.
+
+Scale notes (per stage, see each operator's own docstring for depth):
+
+- dedup: ONE shuffle keyed by the fine-grained canonical string;
+- scrub + quality: pure codegen, zero shuffles, fused into whatever
+  stage reads the rows next;
+- repetition: two partial-aggregated shuffles on (doc_id, gram) /
+  doc_id, then a LEFT SEMI join back on doc_id (id-only stream);
+- sampling (rate mode): one totals shuffle + broadcast rate table +
+  codegen filter — no window.  The totals aggregate re-reads the
+  upstream pipeline (a statistic over the stream it samples); a
+  production run over 100 TB would checkpoint the curated intermediate
+  before this stage rather than recompute the chain twice — the plan
+  keeps the seam explicit instead of hiding a cache inside.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators.dedup import repetition_features
+from ..operators.pii import scrub_pii
+from ..operators.textstats import quality_features, token_budget_sample
+from ..operators.urlnorm import dedup_by_canonical_url
+
+_QUALITY_COLS = ("q_chars", "q_tokens", "q_mean_word_len", "q_punct_ratio", "q_passed")
+
+
+def curate_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    url_col: Optional[str] = None,
+    ts_col: str = "warc_ts",
+    keep: str = "latest",
+    strata: Sequence[str] = ("lang",),
+    budget_tokens: Optional[int] = None,
+    max_dup_ngram_frac: Optional[float] = None,
+    rep_k: int = 2,
+    sample_mode: str = "rate",
+    persist_intermediate: bool = False,
+) -> DataFrame:
+    """The curated corpus: input rows that survive every enabled stage,
+    with ``text_col`` scrubbed of PII.  Stages toggle off by omission
+    (``url_col=None`` skips dedup, ``max_dup_ngram_frac=None`` skips the
+    repetition filter, ``budget_tokens=None`` skips sampling) so the same
+    entry point serves partial pipelines; the quality filter and the
+    scrub always run — they are the non-negotiable hygiene floor.
+
+    The repetition and sampling stages are STATISTICS over the stream
+    they filter — each re-derives the upstream plan (dedup -> scrub ->
+    quality), so the lazy default recomputes it up to 4x.  That is the
+    honest trade at 100 TB: either pay the recompute (cheap codegen
+    stages, IO-bound) or pass ``persist_intermediate=True`` to cache the
+    post-quality intermediate so everything downstream reads it once —
+    the caller owns the unpersist (same contract as
+    ``minhash_candidate_pairs(persist_intermediate=...)``; a production
+    run would checkpoint to storage here instead)."""
+    out = df
+    if url_col is not None:
+        out = dedup_by_canonical_url(out, url_col=url_col, ts_col=ts_col, keep=keep)
+    out = out.withColumn(text_col, scrub_pii(F.col(text_col)))
+    out = (
+        quality_features(out, text_col=text_col)
+        .filter(F.col("q_passed"))
+        .drop(*_QUALITY_COLS)
+    )
+    if persist_intermediate:
+        out = out.persist()
+    if max_dup_ngram_frac is not None:
+        keep_ids = (
+            repetition_features(
+                out.select(F.col(id_col), F.col(text_col)),
+                id_col=id_col,
+                text_col=text_col,
+                k=rep_k,
+            )
+            .filter(F.col("dup_ngram_frac") <= max_dup_ngram_frac)
+            .select(F.col("doc_id").alias(id_col))
+        )
+        out = out.join(keep_ids, on=id_col, how="left_semi")
+    if budget_tokens is not None:
+        out = token_budget_sample(
+            out,
+            budget_tokens,
+            strata=strata,
+            id_col=id_col,
+            text_col=text_col,
+            mode=sample_mode,
+        )
+    return out

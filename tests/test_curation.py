@@ -1,0 +1,107 @@
+"""Composed curation pipeline (plans/curation.py): stage wiring, planted
+per-stage drops, toggles, and plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sciencebeam_trainer_grobid_tools_spark.plans.curation import curate_corpus
+from sciencebeam_trainer_grobid_tools_spark.plans.session import build_session
+
+
+@pytest.fixture(scope="module")
+def spark():
+    session = build_session("curation-tests", cpus=4, shuffle_partitions=4)
+    session.sparkContext.setLogLevel("ERROR")
+    yield session
+    session.stop()
+
+
+GOOD = (
+    "This is a perfectly ordinary paragraph of running prose that keeps "
+    "going for long enough to clear the length floor and reads like text."
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """Six docs, one planted casualty per stage:
+
+    - 0/1: recrawl pair of one page (utm/case/slash variants); 1 is newer
+    - 2: fails the quality length floor (short)
+    - 3: repetitive (one bigram dominates -> dup_ngram_frac high)
+    - 4: clean survivor with planted PII
+    - 5: clean survivor
+    """
+    rows = [
+        (0, "http://WWW.Site.COM/a/?utm_source=x", 10, GOOD + " older crawl"),
+        (1, "http://www.site.com/a", 20, GOOD + " newer crawl"),
+        (2, "http://site.com/b", 10, "too short"),
+        (3, "http://site.com/c", 10, "spam ham " * 40),
+        (4, "http://site.com/d", 10, GOOD + " mail me at bob@example.com now"),
+        (5, "http://site.com/e", 10, GOOD + " another clean page"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, url string, warc_ts long, text string"
+    ).withColumn("lang", F.lit("en"))
+
+
+class TestCurateCorpus:
+    def test_each_stage_drops_its_casualty(self, corpus):
+        out = curate_corpus(
+            corpus, url_col="url", max_dup_ngram_frac=0.2
+        ).collect()
+        ids = {r["doc_id"] for r in out}
+        assert ids == {1, 4, 5}  # 0 deduped away, 2 quality, 3 repetition
+
+    def test_dedup_keeps_newest_recrawl(self, corpus):
+        out = curate_corpus(corpus, url_col="url", max_dup_ngram_frac=0.2).collect()
+        texts = {r["doc_id"]: r["text"] for r in out}
+        assert "newer crawl" in texts[1]
+
+    def test_pii_is_scrubbed_in_output(self, corpus):
+        out = curate_corpus(corpus, url_col="url", max_dup_ngram_frac=0.2).collect()
+        texts = {r["doc_id"]: r["text"] for r in out}
+        assert "bob@example.com" not in texts[4]
+        assert "<EMAIL>" in texts[4]
+
+    def test_budget_sampling_composes(self, corpus):
+        all_kept = curate_corpus(
+            corpus, url_col="url", max_dup_ngram_frac=0.2, budget_tokens=10_000
+        ).collect()
+        assert {r["doc_id"] for r in all_kept} == {1, 4, 5}  # rate clamps to 1
+        some = curate_corpus(
+            corpus, url_col="url", max_dup_ngram_frac=0.2, budget_tokens=30
+        ).collect()
+        assert len(some) < 3
+
+    def test_stage_toggles(self, corpus):
+        # no dedup: both recrawls survive the quality floor
+        no_dedup = curate_corpus(corpus, max_dup_ngram_frac=0.2).collect()
+        assert {r["doc_id"] for r in no_dedup} == {0, 1, 4, 5}
+        # no repetition filter: the repetitive doc survives
+        no_rep = curate_corpus(corpus, url_col="url").collect()
+        assert {r["doc_id"] for r in no_rep} == {1, 3, 4, 5}
+
+    def test_single_lazy_plan_no_python(self, corpus):
+        df = curate_corpus(
+            corpus, url_col="url", max_dup_ngram_frac=0.2, budget_tokens=100
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan  # every stage stays JVM-side
+        assert "rn" not in df.columns and "_n_tok" not in df.columns
+
+    def test_persist_intermediate_collapses_recompute(self, corpus, spark):
+        df = curate_corpus(
+            corpus,
+            url_col="url",
+            max_dup_ngram_frac=0.2,
+            budget_tokens=100,
+            persist_intermediate=True,
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # every statistics consumer (repetition agg, semi-join stream,
+        # sampling totals, final stream) reads the ONE cached intermediate
+        # instead of re-deriving dedup -> scrub -> quality
+        assert plan.count("InMemoryTableScan") >= 2
+        assert df.count() > 0  # materializes through the cache
+        spark.catalog.clearCache()
