@@ -366,6 +366,32 @@ def q_docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_docs_remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2022 ExactSubstr rule, re-expressed
+    shard-local — see dedup.remove_repeated_spans): a shared 9-token
+    boilerplate sentence is planted onto every ``doc_id % 4 == 0`` document
+    (each preceded by a different last word, so the duplicated run is
+    exactly the boilerplate), and the corpus's natural exact-duplicate
+    documents duplicate EVERY k-gram — both classes must be stripped.  The
+    oracle replays the construction relationally and verifies the cleaned
+    text md5 per document."""
+    docs = _spread(_load(spark, sf_dir, "documents"), spark)
+    boiler = " subscribe to our newsletter for updates and offers today"
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0, F.concat(F.col("text"), F.lit(boiler))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    cleaned = dedup.remove_repeated_spans(planted, k=8)
+    return cleaned.select(
+        "doc_id",
+        "n_tokens_before",
+        "n_tokens_removed",
+        F.md5("clean_text").alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
 def q_docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPOSED curation pipeline (plans/curation.py) — canonical-URL
     recrawl dedup -> PII scrub -> quality filter -> repetition filter ->
@@ -563,6 +589,33 @@ def q_emb_lsh_prebucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk_prebucketed(
         prebucketed, _query_vector(spark, sf_dir), k=10, round_digits=4
     )
+
+
+def q_emb_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both LSH ANN serving shapes in ONE labeled gate entry (merged from
+    the former emb_lsh_topk / emb_lsh_prebucketed entries to keep the
+    50-entry gate all-oracle): ``adhoc`` computes buckets at query time;
+    ``prebucketed`` reads the ingest-materialized ``lsh_bucket`` column
+    (the serving-scale pattern where the probe filter becomes partition
+    pruning — plan asserted in pytest).  Each variant's top-k
+    value-checks independently under the variant column; the
+    prebucketed rows also check the stored bucket values."""
+    embeddings = _load(spark, sf_dir, "embeddings")
+    adhoc = similarity.lsh_topk(
+        embeddings, _query_vector(spark, sf_dir), k=10, round_digits=4
+    ).select(
+        F.lit("adhoc").alias("variant"),
+        "vec_id",
+        F.lit(None).cast("long").alias("lsh_bucket"),
+        "cosine",
+    )
+    pre = similarity.lsh_topk_prebucketed(
+        similarity.add_lsh_bucket(embeddings),
+        _query_vector(spark, sf_dir),
+        k=10,
+        round_digits=4,
+    ).select(F.lit("prebucketed").alias("variant"), "vec_id", "lsh_bucket", "cosine")
+    return adhoc.unionByName(pre).orderBy("variant", "vec_id")
 
 
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1382,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality": q_docs_quality,
         "docs_token_counts": q_docs_token_counts,
         "docs_fingerprint": q_docs_fingerprint,
+        "docs_remove_repeated_spans": q_docs_remove_repeated_spans,
         "docs_minhash_xxhash_crosscheck": q_docs_minhash_xxhash_crosscheck,
         "docs_minhash_portable": q_docs_minhash_portable,
         "docs_simhash": q_docs_simhash,
@@ -1395,8 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_repetition": q_docs_repetition,
         "docs_decontaminate": q_docs_decontaminate,
         "emb_cosine_topk": q_emb_cosine_topk,
-        "emb_lsh_topk": q_emb_lsh_topk,
-        "emb_lsh_prebucketed": q_emb_lsh_prebucketed,
+        "emb_lsh": q_emb_lsh,
         "emb_label_stats": q_emb_label_stats,
         "emb_centroid_topk": q_emb_centroid_topk,
         "emb_near_dup_pairs": q_emb_near_dup_pairs,
@@ -1725,6 +1778,80 @@ _DOCS_UNIGRAM_LOGPROB_ORACLE_SQL = """
     FROM tok t JOIN vocab vo USING (tok) CROSS JOIN nv
     GROUP BY t.doc_id ORDER BY t.doc_id
 """
+
+
+# DuckDB replica of q_docs_remove_repeated_spans: the same planted
+# boilerplate, then the duplicated-k-gram construction replayed
+# relationally (k = 8): md5 gram digests, HAVING count >= 2, covered
+# token = some duplicated-gram start in [t-7, t], rebuild via ordered
+# string_agg (an all-tokens-removed doc coalesces to the empty string,
+# matching Spark's array_join over an empty filter result).
+_DOCS_REMOVE_REPEATED_SPANS_ORACLE_SQL = """
+    WITH planted AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 4 = 0
+                    THEN text ||
+                         ' subscribe to our newsletter for updates and offers today'
+                    ELSE text END AS text
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split(REPLACE(text, chr(10), ' '), ' '),
+                   t -> t <> ''
+               ) AS arr
+        FROM planted
+    ),
+    g AS (
+        SELECT doc_id, i AS pos,
+               md5(array_to_string(arr[i:i+7], ' ')) AS gh
+        FROM (SELECT doc_id, arr,
+                     unnest(range(1, GREATEST(len(arr) - 7, 0) + 1)) AS i
+              FROM toks)
+    ),
+    dupg AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+    dup_pos AS (SELECT g.doc_id, g.pos FROM g JOIN dupg USING (gh)),
+    tokpos AS (
+        SELECT doc_id, t, arr[t] AS tok
+        FROM (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS t
+              FROM toks)
+    ),
+    kept AS (
+        SELECT tp.doc_id, tp.t, tp.tok
+        FROM tokpos tp
+        WHERE NOT EXISTS (
+            SELECT 1 FROM dup_pos dp
+            WHERE dp.doc_id = tp.doc_id AND dp.pos BETWEEN tp.t - 7 AND tp.t
+        )
+    ),
+    rebuilt AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(tok, ' ' ORDER BY t) AS clean_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.arr) AS INT) AS n_tokens_before,
+           CAST(len(t.arr) - COALESCE(r.n_kept, 0) AS INT) AS n_tokens_removed,
+           md5(COALESCE(r.clean_text, '')) AS clean_md5
+    FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+    ORDER BY t.doc_id
+"""
+
+
+# merged gate entry for the two LSH serving shapes: adhoc rows carry a
+# NULL bucket (they never materialize one), prebucketed rows value-check
+# the stored column
+def _lsh_merged_oracle_sql() -> str:
+    return """
+        SELECT 'adhoc' AS variant, vec_id,
+               CAST(NULL AS BIGINT) AS lsh_bucket, cosine
+        FROM (%s)
+        UNION ALL
+        SELECT 'prebucketed' AS variant, vec_id, lsh_bucket, cosine
+        FROM (%s)
+        ORDER BY variant, vec_id
+    """ % (_lsh_topk_oracle_sql(), _lsh_prebucketed_oracle_sql())
 
 
 # DuckDB replica of q_docs_curation_pipeline: replays all five stages —
@@ -2241,10 +2368,10 @@ def oracle_sql() -> dict[str, str]:
         "docs_token_budget": _DOCS_TOKEN_BUDGET_ORACLE_SQL,
         "docs_unigram_logprob": _DOCS_UNIGRAM_LOGPROB_ORACLE_SQL,
         "docs_bigram_logprob": _DOCS_BIGRAM_LOGPROB_ORACLE_SQL,
+        "docs_remove_repeated_spans": _DOCS_REMOVE_REPEATED_SPANS_ORACLE_SQL,
         "docs_curation_pipeline": _curation_pipeline_oracle_sql(),
         "docs_decontaminate": _DOCS_DECONTAMINATE_ORACLE_SQL,
-        "emb_lsh_topk": _lsh_topk_oracle_sql(),
-        "emb_lsh_prebucketed": _lsh_prebucketed_oracle_sql(),
+        "emb_lsh": _lsh_merged_oracle_sql(),
         "emb_near_dup_pairs": _emb_near_dup_oracle_sql(),
         "emb_ivf_topk": _EMB_IVF_ORACLE_SQL,
         "emb_ivf_train_step": _EMB_IVF_TRAIN_STEP_ORACLE_SQL,

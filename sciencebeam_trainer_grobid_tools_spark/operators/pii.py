@@ -16,6 +16,14 @@ Redaction replaces each match with a typed placeholder token
 (``<EMAIL>`` / ``<IP>`` / ``<PHONE>``) rather than deleting it: span
 offsets downstream shift, but sentence shape (and token counts under the
 whitespace tokenizer) stay stable.
+
+Known false-positive classes (the price of conservative, RE2-compatible
+patterns): the IPv4 regex matches any dotted digit quad, so version
+strings like ``"upgrade to 1.2.3.4"`` or section numbers ``"see
+10.2.3.1"`` redact to ``<IP>``; the phone pattern matches any
+``ddd-ddd-dddd`` digit shape, e.g. ``"ISBN 555-123-4567"``.  Scrubbing
+is deliberately biased toward recall — a leaked identifier in a
+training corpus costs more than a mangled version string.
 """
 
 from __future__ import annotations

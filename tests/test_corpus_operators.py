@@ -110,6 +110,69 @@ class TestDedup:
         assert found == exact  # max_hamming filter makes them equal
 
 
+class TestRemoveRepeatedSpans:
+    """Exact-substring dedup (ExactSubstr rule): drop every token inside a
+    >= k-token span that occurs >= 2 times corpus-wide."""
+
+    def _corpus(self, spark):
+        rows = [
+            (1, "alpha beta gamma delta unique one two three"),
+            (2, "other words alpha beta gamma delta trailing bits"),
+            (3, "totally fresh content with no repeats at all"),
+            (4, "self repeat self repeat self repeat zzz"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_cross_doc_and_self_repeats(self, spark):
+        out = {
+            r["doc_id"]: r
+            for r in dedup.remove_repeated_spans(self._corpus(spark), k=4).collect()
+        }
+        # docs 1/2 share the 4-gram 'alpha beta gamma delta' -> stripped
+        # from BOTH (all occurrences drop, documented rule)
+        assert out[1]["clean_text"] == "unique one two three"
+        assert out[2]["clean_text"] == "other words trailing bits"
+        # doc 3 has no >= 4-token repeat anywhere
+        assert out[3]["n_tokens_removed"] == 0
+        # doc 4 self-repeats 'self repeat self repeat' (pos 1 and 3):
+        # tokens 1-6 covered, only the tail survives
+        assert out[4]["clean_text"] == "zzz"
+        assert out[4]["n_tokens_before"] == 7
+
+    def test_exact_duplicate_docs_empty_out(self, spark):
+        text = " ".join("tok%d" % i for i in range(12))
+        df = spark.createDataFrame(
+            [(1, text), (2, text)], "doc_id long, text string"
+        )
+        out = dedup.remove_repeated_spans(df, k=8).collect()
+        assert all(r["clean_text"] == "" for r in out)
+        assert all(r["n_tokens_removed"] == 12 for r in out)
+
+    def test_short_docs_pass_through(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+        )
+        # both docs are shorter than k: no k-gram exists, nothing removed
+        out = dedup.remove_repeated_spans(df, k=8).collect()
+        assert all(r["n_tokens_removed"] == 0 for r in out)
+        assert {r["clean_text"] for r in out} == {"a b c"}
+
+    def test_case_sensitive_exact_matching(self, spark):
+        df = spark.createDataFrame(
+            [(1, "The Quick Brown Fox pads"), (2, "the quick brown fox walks")],
+            "doc_id long, text string",
+        )
+        out = dedup.remove_repeated_spans(df, k=4).collect()
+        assert all(r["n_tokens_removed"] == 0 for r in out)
+
+    def test_jvm_only_plan(self, spark):
+        plan = (
+            dedup.remove_repeated_spans(self._corpus(spark), k=4)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Python" not in plan  # codegen grams + HOF rebuild, no UDF
+
+
 class TestRepetitionAndDecontamination:
     def test_repetition_features_planted(self, spark):
         """Hand-computable bigram repetition: 'a b a b a b' -> grams
