@@ -48,7 +48,10 @@ def main():
         con.sql(
             "CREATE VIEW %s AS SELECT * FROM '%s/%s.parquet'" % (name, sf_dir, name)
         )
-    queries = entry_mod.queries()
+    # demo_queries: rows-only demos kept out of the driver's 50-entry gate
+    # dict (each has an oracle-bearing twin inside it) — still run here so
+    # the full surface stays visible every round
+    queries = {**entry_mod.queries(), **entry_mod.demo_queries()}
     oracles = entry_mod.oracle_sql()
     failures = []
     for name, fn in queries.items():
