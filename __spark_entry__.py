@@ -300,6 +300,42 @@ def q_docs_minhash_xxhash_crosscheck(spark: SparkSession, sf_dir: str) -> DataFr
     return pairs.filter(F.col("jaccard") >= 0.95)
 
 
+def q_docs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both MinHash verification shapes in ONE labeled gate entry (merged
+    to keep the 50-entry gate all-oracle): ``portable`` — the full
+    md5-family MinHash+LSH pipeline (8 hashes, 4 bands), every value
+    DuckDB-reproducible; ``xxhash_crosscheck`` — the PRODUCTION xxhash64
+    path at the headline parameters (32 hashes, 8 bands) restricted to
+    exact-Jaccard >= 0.95, where per-family banding miss probability
+    (~1.4e-6) makes the cross-family pair-set equality sound (full
+    validity analysis on q_docs_minhash_xxhash_crosscheck).  Each
+    variant's pair set value-checks independently under the label."""
+    a = q_docs_minhash_portable(spark, sf_dir).select(
+        F.lit("portable").alias("variant"), "doc_id_a", "doc_id_b", "jaccard"
+    )
+    b = q_docs_minhash_xxhash_crosscheck(spark, sf_dir).select(
+        F.lit("xxhash_crosscheck").alias("variant"), "doc_id_a", "doc_id_b", "jaccard"
+    )
+    return a.unionByName(b).orderBy("variant", "doc_id_a", "doc_id_b")
+
+
+def q_emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou et al. 2011) end-to-end: train the
+    per-subspace codebooks (iters=0 -> the 8 lowest-id vectors' subvectors,
+    the SQL-replicable configuration; Lloyd iterations are differential-
+    pytest-verified), encode every vector to its m=8 subspace codes
+    (codegen argmin, lowest code on ties), and rank by ADC — the exact
+    query against the m x 8 driver-side lookup table, one codegen fold
+    over the code column.  The returned distances value-check the
+    codebooks, the encoding AND the table walk in one oracle."""
+    embeddings = _load(spark, sf_dir, "embeddings")
+    books = similarity.pq_train(embeddings, m=8, n_codes=8, iters=0, dim=64)
+    encoded = similarity.pq_encode(embeddings, books, method="expr")
+    return similarity.pq_adc_topk(
+        encoded, _query_vector(spark, sf_dir), books, k=10, round_digits=4
+    )
+
+
 def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures, oracle-portable form: per-token md5 top-bits,
     bitwise majority vote, '0'/'1' bit-string output (DuckDB-reproducible).
@@ -1436,8 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_counts": q_docs_token_counts,
         "docs_fingerprint": q_docs_fingerprint,
         "docs_remove_repeated_spans": q_docs_remove_repeated_spans,
-        "docs_minhash_xxhash_crosscheck": q_docs_minhash_xxhash_crosscheck,
-        "docs_minhash_portable": q_docs_minhash_portable,
+        "docs_minhash": q_docs_minhash,
         "docs_simhash": q_docs_simhash,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "docs_pii_scrub": q_docs_pii_scrub,
@@ -1449,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_repetition": q_docs_repetition,
         "docs_decontaminate": q_docs_decontaminate,
         "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_pq_adc_topk": q_emb_pq_adc_topk,
         "emb_lsh": q_emb_lsh,
         "emb_label_stats": q_emb_label_stats,
         "emb_centroid_topk": q_emb_centroid_topk,
@@ -2393,17 +2429,65 @@ def oracle_sql() -> dict[str, str]:
                        AS simhash_bits
             FROM votes GROUP BY doc_id
         """,
-        "docs_minhash_portable": _MINHASH_PORTABLE_SQL,
-        # the portable md5 banding restricted to true near-dups is the
-        # expected pair list for the xxhash64-path cross-check (see
-        # q_docs_minhash_xxhash_crosscheck)
-        "docs_minhash_xxhash_crosscheck": (
-            # at the HEADLINE query's exact production parameters (32, 8);
-            # threshold 0.95 per the validity note on the Spark side (per-
-            # family banding miss probability ~1.4e-6 there, so the exact
-            # pair-set equality survives corpus regeneration)
-            "SELECT * FROM (%s) WHERE jaccard >= 0.95" % _minhash_portable_sql(32, 8)
+        # the two variants' labeled union (schemas already aligned)
+        "docs_minhash": (
+            """
+            SELECT 'portable' AS variant, doc_id_a, doc_id_b, jaccard
+            FROM (%s)
+            UNION ALL
+            SELECT 'xxhash_crosscheck' AS variant, doc_id_a, doc_id_b, jaccard
+            FROM (SELECT * FROM (%s) WHERE jaccard >= 0.95)
+            ORDER BY variant, doc_id_a, doc_id_b
+            """
+            % (_MINHASH_PORTABLE_SQL, _minhash_portable_sql(32, 8))
         ),
+        # DuckDB replica of q_emb_pq_adc_topk: iters=0 codebooks come from
+        # the TABLE (subvectors of vec_id < 8), so no literal injection is
+        # needed; encode = per-(vec, subspace) squared-L2 argmin with
+        # lowest-code tie-break (row_number), ADC = LUT join + per-vector
+        # sum.  dim 64, m 8, sub 8 per TESTDATA.md.
+        "emb_pq_adc_topk": """
+            WITH s_axis AS (SELECT unnest(range(0, 8)) AS s),
+            cb AS (
+                SELECT e.vec_id AS code, sa.s,
+                       (e.embedding::DOUBLE[])[sa.s*8+1 : sa.s*8+8] AS cvec
+                FROM embeddings e, s_axis sa
+                WHERE e.vec_id < 8
+            ),
+            sv AS (
+                SELECT e.vec_id, sa.s,
+                       (e.embedding::DOUBLE[])[sa.s*8+1 : sa.s*8+8] AS vvec
+                FROM embeddings e, s_axis sa
+            ),
+            dists AS (
+                SELECT sv.vec_id, sv.s, cb.code,
+                       list_sum([(sv.vvec[i] - cb.cvec[i])^2
+                                 for i in range(1, 9)]) AS d
+                FROM sv JOIN cb USING (s)
+            ),
+            enc AS (
+                SELECT vec_id, s, code,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                          ORDER BY d, code) AS rn
+                FROM dists
+            ),
+            q AS (SELECT embedding::DOUBLE[] AS qe
+                  FROM embeddings WHERE vec_id = 0),
+            lut AS (
+                SELECT cb.s, cb.code,
+                       list_sum([(q.qe[cb.s*8+i] - cb.cvec[i])^2
+                                 for i in range(1, 9)]) AS ld
+                FROM cb, q
+            ),
+            adc AS (
+                SELECT e.vec_id, SUM(l.ld) AS d
+                FROM enc e JOIN lut l ON l.s = e.s AND l.code = e.code
+                WHERE e.rn = 1
+                GROUP BY e.vec_id
+            )
+            SELECT vec_id, ROUND(d, 4) AS adc_dist
+            FROM adc ORDER BY d, vec_id LIMIT 10
+        """,
         "emb_cosine_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
             SELECT e.vec_id,

@@ -580,3 +580,249 @@ def ivf_topk(
             F.round(F.col("_cos"), round_digits).alias("cosine"),
         )
     )
+
+
+# --- Product quantization (PQ / ADC; Jegou, Douze, Schmid 2011, "Product
+# Quantization for Nearest Neighbor Search") ------------------------------
+#
+# At the 100 TB design point embeddings are the memory bound: a dim-1024
+# float32 vector is 4 KiB, its PQ code (m=16, 256 codes) is 16 BYTES — the
+# compression that makes an in-memory ANN serving tier possible at all.
+# PQ splits each vector into m subvectors, k-means-quantizes every subspace
+# independently, stores one code per subspace, and searches with ADC
+# (asymmetric distance): the query stays exact, each subspace contributes a
+# precomputed lookup-table entry, and a candidate's distance is the sum of
+# its m table entries.
+
+# expr-path encode is practical while dim * n_codes stays a small Catalyst
+# tree; production (n_codes=256, dim>=512) takes the arrow path
+_PQ_EXPR_MAX_TERMS = 4096
+
+
+def _sub_slice(vec: Column, s: int, sub: int) -> Column:
+    return F.slice(vec, s * sub + 1, sub)
+
+
+def _sqdist_expr(vec_slice: Column, centroid: Sequence[float]) -> Column:
+    """Squared L2 distance as a JVM fold (same shape as :func:`dot`)."""
+    return F.aggregate(
+        F.zip_with(vec_slice, _query_literal(centroid), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    n_codes: int = 8,
+    iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = None,
+) -> List[List[List[float]]]:
+    """Deterministic per-subspace k-means codebooks, trained IN SPARK:
+    ``codebooks[s][c]`` is the dim/m-float centroid of code ``c`` in
+    subspace ``s``.
+
+    Init mirrors :func:`ivf_train`: the ``n_codes`` lowest-id vectors'
+    subvectors seed every subspace (no RNG — retraining reproduces the
+    model; ``iters=0`` returns the seed, the SQL-replicable oracle
+    configuration).  Each Lloyd iteration runs over the exploded
+    ``(subspace, subvector)`` stream — assignment is a codegen argmin
+    against the broadcast codebook literals, the reduce is ONE groupBy
+    ``(subspace, code)`` shuffle carrying dim/m running sums per key
+    (vectors never shuffle whole).  The returned model is m * n_codes *
+    dim/m floats — the artifact a production table stores beside the data
+    (like the LSH seed / IVF centroids)."""
+    if dim is None:
+        dim = _embedding_dim(df, vec_col)
+    if dim % m != 0:
+        raise ValueError("pq_train: dim %d not divisible by m %d" % (dim, m))
+    sub = dim // m
+    seed_rows = (
+        df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_codes)
+        .collect()
+    )
+    if len(seed_rows) < n_codes:
+        raise ValueError(
+            "pq_train: need >= %d vectors for the seed, got %d"
+            % (n_codes, len(seed_rows))
+        )
+    codebooks = [
+        [
+            [float(v) for v in row[vec_col][s * sub : (s + 1) * sub]]
+            for row in seed_rows
+        ]
+        for s in range(m)
+    ]
+    for _ in range(iters):
+        pieces = F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("_s"),
+                    _sub_slice(F.col(vec_col), s, sub).alias("_v"),
+                )
+                for s in range(m)
+            ]
+        )
+        exploded = df.select(F.explode(pieces).alias("p")).select(
+            F.col("p._s").alias("_s"), F.col("p._v").alias("_v")
+        )
+        code = F.lit(None).cast("int")
+        for s in reversed(range(m)):
+            dists = F.array(
+                *[_sqdist_expr(F.col("_v"), codebooks[s][c]) for c in range(n_codes)]
+            )
+            best = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+            code = F.when(F.col("_s") == s, best).otherwise(code)
+        assigned = exploded.withColumn("_code", code)
+        rows = (
+            assigned.groupBy("_s", "_code")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[F.sum(F.col("_v")[i]).alias("c%d" % i) for i in range(sub)]
+            )
+            .collect()
+        )
+        new_books = [
+            [list(codebooks[s][c]) for c in range(n_codes)] for s in range(m)
+        ]  # emptied codes keep their previous centroid (IVF rule)
+        for r in rows:
+            new_books[r["_s"]][r["_code"]] = [
+                r["c%d" % i] / r["_n"] for i in range(sub)
+            ]
+        codebooks = new_books
+    return codebooks
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: List[List[List[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+    method: str = "auto",
+) -> DataFrame:
+    """Adds ``out_col``: the m-byte-shaped code array (argmin squared-L2
+    subspace centroid, lowest code on ties).  ``method='expr'`` builds the
+    argmin as codegen expressions (SQL-replicable; tree grows with
+    dim * n_codes, auto-capped at %d terms); ``'arrow'`` is the production
+    path — one Arrow-batched numpy argmin per subspace, plan size
+    independent of n_codes (the same ceiling split as ivf_assign)."""
+    m = len(codebooks)
+    n_codes = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    if method == "auto":
+        method = "expr" if m * n_codes * sub <= _PQ_EXPR_MAX_TERMS else "arrow"
+    if method == "expr":
+        codes = F.array(
+            *[
+                (
+                    F.array_position(
+                        F.array(
+                            *[
+                                _sqdist_expr(
+                                    _sub_slice(F.col(vec_col), s, sub),
+                                    codebooks[s][c],
+                                )
+                                for c in range(n_codes)
+                            ]
+                        ),
+                        F.array_min(
+                            F.array(
+                                *[
+                                    _sqdist_expr(
+                                        _sub_slice(F.col(vec_col), s, sub),
+                                        codebooks[s][c],
+                                    )
+                                    for c in range(n_codes)
+                                ]
+                            )
+                        ),
+                    )
+                    - 1
+                ).cast("int")
+                for s in range(m)
+            ]
+        )
+        return df.withColumn(out_col, codes)
+    if method != "arrow":
+        raise ValueError("pq_encode method must be auto/expr/arrow, got %r" % method)
+    import numpy as np
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+
+    def _encode(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            if v is None:
+                out.append(None)
+                continue
+            x = np.asarray(v, dtype=np.float64)
+            out.append(
+                [
+                    int(
+                        np.argmin(
+                            ((books[s] - x[s * sub : (s + 1) * sub]) ** 2).sum(axis=1)
+                        )
+                    )
+                    for s in range(m)
+                ]
+            )
+        return pd.Series(out)
+
+    enc = F.pandas_udf(_encode, "array<int>")
+    return df.withColumn(out_col, enc(F.col(vec_col)))
+
+
+pq_encode.__doc__ = pq_encode.__doc__ % _PQ_EXPR_MAX_TERMS
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    query_vector: Sequence[float],
+    codebooks: List[List[List[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+    round_digits: int = 4,
+) -> DataFrame:
+    """ADC top-k over PQ codes: the m x n_codes lookup table (squared L2 of
+    the exact query subvector to every centroid) is computed DRIVER-side
+    (tiny — the model artifact again) and rides into ONE codegen fold:
+    ``dist(code) = sum_s LUT[s][code[s]]``.  The scan reads only the code
+    column (bytes, not vectors), the plan is a projection + global top-k —
+    at serving scale this is the memory-bound tier PQ exists for.
+    Ordering uses the unrounded distance (ties by id); the emitted value
+    is rounded for cross-engine comparison."""
+    m = len(codebooks)
+    n_codes = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    lut = [
+        [
+            sum(
+                (float(query_vector[s * sub + i]) - codebooks[s][c][i]) ** 2
+                for i in range(sub)
+            )
+            for c in range(n_codes)
+        ]
+        for s in range(m)
+    ]
+    lut_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(lut_lit, s + 1), F.element_at(F.col(codes_col), s + 1) + 1
+        ),
+    )
+    return (
+        encoded.select(F.col(id_col), dist.alias("_d"))
+        .orderBy(F.col("_d").asc(), F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col), F.round(F.col("_d"), round_digits).alias("adc_dist"))
+    )

@@ -172,6 +172,45 @@ class TestRemoveRepeatedSpans:
         )
         assert "Python" not in plan  # codegen grams + HOF rebuild, no UDF
 
+    def test_differential_vs_bruteforce(self, spark):
+        """Seeded-random corpus over a tiny alphabet (dense collisions:
+        overlapping, adjacent, self- and cross-doc duplicated spans) vs an
+        independent brute-force oracle — one Spark job for all docs."""
+        import random
+
+        rng = random.Random(1234)
+        k = 3
+        docs = [
+            (i, [rng.choice("abcd") for _ in range(rng.randint(0, 14))])
+            for i in range(40)
+        ]
+
+        grams = {}
+        for doc_id, toks in docs:
+            for p in range(len(toks) - k + 1):
+                grams.setdefault(tuple(toks[p : p + k]), []).append((doc_id, p))
+        covered = {doc_id: set() for doc_id, _ in docs}
+        for positions in grams.values():
+            if len(positions) < 2:
+                continue
+            for doc_id, p in positions:
+                covered[doc_id].update(range(p, p + k))
+        expected = {
+            doc_id: " ".join(t for j, t in enumerate(toks) if j not in covered[doc_id])
+            for doc_id, toks in docs
+        }
+
+        df = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in docs], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r
+            for r in dedup.remove_repeated_spans(df, k=k).collect()
+        }
+        for doc_id, toks in docs:
+            assert got[doc_id]["clean_text"] == expected[doc_id], doc_id
+            assert got[doc_id]["n_tokens_removed"] == len(covered[doc_id])
+
 
 class TestRepetitionAndDecontamination:
     def test_repetition_features_planted(self, spark):
@@ -603,6 +642,104 @@ class TestIvf:
         assert "ivf_cell" in plan.split("PartitionFilters")[1].splitlines()[0]
         # the query vector's own cell is probed -> the vector itself is found
         assert probed.collect()[0]["vec_id"] == 7
+
+
+class TestPq:
+    """Product quantization (pq_train / pq_encode / pq_adc_topk)."""
+
+    def _vectors(self, n=30, dim=16, seed=7):
+        import random
+
+        rng = random.Random(seed)
+        return [(i, [rng.gauss(0.0, 1.0) for _ in range(dim)]) for i in range(n)]
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, [float(v) for v in vec]) for i, vec in rows],
+            "vec_id long, embedding array<float>",
+        )
+
+    def test_train_matches_numpy_lloyd(self, spark):
+        import numpy as np
+
+        rows = self._vectors()
+        dim, m, n_codes, sub = 16, 4, 4, 4
+        books = similarity.pq_train(
+            self._df(spark, rows), m=m, n_codes=n_codes, iters=1, dim=dim
+        )
+        # independent numpy replica: seed = lowest-id subvectors, one
+        # Lloyd step with squared-L2 argmin (lowest code on ties)
+        data = np.array([v for _, v in sorted(rows)], dtype=np.float64)
+        # float32 round-trip: Spark stored the vectors as array<float>
+        data = data.astype(np.float32).astype(np.float64)
+        for s in range(m):
+            X = data[:, s * sub : (s + 1) * sub]
+            C = X[:n_codes].copy()
+            codes = np.argmin(
+                ((X[:, None, :] - C[None]) ** 2).sum(axis=2), axis=1
+            )
+            for c in range(n_codes):
+                members = X[codes == c]
+                want = C[c] if len(members) == 0 else members.mean(axis=0)
+                got = np.array(books[s][c])
+                assert np.allclose(got, want, atol=1e-9), (s, c)
+
+    def test_encode_expr_arrow_parity_and_jvm_plan(self, spark):
+        df = self._df(spark, self._vectors())
+        books = similarity.pq_train(df, m=4, n_codes=4, iters=0, dim=16)
+        expr = similarity.pq_encode(df, books, method="expr")
+        arrow = similarity.pq_encode(df, books, method="arrow")
+        ce = {r["vec_id"]: r["pq_codes"] for r in expr.collect()}
+        ca = {r["vec_id"]: r["pq_codes"] for r in arrow.collect()}
+        assert ce == ca
+        plan = expr._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan  # expr encode is pure codegen
+
+    def test_adc_matches_bruteforce(self, spark):
+        import numpy as np
+
+        rows = self._vectors()
+        df = self._df(spark, rows)
+        dim, m, sub = 16, 4, 4
+        books = similarity.pq_train(df, m=m, n_codes=4, iters=1, dim=dim)
+        enc = similarity.pq_encode(df, books, method="expr")
+        q = [float(np.float32(v)) for v in dict(rows)[0]]
+        got = [
+            (r["vec_id"], r["adc_dist"])
+            for r in similarity.pq_adc_topk(enc, q, books, k=5).collect()
+        ]
+        codes = {r["vec_id"]: r["pq_codes"] for r in enc.collect()}
+        booksn = [np.array(b) for b in books]
+
+        def adc(cs):
+            return sum(
+                ((np.array(q[s * sub : (s + 1) * sub]) - booksn[s][cs[s]]) ** 2).sum()
+                for s in range(m)
+            )
+
+        brute = sorted((adc(cs), i) for i, cs in codes.items())[:5]
+        assert [(i, round(d, 4)) for d, i in brute] == got
+        # the code column is what the scan reads: the ADC plan is JVM-only
+        plan = (
+            similarity.pq_adc_topk(enc.select("vec_id", "pq_codes"), q, books, k=5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Python" not in plan
+
+    def test_self_code_is_zero_distance(self, spark):
+        # a seed vector encodes to its own codebook entries, and ADC from
+        # itself is exactly 0 in every subspace
+        rows = self._vectors(n=10)
+        df = self._df(spark, rows)
+        books = similarity.pq_train(df, m=4, n_codes=8, iters=0, dim=16)
+        enc = {r["vec_id"]: r["pq_codes"] for r in
+               similarity.pq_encode(df, books, method="expr").collect()}
+        assert enc[3] == [3, 3, 3, 3]  # vec 3 is seed code 3 in every subspace
+
+    def test_dim_not_divisible_raises(self, spark):
+        df = self._df(spark, self._vectors(dim=10))
+        with pytest.raises(ValueError, match="not divisible"):
+            similarity.pq_train(df, m=4, n_codes=4, iters=0, dim=10)
 
 
 class TestTextstats:
