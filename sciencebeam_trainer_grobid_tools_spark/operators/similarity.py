@@ -826,3 +826,102 @@ def pq_adc_topk(
         .limit(k)
         .select(F.col(id_col), F.round(F.col("_d"), round_digits).alias("adc_dist"))
     )
+
+
+def pq_residual_encode(
+    df: DataFrame,
+    centroids: List[List[float]],
+    codebooks: List[List[List[float]]],
+    cell_col: str = "ivf_cell",
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+    method: str = "auto",
+) -> DataFrame:
+    """PQ-encode each vector's RESIDUAL against its IVF centroid (the
+    IVFPQ layout: coarse cell + fine residual codes).  The centroid table
+    rides in as one nested literal indexed by the cell column —
+    ``element_at`` keeps the plan size O(1) in the number of cells — and
+    the residual subtraction is a codegen ``zip_with``; encoding then
+    reuses :func:`pq_encode` unchanged.  Null cells (null vectors) yield
+    null codes."""
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
+    )
+    res = F.zip_with(
+        F.col(vec_col),
+        F.element_at(cent_lit, F.col(cell_col) + 1),
+        lambda x, c: x - c,
+    )
+    encoded = pq_encode(
+        df.withColumn("_res", res),
+        codebooks,
+        vec_col="_res",
+        out_col=out_col,
+        method=method,
+    )
+    return encoded.drop("_res")
+
+
+def ivf_pq_topk(
+    encoded: DataFrame,
+    query_vector: Sequence[float],
+    centroids: List[List[float]],
+    codebooks: List[List[List[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    cell_col: str = "ivf_cell",
+    codes_col: str = "pq_codes",
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVFPQ search (the composed FAISS-style index): probe the ``nprobe``
+    cells whose centroids are L2-closest to the query (driver-side — the
+    centroid table is the model artifact), then rank ONLY those cells'
+    rows by ADC over their residual codes, each probed cell using its own
+    residual lookup table (``r_c = q - centroid_c``).
+
+    Note the metric: the PQ family is squared-L2 throughout (probe AND
+    rank), matching the Jegou et al. formulation — :func:`ivf_topk` is
+    the spherical/cosine variant of the coarse index.  The scan reads
+    only (id, cell, codes); the cell filter prunes to the probed cells
+    (partition pruning under a cell-partitioned layout, exactly like the
+    prebucketed LSH path), and the per-cell LUT dispatch is a codegen
+    CASE over ``nprobe`` branches — independent of the total cell count.
+    Ordering uses the unrounded distance (ties by id)."""
+    q = [float(v) for v in query_vector]
+    cell_d2 = [
+        (sum((q[i] - c[i]) ** 2 for i in range(len(c))), cell)
+        for cell, c in enumerate(centroids)
+    ]
+    probed = [cell for _, cell in sorted(cell_d2)[:nprobe]]
+    m = len(codebooks)
+    n_codes = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    dist = F.lit(None).cast("double")
+    for cell in probed:
+        rq = [q[i] - centroids[cell][i] for i in range(len(q))]
+        lut = [
+            [
+                sum((rq[s * sub + i] - codebooks[s][c][i]) ** 2 for i in range(sub))
+                for c in range(n_codes)
+            ]
+            for s in range(m)
+        ]
+        lut_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+        cell_dist = F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + F.element_at(
+                F.element_at(lut_lit, s + 1),
+                F.element_at(F.col(codes_col), s + 1) + 1,
+            ),
+        )
+        dist = F.when(F.col(cell_col) == cell, cell_dist).otherwise(dist)
+    return (
+        encoded.filter(F.col(cell_col).isin(probed))
+        .select(F.col(id_col), dist.alias("_d"))
+        .orderBy(F.col("_d").asc(), F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col), F.round(F.col("_d"), round_digits).alias("adc_dist"))
+    )

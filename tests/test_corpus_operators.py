@@ -741,6 +741,74 @@ class TestPq:
         with pytest.raises(ValueError, match="not divisible"):
             similarity.pq_train(df, m=4, n_codes=4, iters=0, dim=10)
 
+    def test_ivfpq_composition_matches_bruteforce(self, spark):
+        """The composed FAISS-style index: ivf_assign -> residual encode
+        -> per-probed-cell ADC, differential against numpy end to end."""
+        import numpy as np
+
+        rows = self._vectors(n=40, dim=16)
+        df = self._df(spark, rows)
+        dim, m, sub, n_cells, n_codes, nprobe = 16, 4, 4, 4, 4, 2
+        centroids = similarity.ivf_train(df, n_cells=n_cells, iters=1, dim=dim)
+        assigned = similarity.ivf_assign(df, centroids)
+        books = similarity.pq_train(
+            assigned.select(
+                "vec_id",
+                F.zip_with(
+                    "embedding",
+                    F.element_at(
+                        F.array(
+                            *[
+                                F.array(*[F.lit(float(v)) for v in c])
+                                for c in centroids
+                            ]
+                        ),
+                        F.col("ivf_cell") + 1,
+                    ),
+                    lambda x, c: x - c,
+                ).alias("embedding"),
+            ),
+            m=m,
+            n_codes=n_codes,
+            iters=1,
+            dim=dim,
+        )
+        encoded = similarity.pq_residual_encode(assigned, centroids, books)
+        q = [float(np.float32(v)) for v in dict(rows)[0]]
+        got = [
+            (r["vec_id"], r["adc_dist"])
+            for r in similarity.ivf_pq_topk(
+                encoded, q, centroids, books, k=5, nprobe=nprobe
+            ).collect()
+        ]
+        # numpy replica over the SAME codes/cells
+        data = {r["vec_id"]: (r["ivf_cell"], r["pq_codes"]) for r in encoded.collect()}
+        cents = np.array(centroids)
+        booksn = [np.array(b) for b in books]
+        qa = np.array(q)
+        probed = sorted(
+            range(n_cells), key=lambda c: ((qa - cents[c]) ** 2).sum()
+        )[:nprobe]
+        exp = []
+        for vid, (cell, codes) in data.items():
+            if cell not in probed:
+                continue
+            rq = qa - cents[cell]
+            d = sum(
+                ((rq[s * sub : (s + 1) * sub] - booksn[s][codes[s]]) ** 2).sum()
+                for s in range(m)
+            )
+            exp.append((d, vid))
+        expected = [(i, round(d, 4)) for d, i in sorted(exp)[:5]]
+        assert got == expected
+        # probed-cell filter + per-cell LUT dispatch stay JVM-side
+        plan = (
+            similarity.ivf_pq_topk(encoded, q, centroids, books, k=5, nprobe=nprobe)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Python" not in plan
+        assert "isin" in plan.lower() or "IN (" in plan  # cell pruning filter
+
 
 class TestTextstats:
     def test_lang_id(self, docs):
