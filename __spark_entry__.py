@@ -428,6 +428,47 @@ def q_docs_remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_docs_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both corpus-LM quality scores in ONE labeled gate entry (merged to
+    keep the 50-entry gate all-oracle): ``unigram`` — CCNet-filter shape,
+    per-doc mean -ln p(tok); ``bigram`` — the n=2 generalization proof
+    (context-keyed counts, model derived from the count table).  Each
+    variant's scores value-check independently under the label;
+    ``n_units`` is tokens for unigram rows, bigrams for bigram rows."""
+    a = q_docs_unigram_logprob(spark, sf_dir).select(
+        F.lit("unigram").alias("variant"),
+        "doc_id",
+        F.col("n_tokens").alias("n_units"),
+        F.col("avg_neg_logprob").alias("score"),
+    )
+    b = q_docs_bigram_logprob(spark, sf_dir).select(
+        F.lit("bigram").alias("variant"),
+        "doc_id",
+        F.col("n_bigrams").alias("n_units"),
+        F.col("avg_neg_logprob2").alias("score"),
+    )
+    return a.unionByName(b).orderBy("variant", "doc_id")
+
+
+def q_docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): target corpus = the French
+    documents, raw = everything; importance weights under two smoothed
+    bag-of-words models over the UNION vocabulary, Gumbel-max resampling
+    with the deterministic md5-uniform draw on (0, 1).  Selection must
+    concentrate on target-like documents; the oracle replays models,
+    weights, noise and the top-k."""
+    docs = _spread(_load(spark, sf_dir, "documents"), spark)
+    target = docs.filter(F.col("lang") == "fr")
+    selected = textstats.dsir_select(
+        docs, target, n_select=100, persist_vocab=False
+    )
+    return (
+        selected.join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "n_tokens", "dsir_logweight")
+        .orderBy("doc_id")
+    )
+
+
 def q_docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPOSED curation pipeline (plans/curation.py) — canonical-URL
     recrawl dedup -> PII scrub -> quality filter -> repetition filter ->
@@ -1478,8 +1519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pii_scrub": q_docs_pii_scrub,
         "docs_winnowing": q_docs_winnowing,
         "docs_token_budget": q_docs_token_budget,
-        "docs_unigram_logprob": q_docs_unigram_logprob,
-        "docs_bigram_logprob": q_docs_bigram_logprob,
+        "docs_lm_logprob": q_docs_lm_logprob,
+        "docs_dsir_sample": q_docs_dsir_sample,
         "docs_curation_pipeline": q_docs_curation_pipeline,
         "docs_repetition": q_docs_repetition,
         "docs_decontaminate": q_docs_decontaminate,
@@ -1528,7 +1569,20 @@ def demo_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_near_dups": q_docs_minhash_near_dups,
         "tei_render": q_tei_render,
         "media_features": q_media_features,
+        "emb_semantic_dedup": q_emb_semantic_dedup,
     }
+
+
+def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shape semantic dedup demo (rows-only: the testdata
+    embeddings are unclustered gaussians, so the interesting behavior —
+    keep-lowest-per-group — is pinned by the planted-group pytest; this
+    demo exercises the full cell-local pairwise plan on real data at a
+    DEMO threshold)."""
+    embeddings = _load(spark, sf_dir, "embeddings")
+    centroids = similarity.ivf_train(embeddings, n_cells=8, iters=0, dim=64)
+    out = similarity.semantic_dedup(embeddings, centroids, threshold=0.35)
+    return out.select("vec_id", "ivf_cell", "semdedup_keep").orderBy("vec_id")
 
 
 def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1813,6 +1867,69 @@ _DOCS_UNIGRAM_LOGPROB_ORACLE_SQL = """
                AS avg_neg_logprob
     FROM tok t JOIN vocab vo USING (tok) CROSS JOIN nv
     GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
+# the two LM variants' labeled union (column names aligned on both sides)
+_DOCS_LM_LOGPROB_ORACLE_SQL = """
+    SELECT 'unigram' AS variant, doc_id, n_tokens AS n_units,
+           avg_neg_logprob AS score
+    FROM (%s)
+    UNION ALL
+    SELECT 'bigram' AS variant, doc_id, n_bigrams AS n_units,
+           avg_neg_logprob2 AS score
+    FROM (%s)
+    ORDER BY variant, doc_id
+"""
+
+
+# DuckDB replica of q_docs_dsir_sample: union-vocabulary models from the
+# two count tables, per-doc summed log-ratio, the SAME open-interval
+# md5-uniform Gumbel draw, top-100 by (weight + gumbel) with doc_id
+# tie-break, lang joined back for the selection-concentration evidence.
+_DOCS_DSIR_ORACLE_SQL = """
+    WITH raw_tok AS (
+        SELECT doc_id,
+               unnest(string_split(LOWER(REPLACE(text, chr(10), ' ')), ' '))
+                   AS tok
+        FROM documents
+    ),
+    rt AS (SELECT doc_id, tok FROM raw_tok WHERE tok <> ''),
+    tt AS (
+        SELECT t.doc_id, t.tok FROM rt t
+        JOIN documents d USING (doc_id) WHERE d.lang = 'fr'
+    ),
+    rc AS (SELECT tok, COUNT(*) AS cr FROM rt GROUP BY tok),
+    tc AS (SELECT tok, COUNT(*) AS ct FROM tt GROUP BY tok),
+    vocab AS (
+        SELECT COALESCE(rc.tok, tc.tok) AS tok,
+               COALESCE(cr, 0) AS cr, COALESCE(ct, 0) AS ct
+        FROM rc FULL OUTER JOIN tc ON rc.tok = tc.tok
+    ),
+    nv AS (SELECT CAST(SUM(ct) AS DOUBLE) AS nt,
+                  CAST(SUM(cr) AS DOUBLE) AS nr,
+                  CAST(COUNT(*) AS DOUBLE) AS v
+           FROM vocab),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               SUM(LN((vo.ct + 0.5) / (nv.nt + 0.5 * nv.v))
+                   - LN((vo.cr + 0.5) / (nv.nr + 0.5 * nv.v))) AS w
+        FROM rt t JOIN vocab vo USING (tok) CROSS JOIN nv
+        GROUP BY t.doc_id
+    ),
+    keyed AS (
+        SELECT doc_id, n_tokens, w,
+               w + (-LN(-LN(
+                   (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         AS BIGINT) + 0.5) / 4294967296.0
+               ))) AS gk
+        FROM scored
+    ),
+    top AS (SELECT * FROM keyed ORDER BY gk DESC, doc_id LIMIT 100)
+    SELECT t.doc_id, d.lang, t.n_tokens, ROUND(t.w, 6) AS dsir_logweight
+    FROM top t JOIN documents d USING (doc_id)
+    ORDER BY t.doc_id
 """
 
 
@@ -2402,8 +2519,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_pii_scrub": _pii_scrub_oracle_sql(),
         "docs_winnowing": _winnowing_oracle_sql(),
         "docs_token_budget": _DOCS_TOKEN_BUDGET_ORACLE_SQL,
-        "docs_unigram_logprob": _DOCS_UNIGRAM_LOGPROB_ORACLE_SQL,
-        "docs_bigram_logprob": _DOCS_BIGRAM_LOGPROB_ORACLE_SQL,
+        "docs_lm_logprob": _DOCS_LM_LOGPROB_ORACLE_SQL
+        % (_DOCS_UNIGRAM_LOGPROB_ORACLE_SQL, _DOCS_BIGRAM_LOGPROB_ORACLE_SQL),
+        "docs_dsir_sample": _DOCS_DSIR_ORACLE_SQL,
         "docs_remove_repeated_spans": _DOCS_REMOVE_REPEATED_SPANS_ORACLE_SQL,
         "docs_curation_pipeline": _curation_pipeline_oracle_sql(),
         "docs_decontaminate": _DOCS_DECONTAMINATE_ORACLE_SQL,

@@ -925,3 +925,56 @@ def ivf_pq_topk(
         .limit(k)
         .select(F.col(id_col), F.round(F.col("_d"), round_digits).alias("adc_dist"))
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: List[List[float]],
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic deduplication (the SemDeDup shape, Abbas et al. 2023:
+    k-means the embeddings, then dedup WITHIN clusters — the clustering is
+    what makes the quadratic comparison local).  A vector is dropped iff
+    some LOWER-id vector in the same cluster has cosine >= ``threshold``
+    with it; the lowest id of every duplicate set survives.  The rule is
+    deliberately non-iterative (u may itself be dropped by a still-lower
+    w — v stays dropped): deterministic, one pass, shard-local.  Known
+    recall limit, inherited from SemDeDup itself: near-duplicates split
+    across cluster boundaries are not compared (raise k-means quality or
+    lower k to trade recall vs cost).
+
+    Returns the input rows + ``ivf_cell`` + ``semdedup_keep``.  Scale
+    design: assignment is :func:`ivf_assign` (no shuffle); the pairwise
+    stage self-joins ON THE CELL KEY only — each cluster's block is
+    cell-local after one shuffle per side, the cosine is a codegen fold,
+    and only dropped IDS flow into the final null-producing join.  Cell
+    sizes bound the quadratic term, exactly the SemDeDup argument."""
+    assigned = ivf_assign(df, centroids, vec_col=vec_col)
+    left = assigned.select(
+        F.col("ivf_cell").alias("_c"),
+        F.col(id_col).alias("_id_a"),
+        F.col(vec_col).alias("_va"),
+    )
+    right = assigned.select(
+        F.col("ivf_cell").alias("_c"),
+        F.col(id_col).alias("_id_b"),
+        F.col(vec_col).alias("_vb"),
+    )
+    cos = dot(F.col("_va"), F.col("_vb")) / (
+        embedding_norm(F.col("_va")) * embedding_norm(F.col("_vb"))
+    )
+    dropped = (
+        left.join(right, "_c")
+        .filter(F.col("_id_a") < F.col("_id_b"))
+        .filter(cos >= threshold)
+        .select(F.col("_id_b").alias(id_col))
+        .distinct()
+    )
+    marked = assigned.join(
+        dropped.withColumn("_dropped", F.lit(True)), id_col, "left"
+    )
+    return marked.withColumn(
+        "semdedup_keep", F.coalesce(~F.col("_dropped"), F.lit(True))
+    ).drop("_dropped")

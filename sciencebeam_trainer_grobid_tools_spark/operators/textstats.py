@@ -335,3 +335,107 @@ def token_budget_sample(
         .filter(_F.col("_cum") <= budget_tokens)
         .drop("_n_tok", "_cum")
     )
+
+
+def _hash_uniform_open(col) -> "Column":
+    """Deterministic uniform draw per id on the OPEN interval (0, 1):
+    ``(x + 0.5) / 2^32`` over the md5-prefix integer — never exactly 0 or
+    1, so ``-ln(-ln(u))`` (the Gumbel transform) is always finite.  Kept
+    separate from :func:`_hash_uniform` (half-open [0, 1)) so the
+    token-budget oracle's draw stays byte-identical."""
+    from pyspark.sql import functions as _F
+
+    x = _F.conv(_F.substring(_F.md5(col.cast("string")), 1, 8), 16, 10).cast("double")
+    return (x + _F.lit(0.5)) / _F.lit(float(2 ** 32))
+
+
+def dsir_select(
+    raw_df: "DataFrame",
+    target_df: "DataFrame",
+    n_select: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smoothing: float = 0.5,
+    persist_vocab: bool = True,
+) -> "DataFrame":
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+    pick the ``n_select`` raw-corpus documents that look most like a
+    TARGET corpus, by importance weight under two bag-of-words models.
+
+    ``w(doc) = sum_tok [ ln p_target(tok) - ln p_raw(tok) ]`` with
+    additive smoothing over the UNION vocabulary (shared V, so the two
+    models are comparable), and Gumbel-max resampling: each doc's key is
+    ``w + g`` where ``g = -ln(-ln(u))`` and ``u`` is the deterministic
+    md5-uniform draw on (0, 1) — sampling proportional to ``exp(w)``
+    that is reproducible run-to-run AND engine-to-engine (the paper
+    draws i.i.d. Gumbel noise; a hash-derived draw is the
+    deterministic-infrastructure equivalent).  Zero-token documents
+    carry no evidence and are never selected.
+
+    Scale design: the raw corpus is touched twice (vocabulary count
+    shuffle + the per-doc weight aggregation); the target corpus — small
+    by construction in every DSIR deployment — contributes one count
+    table; the union vocabulary is built by a FULL OUTER join of the two
+    COUNT TABLES (never the corpora), N/V are a 1-row collect (model
+    statistics), and the score join is token-keyed under AQE.  The final
+    top-``n_select`` is a global TakeOrdered — no full sort.
+    ``persist_vocab`` follows the unigram op's contract (two consumers:
+    N/V and the score join; caller owns the lifecycle)."""
+    from pyspark.sql import functions as _F
+
+    def _toks(df):
+        tok = _F.explode(
+            _F.split(
+                _F.lower(_F.replace(_F.col(text_col), _F.lit("\n"), _F.lit(" "))),
+                " ",
+            )
+        ).alias("tok")
+        return df.select(_F.col(id_col).alias("doc_id"), tok).filter(
+            _F.col("tok") != ""
+        )
+
+    raw_toks = _toks(raw_df)
+    tgt_counts = _toks(target_df).groupBy("tok").agg(
+        _F.count(_F.lit(1)).alias("ct")
+    )
+    raw_counts = raw_toks.groupBy("tok").agg(_F.count(_F.lit(1)).alias("cr"))
+    vocab = (
+        raw_counts.join(tgt_counts, "tok", "full_outer")
+        .select(
+            "tok",
+            _F.coalesce(_F.col("cr"), _F.lit(0)).alias("cr"),
+            _F.coalesce(_F.col("ct"), _F.lit(0)).alias("ct"),
+        )
+    )
+    if persist_vocab:
+        vocab = vocab.persist()
+    n_tgt, n_raw, v_size = vocab.agg(
+        _F.sum("ct").cast("double"),
+        _F.sum("cr").cast("double"),
+        _F.count(_F.lit(1)).cast("double"),
+    ).first()
+    s = float(smoothing)
+    denom_t = float(n_tgt) + s * float(v_size)
+    denom_r = float(n_raw) + s * float(v_size)
+    log_ratio = _F.log((_F.col("ct") + _F.lit(s)) / _F.lit(denom_t)) - _F.log(
+        (_F.col("cr") + _F.lit(s)) / _F.lit(denom_r)
+    )
+    scored = (
+        raw_toks.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            _F.count(_F.lit(1)).cast("long").alias("n_tokens"),
+            _F.sum(log_ratio).alias("_w"),
+        )
+    )
+    gumbel = -_F.log(-_F.log(_hash_uniform_open(_F.col("doc_id"))))
+    return (
+        scored.withColumn("_key", _F.col("_w") + gumbel)
+        .orderBy(_F.col("_key").desc(), _F.col("doc_id"))
+        .limit(n_select)
+        .select(
+            "doc_id",
+            "n_tokens",
+            _F.round(_F.col("_w"), 6).alias("dsir_logweight"),
+        )
+    )

@@ -810,6 +810,65 @@ class TestPq:
         assert "isin" in plan.lower() or "IN (" in plan  # cell pruning filter
 
 
+class TestSemanticDedup:
+    def _grouped(self, spark, groups=4, per=5, dim=8, noise=0.01, seed=3):
+        import random
+
+        rng = random.Random(seed)
+        base = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(groups)]
+        rows = [
+            (i, [float(v + rng.gauss(0, noise)) for v in base[i % groups]])
+            for i in range(groups * per)
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_keeps_lowest_id_per_semantic_group(self, spark):
+        df = self._grouped(spark)
+        cents = similarity.ivf_train(df, n_cells=4, iters=2, dim=8)
+        out = similarity.semantic_dedup(df, cents, threshold=0.99).collect()
+        kept = sorted(r["vec_id"] for r in out if r["semdedup_keep"])
+        assert kept == [0, 1, 2, 3]  # one representative per planted group
+        assert len(out) == 20  # nothing is silently filtered, only flagged
+
+    def test_distinct_vectors_all_survive(self, spark):
+        import random
+
+        rng = random.Random(11)
+        rows = [
+            (i, [float(rng.gauss(0, 1)) for _ in range(8)]) for i in range(12)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        cents = similarity.ivf_train(df, n_cells=3, iters=1, dim=8)
+        out = similarity.semantic_dedup(df, cents, threshold=0.99).collect()
+        assert all(r["semdedup_keep"] for r in out)
+
+    def test_pairwise_rule_is_non_iterative(self, spark):
+        """v is dropped when a lower-id u is within threshold even if u was
+        itself dropped by a still-lower w (documented one-pass rule)."""
+        # chain: w=0 ~ u=1 ~ v=2 but w and v less similar; all one cluster
+        rows = [
+            (0, [1.0, 0.0]),
+            (1, [0.96, 0.28]),   # cos(0,1) ~ 0.96
+            (2, [0.85, 0.527]),  # cos(1,2) ~ 0.964, cos(0,2) ~ 0.85
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        cents = [[1.0, 0.0]]  # single cluster: all compared
+        out = {
+            r["vec_id"]: r["semdedup_keep"]
+            for r in similarity.semantic_dedup(df, cents, threshold=0.95).collect()
+        }
+        assert out == {0: True, 1: False, 2: False}
+
+    def test_cell_local_join_plan(self, spark):
+        df = self._grouped(spark)
+        cents = similarity.ivf_train(df, n_cells=4, iters=0, dim=8)
+        plan = (
+            similarity.semantic_dedup(df, cents, threshold=0.99)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan  # the join is cell-keyed
+
+
 class TestTextstats:
     def test_lang_id(self, docs):
         langs = {r["doc_id"]: r["g"] for r in docs.select(
@@ -1084,6 +1143,50 @@ class TestBigramLogprob:
         b = textstats.bigram_logprob_features(docs, persist_counts=False).collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
         assert len(a) == 20
+
+
+class TestDsirSelect:
+    """DSIR importance resampling (Xie et al. 2023 shape)."""
+
+    def test_hand_computed_weights(self, spark):
+        """raw = {'a a', 'b b'}, target = {'a a'}: union vocab {a, b},
+        nt=2 nr=4 V=2 s=0.5 -> w(doc1) = 2 ln(5/3), w(doc2) = 2 ln(1/3)."""
+        import math
+
+        raw = spark.createDataFrame(
+            [(1, "a a"), (2, "b b")], "doc_id long, text string"
+        )
+        target = raw.filter(F.col("doc_id") == 1)
+        out = {
+            r["doc_id"]: r
+            for r in textstats.dsir_select(
+                raw, target, n_select=2, persist_vocab=False
+            ).collect()
+        }
+        assert out[1]["dsir_logweight"] == round(2 * math.log(5 / 3), 6)
+        assert out[2]["dsir_logweight"] == round(2 * math.log(1 / 3), 6)
+
+    def test_selects_target_like_docs(self, spark):
+        rows = [(i, "le chat est sur la table numero %d" % i, "fr") for i in range(8)]
+        rows += [(100 + i, "the dog sits on the mat number %d" % i, "en")
+                 for i in range(8)]
+        raw = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        target = raw.filter(F.col("lang") == "fr")
+        sel = textstats.dsir_select(raw, target, 8, persist_vocab=False).collect()
+        ids = {r["doc_id"] for r in sel}
+        # gumbel noise can let a near-boundary doc slip, but the selection
+        # must concentrate overwhelmingly on the target-like half
+        assert len(ids) == 8 and sum(1 for i in ids if i < 100) >= 7
+
+    def test_deterministic_and_skips_empty(self, spark):
+        raw = spark.createDataFrame(
+            [(1, "x y z"), (2, ""), (3, "x y q")], "doc_id long, text string"
+        )
+        target = raw.filter(F.col("doc_id") == 1)
+        a = textstats.dsir_select(raw, target, 3, persist_vocab=False).collect()
+        b = textstats.dsir_select(raw, target, 3, persist_vocab=False).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        assert {r["doc_id"] for r in a} == {1, 3}  # empty doc never selected
 
 
 class TestTokenBudgetSample:

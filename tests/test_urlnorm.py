@@ -66,6 +66,26 @@ class TestCanonicalUrl:
         for i, (raw, want) in enumerate(CASES):
             assert got[i] == want, "%r -> %r, want %r" % (raw, got[i], want)
 
+    def test_idempotent(self, spark):
+        """canonical(canonical(u)) == canonical(u) — dedup keys must be
+        stable under re-normalization (a re-crawled canonical URL stored
+        and re-canonicalized must not drift).  Checked over the full case
+        table plus adversarial shapes."""
+        extra = [
+            "http://a.com/p?utm_a=1&utm_b=2&c=3#f",
+            "HTTP://U:P@A.com:80/Dir/?gclid=1",
+            "https://a.com:443/x/y/?a=&b=?&utm_c=z",
+            "http://a.com/path&utm=1/deep/?fbclid=x",
+        ]
+        raws = [raw for raw, _ in CASES] + extra
+        df = spark.createDataFrame(
+            [(i, r) for i, r in enumerate(raws)], "i int, url string"
+        )
+        once = urlnorm.with_canonical_url(df, out_col="c1")
+        twice = once.withColumn("c2", urlnorm.canonical_url(F.col("c1")))
+        for r in twice.collect():
+            assert r["c1"] == r["c2"], (raws[r["i"]], r["c1"], r["c2"])
+
     def test_is_pure_catalyst(self, spark):
         df = spark.createDataFrame([(1, "http://a.com/x")], "i int, url string")
         plan = (
