@@ -241,6 +241,55 @@ def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both fingerprint-family shapes in ONE labeled gate entry (merged to
+    keep the 50-entry gate all-oracle): ``per_doc`` — the 16-char content
+    fingerprint per document; ``groups`` — the exact-dedup groupBy over
+    the full fingerprint (n_docs, keep = lowest id).  Same normalization
+    (lowercase, newline -> space) in both; each variant value-checks
+    independently under the label."""
+    per_doc = q_docs_fingerprint(spark, sf_dir).select(
+        F.lit("per_doc").alias("variant"),
+        "doc_id",
+        "fingerprint",
+        F.lit(None).cast("long").alias("n_docs"),
+        F.lit(None).cast("long").alias("keep_id"),
+    )
+    groups = q_docs_exact_dedup(spark, sf_dir).select(
+        F.lit("groups").alias("variant"),
+        F.lit(None).cast("long").alias("doc_id"),
+        "fingerprint",
+        F.col("n_docs").cast("long"),
+        F.col("keep_id").cast("long"),
+    )
+    return per_doc.unionByName(groups).orderBy("variant", "doc_id", "fingerprint")
+
+
+def q_docs_remove_common_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate LINE-level dedup (CCNet/RefinedWeb granularity,
+    dedup.remove_common_lines): a footer line is planted onto every
+    ``doc_id % 5 == 0`` document (cross-doc boilerplate), and the corpus's
+    natural exact-duplicate documents share EVERY line — both classes must
+    be stripped while unique lines keep their order.  The oracle replays
+    the whole construction (distinct-doc counts per exact line, drop at
+    df >= 2, ordered reassembly, emptied docs kept as empty strings)."""
+    docs = _spread(_load(spark, sf_dir, "documents"), spark)
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit("\ncopyright example press all rights reserved")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = dedup.remove_common_lines(planted, min_docs=2)
+    return out.select(
+        "doc_id",
+        "n_lines_before",
+        "n_lines_removed",
+        F.md5("clean_text").alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
 def q_docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents")
     return docs.select("doc_id", "lang", textstats.lang_id(F.col("text")).alias("lang_guess"))
@@ -1507,11 +1556,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_hourly_rollup": q_event_hourly_rollup,
         "events_json_extraction": q_events_json_extraction,
         "levenshtein_check": q_levenshtein_check,
-        "docs_exact_dedup": q_docs_exact_dedup,
+        "docs_fingerprint_dedup": q_docs_fingerprint_dedup,
         "docs_lang_id": q_docs_lang_id,
         "docs_quality": q_docs_quality,
         "docs_token_counts": q_docs_token_counts,
-        "docs_fingerprint": q_docs_fingerprint,
+        "docs_remove_common_lines": q_docs_remove_common_lines,
         "docs_remove_repeated_spans": q_docs_remove_repeated_spans,
         "docs_minhash": q_docs_minhash,
         "docs_simhash": q_docs_simhash,
@@ -1570,7 +1619,23 @@ def demo_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tei_render": q_tei_render,
         "media_features": q_media_features,
         "emb_semantic_dedup": q_emb_semantic_dedup,
+        "docs_ppl_buckets": q_docs_ppl_buckets,
     }
+
+
+def q_docs_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing demo (rows-only: the
+    gate is at its 50-entry all-oracle cap; mode agreement, the exact
+    per-stratum thirds, null-stratum parity and the no-Window scale claim
+    are pinned by pytest): unigram corpus-LM scores -> cutoffs-mode
+    thirds per language."""
+    docs = _spread(_load(spark, sf_dir, "documents"), spark)
+    scored = textstats.unigram_logprob_features(docs, persist_vocab=False)
+    scored = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    out = textstats.perplexity_buckets(scored, strata=("lang",), mode="cutoffs")
+    return out.select("doc_id", "lang", "avg_neg_logprob", "ppl_bucket").orderBy(
+        "doc_id"
+    )
 
 
 def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2438,10 +2503,57 @@ def oracle_sql() -> dict[str, str]:
                          / GREATEST(LENGTH(c_name), 18), 6) AS lev_ratio
             FROM customer
         """,
-        "docs_exact_dedup": """
-            SELECT md5(LOWER(REPLACE(text, chr(10), ' '))) AS fingerprint,
-                   COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
-            FROM documents GROUP BY 1
+        "docs_fingerprint_dedup": """
+            SELECT 'per_doc' AS variant, doc_id,
+                   SUBSTRING(md5(LOWER(REPLACE(text, chr(10), ' '))), 1, 16)
+                       AS fingerprint,
+                   CAST(NULL AS BIGINT) AS n_docs,
+                   CAST(NULL AS BIGINT) AS keep_id
+            FROM documents
+            UNION ALL
+            SELECT 'groups', NULL,
+                   md5(LOWER(REPLACE(text, chr(10), ' '))),
+                   COUNT(*), MIN(doc_id)
+            FROM documents GROUP BY 3
+            ORDER BY variant, doc_id, fingerprint
+        """,
+        "docs_remove_common_lines": """
+            WITH planted AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0
+                            THEN text || chr(10) ||
+                                 'copyright example press all rights reserved'
+                            ELSE text END AS text
+                FROM documents
+            ),
+            lines AS (
+                SELECT doc_id, i AS pos, string_split(text, chr(10))[i] AS line
+                FROM (SELECT doc_id, text,
+                             unnest(range(1, len(string_split(text, chr(10))) + 1))
+                                 AS i
+                      FROM planted)
+            ),
+            common AS (
+                SELECT line FROM lines GROUP BY line
+                HAVING COUNT(DISTINCT doc_id) >= 2
+            ),
+            kept AS (
+                SELECT l.* FROM lines l
+                WHERE NOT EXISTS (SELECT 1 FROM common c WHERE c.line = l.line)
+            ),
+            rebuilt AS (
+                SELECT doc_id, COUNT(*) AS n_kept,
+                       string_agg(line, chr(10) ORDER BY pos) AS clean_text
+                FROM kept GROUP BY doc_id
+            )
+            SELECT p.doc_id,
+                   CAST(len(string_split(p.text, chr(10))) AS INT)
+                       AS n_lines_before,
+                   CAST(len(string_split(p.text, chr(10)))
+                        - COALESCE(r.n_kept, 0) AS INT) AS n_lines_removed,
+                   md5(COALESCE(r.clean_text, '')) AS clean_md5
+            FROM planted p LEFT JOIN rebuilt r USING (doc_id)
+            ORDER BY p.doc_id
         """,
         "docs_lang_id": """
             SELECT doc_id, lang,
@@ -2491,11 +2603,7 @@ def oracle_sql() -> dict[str, str]:
                    LENGTH(text) AS n_chars_computed
             FROM documents
         """,
-        "docs_fingerprint": """
-            SELECT doc_id,
-                   SUBSTRING(md5(LOWER(REPLACE(text, chr(10), ' '))), 1, 16) AS fingerprint
-            FROM documents
-        """,
+
         "docs_ngram_jaccard": """
             WITH shingled AS (
                 SELECT doc_id,

@@ -854,3 +854,65 @@ def remove_repeated_spans(
         (F.size("_toks") - F.size(kept)).alias("n_tokens_removed"),
         F.array_join(kept, " ").alias("clean_text"),
     )
+
+
+def remove_common_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Boilerplate LINE removal (the line/paragraph-granularity dedup of
+    CCNet and RefinedWeb: navigation chrome, cookie banners, "subscribe"
+    calls repeat VERBATIM across pages — drop every line whose exact
+    content appears in >= ``min_docs`` distinct documents).  Sits between
+    document-level dedup (whole-text fingerprints) and span-level dedup
+    (:func:`remove_repeated_spans`): the unit is the newline-delimited
+    line, matching is exact, and remaining lines keep their order.
+
+    Scale design: the line text never shuffles for counting — the
+    document-frequency aggregation runs on ``(md5 digest, doc_id)`` with
+    a partial-aggregated distinct count, the common-digest set joins back
+    LEFT ANTI (AQE broadcasts it when boilerplate is rare), and the
+    reassembly is one doc-keyed shuffle of surviving ``(pos, line)``
+    pairs folded through ``sort_array`` + ``array_join`` (codegen).  A
+    doc whose every line is boilerplate comes back as the empty string —
+    rows are never silently lost.  Empty lines are lines too: a corpus
+    where blank separators repeat across >= min_docs documents will drop
+    them (exact-match semantics, documented)."""
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("_h", F.md5(F.col("line")))
+    common = (
+        lines.groupBy("_h")
+        .agg(F.count_distinct(F.col("doc_id")).alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("_h")
+    )
+    kept = lines.join(common, "_h", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), "\n")).alias("n_lines_before"),
+    )
+    return (
+        base.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines_before",
+            (F.col("n_lines_before") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("int")
+            .alias("n_lines_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

@@ -439,3 +439,57 @@ def dsir_select(
             _F.round(_F.col("_w"), 6).alias("dsir_logweight"),
         )
     )
+
+
+def perplexity_buckets(
+    df: "DataFrame",
+    score_col: str = "avg_neg_logprob",
+    strata=("lang",),
+    buckets: int = 3,
+    mode: str = "cutoffs",
+) -> "DataFrame":
+    """CCNet-style perplexity bucketing: split each stratum into
+    ``buckets`` quality tiers by LM score (CCNet keeps head/middle/tail
+    thirds per language and trains preferentially on the head).
+
+    ``mode='cutoffs'`` (the SCALE path): exact interpolated percentiles
+    per stratum via ONE partial-aggregated ``percentile`` shuffle, the
+    tiny cutoff table broadcast back, bucket assignment in codegen — no
+    window, no per-stratum sort (the same scale/exactness split as
+    ``token_budget_sample``).  ``mode='ntile'`` is the checkable
+    classical definition (equal-count tiles via a window) — a
+    single-task sort per stratum, small corpora only.  Both modes put a
+    NULL stratum in its own group (null-safe join), and both label
+    buckets 1..n, 1 = best (lowest score)."""
+    from pyspark.sql import Window as _W, functions as _F
+
+    strata = list(strata)
+    if mode == "ntile":
+        w = _W.partitionBy(*strata).orderBy(_F.col(score_col).asc())
+        return df.withColumn("ppl_bucket", _F.ntile(buckets).over(w))
+    if mode != "cutoffs":
+        raise ValueError(
+            "perplexity_buckets mode must be cutoffs/ntile, got %r" % mode
+        )
+    qs = [i / buckets for i in range(1, buckets)]
+    cuts = df.groupBy(*strata).agg(
+        _F.expr(
+            "percentile(%s, array(%s))" % (score_col, ", ".join(map(str, qs)))
+        ).alias("_cuts")
+    )
+    ct = cuts.select(
+        *[_F.col(s).alias("_s_" + s) for s in strata], "_cuts"
+    )
+    cond = _F.lit(True)
+    for s in strata:
+        cond = cond & _F.col(s).eqNullSafe(_F.col("_s_" + s))
+    bucket = _F.lit(buckets)
+    for i in reversed(range(buckets - 1)):
+        bucket = _F.when(
+            _F.col(score_col) <= _F.element_at("_cuts", i + 1), _F.lit(i + 1)
+        ).otherwise(bucket)
+    return (
+        df.join(_F.broadcast(ct), cond)
+        .withColumn("ppl_bucket", bucket)
+        .drop("_cuts", *["_s_" + s for s in strata])
+    )

@@ -212,6 +212,127 @@ class TestRemoveRepeatedSpans:
             assert got[doc_id]["n_tokens_removed"] == len(covered[doc_id])
 
 
+class TestRemoveCommonLines:
+    """Boilerplate line-level dedup (CCNet/RefinedWeb granularity)."""
+
+    def test_planted_boilerplate(self, spark):
+        rows = [
+            (1, "unique one\nSubscribe now\nbody text a"),
+            (2, "different stuff\nSubscribe now\nbody text b"),
+            (3, "Subscribe now"),
+            (4, "all original\ncontent here"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in dedup.remove_common_lines(df).collect()}
+        assert out[1]["clean_text"] == "unique one\nbody text a"
+        assert out[2]["clean_text"] == "different stuff\nbody text b"
+        # a fully-boilerplate doc is emptied, never silently dropped
+        assert out[3]["clean_text"] == "" and out[3]["n_lines_removed"] == 1
+        assert out[4]["n_lines_removed"] == 0
+
+    def test_differential_vs_duckdb(self, spark):
+        """Seeded corpus with organic line collisions vs a DuckDB replica
+        of the whole construction (count distinct docs per exact line,
+        drop >= 2, reassemble in order)."""
+        import random
+
+        import duckdb
+
+        rng = random.Random(55)
+        pool = ["header %d" % i for i in range(6)] + ["body %d" % i for i in range(40)]
+        rows = [
+            (i, "\n".join(rng.choice(pool) for _ in range(rng.randint(1, 8))))
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_lines_removed"], r["clean_text"])
+            for r in dedup.remove_common_lines(df).collect()
+        }
+        con = duckdb.connect()
+        con.register("docs", __import__("pandas").DataFrame(rows, columns=["doc_id", "text"]))
+        exp_rows = con.sql("""
+            WITH lines AS (
+                SELECT doc_id, i AS pos, string_split(text, chr(10))[i] AS line
+                FROM (SELECT doc_id, text,
+                             unnest(range(1, len(string_split(text, chr(10))) + 1)) AS i
+                      FROM docs)
+            ),
+            common AS (
+                SELECT line FROM lines GROUP BY line
+                HAVING COUNT(DISTINCT doc_id) >= 2
+            ),
+            kept AS (
+                SELECT l.* FROM lines l
+                WHERE NOT EXISTS (SELECT 1 FROM common c WHERE c.line = l.line)
+            ),
+            rebuilt AS (
+                SELECT doc_id, COUNT(*) AS n_kept,
+                       string_agg(line, chr(10) ORDER BY pos) AS clean_text
+                FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   len(string_split(d.text, chr(10))) - COALESCE(r.n_kept, 0)
+                       AS n_removed,
+                   COALESCE(r.clean_text, '') AS clean_text
+            FROM docs d LEFT JOIN rebuilt r USING (doc_id)
+        """).fetchall()
+        expected = {r[0]: (r[1], r[2]) for r in exp_rows}
+        assert got == expected
+
+    def test_jvm_only_plan(self, spark):
+        df = spark.createDataFrame([(1, "a\nb")], "doc_id long, text string")
+        plan = (
+            dedup.remove_common_lines(df)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Python" not in plan
+
+
+class TestPerplexityBuckets:
+    def _scored(self, spark):
+        rows = [(i, "en" if i < 9 else "fr", float(i)) for i in range(12)]
+        return spark.createDataFrame(
+            rows, "doc_id long, lang string, avg_neg_logprob double"
+        )
+
+    def test_modes_agree_on_even_split(self, spark):
+        a = {
+            r["doc_id"]: r["ppl_bucket"]
+            for r in textstats.perplexity_buckets(
+                self._scored(spark), mode="cutoffs"
+            ).collect()
+        }
+        b = {
+            r["doc_id"]: r["ppl_bucket"]
+            for r in textstats.perplexity_buckets(
+                self._scored(spark), mode="ntile"
+            ).collect()
+        }
+        assert a == b
+        # per-lang head/middle/tail thirds, bucket 1 = best (lowest score)
+        assert [a[i] for i in range(9)] == [1, 1, 1, 2, 2, 2, 3, 3, 3]
+        assert [a[9], a[10], a[11]] == [1, 2, 3]
+
+    def test_cutoffs_mode_has_no_window(self, spark):
+        df = textstats.perplexity_buckets(self._scored(spark), mode="cutoffs")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan  # the scale claim
+
+    def test_null_stratum_survives(self, spark):
+        rows = [(i, None, float(i)) for i in range(6)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, lang string, avg_neg_logprob double"
+        )
+        out = textstats.perplexity_buckets(df, mode="cutoffs").collect()
+        assert len(out) == 6
+        assert sorted(r["ppl_bucket"] for r in out) == [1, 1, 2, 2, 3, 3]
+
+    def test_invalid_mode_raises(self, spark):
+        with pytest.raises(ValueError, match="mode must be"):
+            textstats.perplexity_buckets(self._scored(spark), mode="tiles")
+
+
 class TestRepetitionAndDecontamination:
     def test_repetition_features_planted(self, spark):
         """Hand-computable bigram repetition: 'a b a b a b' -> grams
