@@ -1620,7 +1620,21 @@ def demo_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "emb_semantic_dedup": q_emb_semantic_dedup,
         "docs_ppl_buckets": q_docs_ppl_buckets,
+        "docs_bpe_stats": q_docs_bpe_stats,
     }
+
+
+def q_docs_bpe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale BPE tokenizer training demo (rows-only: the iterative
+    merge construction has no closed SQL form — the value oracle is the
+    pure-python Sennrich reference the pytest differential runs): train 8
+    merges on the corpus's own word-count table, then report per-document
+    (n_tokens, n_subwords) under the learned tokenizer."""
+    from sciencebeam_trainer_grobid_tools_spark.operators import bpe
+
+    docs = _spread(_load(spark, sf_dir, "documents"), spark)
+    merges = bpe.bpe_train(docs, n_merges=8)
+    return bpe.bpe_encode_stats(docs, merges).orderBy("doc_id")
 
 
 def q_docs_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:

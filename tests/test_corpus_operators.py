@@ -333,6 +333,106 @@ class TestPerplexityBuckets:
             textstats.perplexity_buckets(self._scored(spark), mode="tiles")
 
 
+class TestBpe:
+    """Corpus-scale BPE training vs a pure-python Sennrich reference."""
+
+    @staticmethod
+    def _ref_train(word_counts, n_merges, min_pair_count=2):
+        vocab = {tuple(list(w) + ["</w>"]): n for w, n in word_counts.items()}
+        merges = []
+        for _ in range(n_merges):
+            pairs = {}
+            for syms, n in vocab.items():
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] = (
+                        pairs.get((syms[i], syms[i + 1]), 0) + n
+                    )
+            if not pairs:
+                break
+            c, a, b = min((-c, a, b) for (a, b), c in pairs.items())
+            if -c < min_pair_count:
+                break
+            merges.append((a, b))
+            new_vocab = {}
+            for syms, n in vocab.items():
+                i, out = 0, []
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+            vocab = new_vocab
+        return merges
+
+    def test_textbook_example(self, spark):
+        from sciencebeam_trainer_grobid_tools_spark.operators import bpe
+
+        df = spark.createDataFrame(
+            [(1, "low lower lowest low low"), (2, "newer newest new low")],
+            "doc_id long, text string",
+        )
+        merges = bpe.bpe_train(df, n_merges=3)
+        assert merges == [("l", "o"), ("lo", "w"), ("low", "</w>")]
+
+    def test_differential_vs_reference(self, spark):
+        import random
+
+        from sciencebeam_trainer_grobid_tools_spark.operators import bpe
+
+        rng = random.Random(21)
+        pool = ["river", "riverbank", "banker", "rank", "ranker", "ink", "rivet"]
+        rows = [
+            (i, " ".join(rng.choice(pool) for _ in range(rng.randint(3, 10))))
+            for i in range(25)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        word_counts = {}
+        for _, text in rows:
+            for w in text.split():
+                word_counts[w] = word_counts.get(w, 0) + 1
+        for n_merges in (5, 12):
+            got = bpe.bpe_train(df, n_merges=n_merges)
+            want = self._ref_train(word_counts, n_merges)
+            assert got == want, n_merges
+        # encode stats agree with the reference segmentation lengths
+        merges = bpe.bpe_train(df, n_merges=12)
+        stats = {
+            r["doc_id"]: r for r in bpe.bpe_encode_stats(df, merges).collect()
+        }
+
+        def ref_encode_len(word):
+            syms = list(word) + ["</w>"]
+            for a, b in merges:
+                i, out = 0, []
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return len(syms)
+
+        for doc_id, text in rows:
+            words = text.split()
+            assert stats[doc_id]["n_tokens"] == len(words)
+            assert stats[doc_id]["n_subwords"] == sum(
+                ref_encode_len(w) for w in words
+            )
+
+    def test_early_stop_when_compressed(self, spark):
+        from sciencebeam_trainer_grobid_tools_spark.operators import bpe
+
+        df = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+        # 'ab</w>' fully merges in 2 steps; further merges must stop early
+        merges = bpe.bpe_train(df, n_merges=50)
+        assert len(merges) <= 3
+
+
 class TestRepetitionAndDecontamination:
     def test_repetition_features_planted(self, spark):
         """Hand-computable bigram repetition: 'a b a b a b' -> grams
