@@ -84,7 +84,6 @@ def bpe_train(
 ) -> List[Tuple[str, str]]:
     """The learned merge list, most-frequent first.  Stops early when no
     pair reaches ``min_pair_count`` (the corpus is fully compressed)."""
-    words = df.sparkSession.createDataFrame([], "word string, n long")
     words = _word_counts(df, text_col).select(
         _seed_symbols().alias("syms"), F.col("n")
     )
