@@ -916,3 +916,28 @@ def remove_common_lines(
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+def with_common_lines_removed(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Composition form of :func:`remove_common_lines`: the SAME line-level
+    dedup, but the result keeps every input column with ``text_col``
+    replaced by the cleaned text — the shape a pipeline stage needs
+    (the summary form exists for the gate's value check).  One extra
+    doc-keyed join versus the summary form; all scale properties carry
+    over."""
+    cleaned = remove_common_lines(
+        df.select(F.col(id_col), F.col(text_col)),
+        id_col=id_col,
+        text_col=text_col,
+        min_docs=min_docs,
+    ).select(F.col("doc_id").alias(id_col), F.col("clean_text"))
+    return (
+        df.join(cleaned, id_col)
+        .withColumn(text_col, F.col("clean_text"))
+        .drop("clean_text")
+    )

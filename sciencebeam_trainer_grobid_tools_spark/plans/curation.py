@@ -34,7 +34,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..operators.dedup import repetition_features
+from ..operators.dedup import repetition_features, with_common_lines_removed
 from ..operators.pii import scrub_pii
 from ..operators.textstats import quality_features, token_budget_sample
 from ..operators.urlnorm import dedup_by_canonical_url
@@ -54,11 +54,13 @@ def curate_corpus(
     max_dup_ngram_frac: Optional[float] = None,
     rep_k: int = 2,
     sample_mode: str = "rate",
+    min_line_docs: Optional[int] = None,
     persist_intermediate: bool = False,
 ) -> DataFrame:
     """The curated corpus: input rows that survive every enabled stage,
     with ``text_col`` scrubbed of PII.  Stages toggle off by omission
-    (``url_col=None`` skips dedup, ``max_dup_ngram_frac=None`` skips the
+    (``url_col=None`` skips dedup, ``min_line_docs=None`` skips
+    boilerplate line removal, ``max_dup_ngram_frac=None`` skips the
     repetition filter, ``budget_tokens=None`` skips sampling) so the same
     entry point serves partial pipelines; the quality filter and the
     scrub always run — they are the non-negotiable hygiene floor.
@@ -75,6 +77,12 @@ def curate_corpus(
     out = df
     if url_col is not None:
         out = dedup_by_canonical_url(out, url_col=url_col, ts_col=ts_col, keep=keep)
+    if min_line_docs is not None:
+        # boilerplate line removal BEFORE scrubbing/quality: chrome lines
+        # should not count toward (or against) the quality signals
+        out = with_common_lines_removed(
+            out, id_col=id_col, text_col=text_col, min_docs=min_line_docs
+        )
     out = out.withColumn(text_col, scrub_pii(F.col(text_col)))
     out = (
         quality_features(out, text_col=text_col)

@@ -74,6 +74,25 @@ class TestCurateCorpus:
         ).collect()
         assert len(some) < 3
 
+    def test_line_dedup_stage_composes(self, spark):
+        """min_line_docs plugs boilerplate line removal into the chain,
+        keeping all columns and running BEFORE quality (a chrome-heavy doc
+        must be judged on its remaining content)."""
+        boiler = "Subscribe to our newsletter"
+        rows = [
+            (1, "http://s.com/a", 1, GOOD + "\n" + boiler, "en"),
+            (2, "http://s.com/b", 1, GOOD + " again\n" + boiler, "en"),
+            (3, "http://s.com/c", 1, GOOD + " third page", "en"),
+        ]
+        corpus = spark.createDataFrame(
+            rows, "doc_id long, url string, warc_ts long, text string, lang string"
+        )
+        out = curate_corpus(corpus, url_col="url", min_line_docs=2).collect()
+        assert {r["doc_id"] for r in out} == {1, 2, 3}
+        texts = {r["doc_id"]: r["text"] for r in out}
+        assert boiler not in texts[1] and boiler not in texts[2]
+        assert sorted(out[0].asDict()) == ["doc_id", "lang", "text", "url", "warc_ts"]
+
     def test_stage_toggles(self, corpus):
         # no dedup: both recrawls survive the quality floor
         no_dedup = curate_corpus(corpus, max_dup_ngram_frac=0.2).collect()
