@@ -134,9 +134,12 @@ def bpe_encode_stats(
 ) -> DataFrame:
     """Per-document subword statistics under the learned merges:
     (doc_id, n_tokens, n_subwords) — the compression the tokenizer
-    achieves, which is what corpus-mixing recipes budget on."""
+    achieves, which is what corpus-mixing recipes budget on.  The output
+    id field keeps the INPUT id column's type (a string-keyed corpus
+    stays string-keyed — no silent bigint coercion)."""
     import pandas as pd
 
+    id_type = df.schema[id_col].dataType.simpleString()
     merge_list = [tuple(m) for m in merges]
 
     def batches(it):
@@ -172,5 +175,5 @@ def bpe_encode_stats(
             yield pd.DataFrame(out, columns=["doc_id", "n_tokens", "n_subwords"])
 
     return df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")).mapInPandas(
-        batches, "doc_id long, n_tokens int, n_subwords int"
+        batches, "doc_id %s, n_tokens int, n_subwords int" % id_type
     )

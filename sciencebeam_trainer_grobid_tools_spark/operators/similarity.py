@@ -778,7 +778,8 @@ def pq_encode(
     return df.withColumn(out_col, enc(F.col(vec_col)))
 
 
-pq_encode.__doc__ = pq_encode.__doc__ % _PQ_EXPR_MAX_TERMS
+if pq_encode.__doc__:  # stripped to None under `python -OO`
+    pq_encode.__doc__ = pq_encode.__doc__ % _PQ_EXPR_MAX_TERMS
 
 
 def pq_adc_topk(

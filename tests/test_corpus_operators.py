@@ -424,6 +424,21 @@ class TestBpe:
                 ref_encode_len(w) for w in words
             )
 
+    def test_encode_stats_preserves_id_type(self, spark):
+        # a string-keyed corpus must stay string-keyed (the output schema
+        # derives from the input id column, not a hardcoded bigint)
+        from sciencebeam_trainer_grobid_tools_spark.operators import bpe
+
+        df = spark.createDataFrame(
+            [("urn:a", "low lower low"), ("urn:b", "new lower")],
+            "doc_id string, text string",
+        )
+        merges = bpe.bpe_train(df, n_merges=2)
+        out = bpe.bpe_encode_stats(df, merges)
+        assert out.schema["doc_id"].dataType.simpleString() == "string"
+        got = {r["doc_id"]: r["n_tokens"] for r in out.collect()}
+        assert got == {"urn:a": 3, "urn:b": 2}
+
     def test_early_stop_when_compressed(self, spark):
         from sciencebeam_trainer_grobid_tools_spark.operators import bpe
 
