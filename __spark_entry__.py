@@ -595,6 +595,17 @@ def q_docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_docs_bigram_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scores (D=0.75) — the KenLM/CCNet
+    smoothing family over the SAME count-table derivation as the additive
+    bigram model: every KN statistic (continuation counts, type total) is
+    a row-count over the bigram count table, no extra corpus scan."""
+    docs = _spread(_load(spark, sf_dir, "documents"), spark)
+    return textstats.bigram_logprob_features(
+        docs, persist_counts=False, smoothing_mode="kn"
+    ).orderBy("doc_id")
+
+
 def q_docs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint sets (rolling-hash family, MOSS/Schleimer):
     Rabin-Karp polynomial per 5-gram, sliding-window-of-4 minima, distinct

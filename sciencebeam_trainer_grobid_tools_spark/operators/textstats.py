@@ -188,6 +188,8 @@ def bigram_logprob_features(
     text_col: str = "text",
     smoothing: float = 0.5,
     persist_counts: bool = True,
+    smoothing_mode: str = "additive",
+    kn_discount: float = 0.75,
 ) -> "DataFrame":
     """Per-document mean -ln p(w2 | w1) under the corpus's own smoothed
     BIGRAM model — the n=2 instantiation proving what
@@ -195,11 +197,32 @@ def bigram_logprob_features(
     per-token plumbing is identical for any n, only the join key widens
     from ``tok`` to the (n-1)-token context.
 
-    Model: ``p(w2|w1) = (c(w1,w2) + s) / (c(w1,.) + s * V)`` — additive
+    ``smoothing_mode='additive'``:
+    ``p(w2|w1) = (c(w1,w2) + s) / (c(w1,.) + s * V)`` — additive
     smoothing over the corpus vocabulary ``V`` (distinct tokens seen in
-    any bigram position).  Score = mean over the doc's bigrams of
-    ``-ln p``; documents with fewer than 2 tokens have no bigrams and do
-    not appear (a closed-form contract the oracle reproduces).
+    any bigram position).
+
+    ``smoothing_mode='kn'``: interpolated Kneser-Ney (Kneser & Ney 1995;
+    the KenLM/CCNet-filter smoothing family) with absolute discount
+    ``D = kn_discount``::
+
+        p(w2|w1) = max(c(w1,w2) - D, 0) / c(w1,.)
+                 + (D * N1+(w1,*) / c(w1,.)) * N1+(*,w2) / N1+(*,*)
+
+    where ``N1+(w1,*)`` counts distinct continuations of ``w1``,
+    ``N1+(*,w2)`` counts distinct contexts ``w2`` follows (the
+    continuation probability — KN's signature), and ``N1+(*,*)`` is the
+    distinct-bigram-type total.  EVERY KN statistic is a row-count over
+    the same bigram count table the additive mode builds — no extra
+    corpus scan, the scale story is unchanged.  Scoring the training
+    corpus itself means every scored bigram is seen (c >= 1 > D), so the
+    backoff-to-unseen branch never divides by zero; OOV scoring of a
+    held-out corpus would add a unigram backoff layer on the same
+    derivation.
+
+    Score = mean over the doc's bigrams of ``-ln p``; documents with
+    fewer than 2 tokens have no bigrams and do not appear (a closed-form
+    contract the oracle reproduces).
 
     Scale design (the point of the exercise): the corpus stream is
     touched exactly twice — ONE partial-aggregated shuffle builds the
@@ -234,21 +257,53 @@ def bigram_logprob_features(
     bg = with_arr.select("doc_id", _F.explode(pairs).alias("_bg")).select(
         "doc_id", _F.col("_bg.w1").alias("w1"), _F.col("_bg.w2").alias("w2")
     )
+    if smoothing_mode not in ("additive", "kn"):
+        raise ValueError(
+            "bigram_logprob_features smoothing_mode must be additive/kn,"
+            " got %r" % smoothing_mode
+        )
     bcounts = bg.groupBy("w1", "w2").agg(_F.count(_F.lit(1)).alias("c2"))
     if persist_counts:
         bcounts = bcounts.persist()
-    v_size = float(
-        bcounts.select(_F.col("w1").alias("t"))
-        .union(bcounts.select(_F.col("w2")))
-        .distinct()
-        .count()
-    )
-    ccounts = bcounts.groupBy("w1").agg(_F.sum("c2").alias("c1"))
-    model = bcounts.join(ccounts, "w1")
-    neg_logp = -_F.log(
-        (_F.col("c2") + _F.lit(float(smoothing)))
-        / (_F.col("c1") + _F.lit(float(smoothing)) * _F.lit(v_size))
-    )
+    if smoothing_mode == "kn":
+        if not 0.0 < kn_discount < 1.0:
+            raise ValueError(
+                "bigram_logprob_features kn_discount must be in (0, 1),"
+                " got %r" % kn_discount
+            )
+        # every KN statistic is a row-count over the count table:
+        # N1+(*,*) is its cardinality (1-row model statistic, like V)
+        t_types = float(bcounts.count())
+        ccounts = bcounts.groupBy("w1").agg(
+            _F.sum("c2").alias("c1"),
+            _F.count(_F.lit(1)).alias("_n1p_fwd"),
+        )
+        cont = bcounts.groupBy("w2").agg(
+            _F.count(_F.lit(1)).alias("_n1p_bwd")
+        )
+        model = bcounts.join(ccounts, "w1").join(cont, "w2")
+        d = float(kn_discount)
+        prob = (
+            _F.greatest(_F.col("c2") - _F.lit(d), _F.lit(0.0)) / _F.col("c1")
+            + _F.lit(d)
+            * _F.col("_n1p_fwd")
+            / _F.col("c1")
+            * (_F.col("_n1p_bwd") / _F.lit(t_types))
+        )
+        neg_logp = -_F.log(prob)
+    else:
+        v_size = float(
+            bcounts.select(_F.col("w1").alias("t"))
+            .union(bcounts.select(_F.col("w2")))
+            .distinct()
+            .count()
+        )
+        ccounts = bcounts.groupBy("w1").agg(_F.sum("c2").alias("c1"))
+        model = bcounts.join(ccounts, "w1")
+        neg_logp = -_F.log(
+            (_F.col("c2") + _F.lit(float(smoothing)))
+            / (_F.col("c1") + _F.lit(float(smoothing)) * _F.lit(v_size))
+        )
     return (
         bg.join(model, ["w1", "w2"])
         .groupBy("doc_id")
@@ -357,6 +412,7 @@ def dsir_select(
     text_col: str = "text",
     smoothing: float = 0.5,
     persist_vocab: bool = True,
+    return_vocab: bool = False,
 ) -> "DataFrame":
     """Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
     pick the ``n_select`` raw-corpus documents that look most like a
@@ -380,7 +436,15 @@ def dsir_select(
     statistics), and the score join is token-keyed under AQE.  The final
     top-``n_select`` is a global TakeOrdered — no full sort.
     ``persist_vocab`` follows the unigram op's contract (two consumers:
-    N/V and the score join; caller owns the lifecycle)."""
+    N/V and the score join; caller owns the lifecycle).
+
+    Cache lifecycle (mirrors ``unigram_logprob_features``): with
+    ``persist_vocab=True`` the cached union-vocab table OUTLIVES the
+    returned (lazy) plan — the function cannot unpersist it before the
+    score join materializes.  A long-lived session should pass
+    ``return_vocab=True``, which returns ``(selected_df, vocab_df)``,
+    and call ``vocab_df.unpersist()`` once the selection has been
+    consumed."""
     from pyspark.sql import functions as _F
 
     def _toks(df):
@@ -429,7 +493,7 @@ def dsir_select(
         )
     )
     gumbel = -_F.log(-_F.log(_hash_uniform_open(_F.col("doc_id"))))
-    return (
+    selected = (
         scored.withColumn("_key", _F.col("_w") + gumbel)
         .orderBy(_F.col("_key").desc(), _F.col("doc_id"))
         .limit(n_select)
@@ -439,6 +503,9 @@ def dsir_select(
             _F.round(_F.col("_w"), 6).alias("dsir_logweight"),
         )
     )
+    if return_vocab:
+        return selected, vocab
+    return selected
 
 
 def perplexity_buckets(
@@ -447,36 +514,61 @@ def perplexity_buckets(
     strata=("lang",),
     buckets: int = 3,
     mode: str = "cutoffs",
+    accuracy: int = 10000,
 ) -> "DataFrame":
     """CCNet-style perplexity bucketing: split each stratum into
     ``buckets`` quality tiers by LM score (CCNet keeps head/middle/tail
     thirds per language and trains preferentially on the head).
 
-    ``mode='cutoffs'`` (the SCALE path): exact interpolated percentiles
-    per stratum via ONE partial-aggregated ``percentile`` shuffle, the
-    tiny cutoff table broadcast back, bucket assignment in codegen — no
-    window, no per-stratum sort (the same scale/exactness split as
-    ``token_budget_sample``).  ``mode='ntile'`` is the checkable
-    classical definition (equal-count tiles via a window) — a
-    single-task sort per stratum, small corpora only.  Both modes put a
-    NULL stratum in its own group (null-safe join), and both label
-    buckets 1..n, 1 = best (lowest score)."""
+    Three modes, one scale/exactness ladder (the same split as
+    ``token_budget_sample``):
+
+    - ``mode='cutoffs_approx'`` (the SCALE path): per-stratum cutoffs
+      from ``approx_percentile`` — a FIXED-SIZE Greenwald-Khanna-style
+      quantile sketch with true partial aggregation, so the per-stratum
+      aggregation state is bounded by ``accuracy`` (rank error at most
+      ``n/accuracy`` rows), independent of how many distinct scores a
+      100 TB stratum holds.  Cutoff table broadcast back, bucket
+      assignment in codegen — no window, no per-stratum sort.
+    - ``mode='cutoffs'``: the same plan with EXACT interpolated
+      ``percentile`` — the checkable definition and the oracle
+      configuration, but its aggregation buffer holds one (value, count)
+      entry per DISTINCT score per stratum on a single reducer; with
+      rounded-double scores that is a memory cliff at web scale.  Use it
+      when the distinct-score count per stratum is known-bounded (the
+      oracle corpus), ``cutoffs_approx`` otherwise.
+    - ``mode='ntile'``: equal-count tiles via a window — a single-task
+      sort per stratum, small corpora only.
+
+    All modes put a NULL stratum in its own group (null-safe join) and
+    label buckets 1..n, 1 = best (lowest score).  The two cutoff modes
+    agree exactly whenever the sketch is exact (stratum rows <
+    ``accuracy``); at scale the approx buckets differ only within
+    ``n/accuracy`` ranks of each boundary."""
     from pyspark.sql import Window as _W, functions as _F
 
     strata = list(strata)
     if mode == "ntile":
         w = _W.partitionBy(*strata).orderBy(_F.col(score_col).asc())
         return df.withColumn("ppl_bucket", _F.ntile(buckets).over(w))
-    if mode != "cutoffs":
+    if mode not in ("cutoffs", "cutoffs_approx"):
         raise ValueError(
-            "perplexity_buckets mode must be cutoffs/ntile, got %r" % mode
+            "perplexity_buckets mode must be cutoffs/cutoffs_approx/ntile,"
+            " got %r" % mode
         )
     qs = [i / buckets for i in range(1, buckets)]
-    cuts = df.groupBy(*strata).agg(
-        _F.expr(
-            "percentile(%s, array(%s))" % (score_col, ", ".join(map(str, qs)))
-        ).alias("_cuts")
-    )
+    if mode == "cutoffs":
+        cut_expr = "percentile(%s, array(%s))" % (
+            score_col,
+            ", ".join(map(str, qs)),
+        )
+    else:
+        cut_expr = "approx_percentile(%s, array(%s), %d)" % (
+            score_col,
+            ", ".join(map(str, qs)),
+            int(accuracy),
+        )
+    cuts = df.groupBy(*strata).agg(_F.expr(cut_expr).alias("_cuts"))
     ct = cuts.select(
         *[_F.col(s).alias("_s_" + s) for s in strata], "_cuts"
     )

@@ -319,6 +319,55 @@ class TestPerplexityBuckets:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan  # the scale claim
 
+    def test_approx_mode_agrees_when_sketch_is_exact(self, spark):
+        # approx_percentile with rank error <= n/accuracy is exact for
+        # n << accuracy, so the sketch mode reproduces the exact-cutoff
+        # buckets on a small corpus — the mode-agreement contract
+        exact = {
+            r["doc_id"]: r["ppl_bucket"]
+            for r in textstats.perplexity_buckets(
+                self._scored(spark), mode="cutoffs"
+            ).collect()
+        }
+        approx = {
+            r["doc_id"]: r["ppl_bucket"]
+            for r in textstats.perplexity_buckets(
+                self._scored(spark), mode="cutoffs_approx"
+            ).collect()
+        }
+        assert approx == exact
+
+    def test_approx_mode_is_sketch_aggregated_no_window(self, spark):
+        # the SCALE claim: the cutoff aggregation is approx_percentile's
+        # fixed-size sketch (partial-aggregable), and there is no window
+        df = textstats.perplexity_buckets(
+            self._scored(spark), mode="cutoffs_approx", accuracy=500
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert "approx_percentile" in plan
+        assert "partial_approx_percentile" in plan  # map-side combine
+
+    def test_approx_mode_coarse_sketch_still_three_buckets(self, spark):
+        # a deliberately coarse sketch may move boundary rows between
+        # adjacent buckets but must still produce the full label range
+        rows = [(i, "en", float(i)) for i in range(300)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, lang string, avg_neg_logprob double"
+        )
+        out = textstats.perplexity_buckets(
+            df, mode="cutoffs_approx", accuracy=50
+        ).collect()
+        assert len(out) == 300
+        labels = {r["ppl_bucket"] for r in out}
+        assert labels == {1, 2, 3}
+        # boundary drift is bounded: each bucket within n/accuracy = 6
+        # ranks of the exact third (100 docs)
+        from collections import Counter
+
+        sizes = Counter(r["ppl_bucket"] for r in out)
+        assert all(abs(sizes[b] - 100) <= 6 for b in (1, 2, 3)), sizes
+
     def test_null_stratum_survives(self, spark):
         rows = [(i, None, float(i)) for i in range(6)]
         df = spark.createDataFrame(
@@ -1104,6 +1153,98 @@ class TestSemanticDedup:
         )
         assert "CartesianProduct" not in plan  # the join is cell-keyed
 
+    def test_zero_norm_vectors_never_flagged_and_never_nan(self, spark):
+        # two identical all-zero vectors: cosine is defined as 0 (guarded
+        # denominator), so both survive — deterministically, not via a
+        # silent NaN comparison
+        rows = [
+            (0, [0.0, 0.0]),
+            (1, [0.0, 0.0]),
+            (2, [1.0, 0.0]),
+            (3, [1.0, 0.001]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = {
+            r["vec_id"]: r["semdedup_keep"]
+            for r in similarity.semantic_dedup(
+                df, [[1.0, 0.0]], threshold=0.95
+            ).collect()
+        }
+        assert out == {0: True, 1: True, 2: True, 3: False}
+
+    def test_max_cell_size_bounds_hot_cell_pairs(self, spark):
+        """A deliberately skewed clustering (every vector in one cell) must
+        re-split: candidate pair count falls from n^2/2 to ~n*cap/2, and
+        the compared blocks are the deterministic id-hash sub-cells."""
+        from pyspark.sql import functions as F
+
+        n, cap = 60, 10
+        df = self._grouped(spark, groups=6, per=10, dim=8)
+        cents = [[0.0] * 8]  # one cell: the hot-cell worst case
+        # replicate the operator's sub-cell derivation to count pairs
+        splits = -(-n // cap)
+        sub = df.select(
+            "vec_id", F.pmod(F.xxhash64("vec_id"), F.lit(splits)).alias("sc")
+        )
+        sizes = [r["c"] for r in sub.groupBy("sc").agg(
+            F.count(F.lit(1)).alias("c")).collect()]
+        bounded_pairs = sum(s * (s - 1) // 2 for s in sizes)
+        assert bounded_pairs < n * (n - 1) // 2  # strictly fewer than n^2/2
+        # and the operator's output under the cap only drops pairs that
+        # share a sub-cell (recall trade is exactly the sub-cell boundary)
+        unbounded = {
+            r["vec_id"]: r["semdedup_keep"]
+            for r in similarity.semantic_dedup(
+                df, cents, threshold=0.99
+            ).collect()
+        }
+        capped = {
+            r["vec_id"]: r["semdedup_keep"]
+            for r in similarity.semantic_dedup(
+                df, cents, threshold=0.99, max_cell_size=cap
+            ).collect()
+        }
+        subcell = {r["vec_id"]: r["sc"] for r in sub.collect()}
+        assert len(capped) == n
+        # planted duplicate groups are i % 6: a capped drop must be a real
+        # duplicate (dropped unbounded too) with a same-group, same-sub-cell
+        # lower id — the recall trade is EXACTLY the sub-cell boundary
+        for vid, keep in capped.items():
+            if not keep:
+                assert unbounded[vid] is False
+                assert any(
+                    o < vid and o % 6 == vid % 6 and subcell[o] == subcell[vid]
+                    for o in range(n)
+                ), vid
+        # and conversely every same-group, same-sub-cell pair was caught
+        for vid in range(n):
+            if any(
+                o < vid and o % 6 == vid % 6 and subcell[o] == subcell[vid]
+                for o in range(n)
+            ):
+                assert capped[vid] is False, vid
+
+    def test_max_cell_size_noop_when_cells_fit(self, spark):
+        # a cap larger than every cell must reproduce the unbounded result
+        df = self._grouped(spark)
+        cents = similarity.ivf_train(df, n_cells=4, iters=2, dim=8)
+        a = {
+            r["vec_id"]: r["semdedup_keep"]
+            for r in similarity.semantic_dedup(df, cents, threshold=0.99).collect()
+        }
+        b = {
+            r["vec_id"]: r["semdedup_keep"]
+            for r in similarity.semantic_dedup(
+                df, cents, threshold=0.99, max_cell_size=1000
+            ).collect()
+        }
+        assert a == b
+
+    def test_max_cell_size_invalid_raises(self, spark):
+        df = self._grouped(spark)
+        with pytest.raises(ValueError, match="max_cell_size"):
+            similarity.semantic_dedup(df, [[0.0] * 8], max_cell_size=0)
+
 
 class TestTextstats:
     def test_lang_id(self, docs):
@@ -1335,6 +1476,19 @@ class TestUnigramLogprob:
         # the rare-token doc is the filter tail (scores strictly higher)
         assert got[1]["avg_neg_logprob"] > got[0]["avg_neg_logprob"]
 
+    def test_return_vocab_lifecycle(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "a a a"), (1, "a b")], "doc_id long, text string"
+        )
+        scores, vocab = textstats.unigram_logprob_features(
+            docs, persist_vocab=True, return_vocab=True
+        )
+        assert vocab.storageLevel.useMemory
+        assert {r["tok"]: r["c"] for r in vocab.collect()} == {"a": 4, "b": 1}
+        assert scores.count() == 2
+        vocab.unpersist()
+        assert not vocab.storageLevel.useMemory
+
 
 class TestBigramLogprob:
     def test_hand_computed_smoothed_scores(self, spark):
@@ -1380,6 +1534,43 @@ class TestBigramLogprob:
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
         assert len(a) == 20
 
+    def test_hand_computed_kneser_ney_scores(self, spark):
+        """Same corpus as the additive test, D=0.75.  Count-table stats:
+        bigram types T=3; N1+(a,*)=1, N1+(b,*)=2; N1+(*,a)=N1+(*,b)=
+        N1+(*,c)=1; contexts c(a,.)=3, c(b,.)=2.  So
+        p(b|a) = (3-.75)/3 + .75*(1/3)*(1/3) = 5/6 and
+        p(a|b) = p(c|b) = (1-.75)/2 + .75*(2/2)*(1/3) = 3/8."""
+        import math
+
+        docs = spark.createDataFrame(
+            [(1, "a b a b c"), (2, "a b"), (3, "x"), (4, "")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r
+            for r in textstats.bigram_logprob_features(
+                docs, persist_counts=False, smoothing_mode="kn"
+            ).collect()
+        }
+        assert sorted(got) == [1, 2]
+        p_ba, p_ab = 5.0 / 6.0, 3.0 / 8.0
+        assert got[1]["n_bigrams"] == 4
+        assert got[1]["avg_neg_logprob2"] == round(
+            -(2 * math.log(p_ba) + 2 * math.log(p_ab)) / 4, 6
+        )
+        assert got[2]["avg_neg_logprob2"] == round(-math.log(p_ba), 6)
+        # KN agrees with additive on the ordering (doc 1 is the tail)
+        assert got[1]["avg_neg_logprob2"] > got[2]["avg_neg_logprob2"]
+
+    def test_kn_parameter_validation(self, spark):
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="smoothing_mode"):
+            textstats.bigram_logprob_features(docs, smoothing_mode="laplace")
+        with pytest.raises(ValueError, match="kn_discount"):
+            textstats.bigram_logprob_features(
+                docs, smoothing_mode="kn", kn_discount=1.5
+            ).collect()
+
 
 class TestDsirSelect:
     """DSIR importance resampling (Xie et al. 2023 shape)."""
@@ -1423,6 +1614,23 @@ class TestDsirSelect:
         b = textstats.dsir_select(raw, target, 3, persist_vocab=False).collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
         assert {r["doc_id"] for r in a} == {1, 3}  # empty doc never selected
+
+    def test_return_vocab_lifecycle(self, spark):
+        # long-lived sessions own the cache: return_vocab hands back the
+        # persisted union-vocab table so it can be unpersisted after use
+        raw = spark.createDataFrame(
+            [(1, "a a"), (2, "b b")], "doc_id long, text string"
+        )
+        target = raw.filter(F.col("doc_id") == 1)
+        selected, vocab = textstats.dsir_select(
+            raw, target, n_select=2, persist_vocab=True, return_vocab=True
+        )
+        assert vocab.storageLevel.useMemory  # it IS the persisted handle
+        got = {r["tok"]: (r["cr"], r["ct"]) for r in vocab.collect()}
+        assert got == {"a": (2, 2), "b": (2, 0)}
+        assert selected.count() == 2
+        vocab.unpersist()
+        assert not vocab.storageLevel.useMemory
 
 
 class TestTokenBudgetSample:
