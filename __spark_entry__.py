@@ -478,12 +478,16 @@ def q_docs_remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_docs_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both corpus-LM quality scores in ONE labeled gate entry (merged to
-    keep the 50-entry gate all-oracle): ``unigram`` — CCNet-filter shape,
-    per-doc mean -ln p(tok); ``bigram`` — the n=2 generalization proof
-    (context-keyed counts, model derived from the count table).  Each
-    variant's scores value-check independently under the label;
-    ``n_units`` is tokens for unigram rows, bigrams for bigram rows."""
+    """All three corpus-LM quality scores in ONE labeled gate entry
+    (merged to keep the 50-entry gate all-oracle): ``unigram`` —
+    CCNet-filter shape, per-doc mean -ln p(tok); ``bigram`` — the n=2
+    generalization proof (context-keyed counts, model derived from the
+    count table); ``kn`` — the same bigram counts under interpolated
+    Kneser-Ney smoothing (D=0.75, the KenLM/CCNet smoothing family;
+    continuation counts and the type total are row-counts over the
+    count table).  Each variant's scores value-check independently
+    under the label; ``n_units`` is tokens for unigram rows, bigrams
+    otherwise."""
     a = q_docs_unigram_logprob(spark, sf_dir).select(
         F.lit("unigram").alias("variant"),
         "doc_id",
@@ -496,7 +500,13 @@ def q_docs_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bigrams").alias("n_units"),
         F.col("avg_neg_logprob2").alias("score"),
     )
-    return a.unionByName(b).orderBy("variant", "doc_id")
+    c = q_docs_bigram_kn_logprob(spark, sf_dir).select(
+        F.lit("kn").alias("variant"),
+        "doc_id",
+        F.col("n_bigrams").alias("n_units"),
+        F.col("avg_neg_logprob2").alias("score"),
+    )
+    return a.unionByName(b).unionByName(c).orderBy("variant", "doc_id")
 
 
 def q_docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -769,6 +779,56 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned, _query_vector(spark, sf_dir), centroids,
         k=10, nprobe=2, round_digits=4,
     )
+
+
+def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ (the composed FAISS-style index) end-to-end in the
+    SQL-replicable iters=0 configuration: coarse quantizer = the 8
+    lowest-id vectors, max-cosine cell assignment, PQ codebooks = the 8
+    lowest-id vectors' subvectors, every vector's RESIDUAL against its
+    own cell centroid encoded to m=8 codes, then nprobe=2 L2 cell probe
+    and per-cell residual ADC.  The returned distances value-check the
+    assignment, the residual subtraction, the encoding AND the per-cell
+    LUT dispatch in one oracle; Lloyd-trained models are pinned by the
+    numpy differential pytest."""
+    embeddings = _load(spark, sf_dir, "embeddings")
+    centroids = similarity.ivf_train(embeddings, n_cells=8, iters=0)
+    assigned = similarity.ivf_assign(embeddings, centroids)
+    books = similarity.pq_train(embeddings, m=8, n_codes=8, iters=0, dim=64)
+    encoded = similarity.pq_residual_encode(assigned, centroids, books)
+    return similarity.ivf_pq_topk(
+        encoded, _query_vector(spark, sf_dir), centroids, books,
+        k=10, nprobe=2, round_digits=4,
+    )
+
+
+def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three quantized-ANN searches in ONE labeled gate entry (merged
+    to keep the 50-entry gate all-oracle): ``ivf`` — coarse-cell probe +
+    exact cosine re-rank (cell column value-checks the assignment);
+    ``pq`` — whole-corpus ADC over PQ codes; ``ivfpq`` — the composed
+    index, per-probed-cell residual ADC.  Each variant's values check
+    independently under the label; ``cell`` is the probed IVF cell for
+    ivf rows and NULL for the code-only rankings."""
+    a = q_emb_ivf_topk(spark, sf_dir).select(
+        F.lit("ivf").alias("variant"),
+        "vec_id",
+        F.col("ivf_cell").cast("int").alias("cell"),
+        F.col("cosine").alias("score"),
+    )
+    b = q_emb_pq_adc_topk(spark, sf_dir).select(
+        F.lit("pq").alias("variant"),
+        "vec_id",
+        F.lit(None).cast("int").alias("cell"),
+        F.col("adc_dist").alias("score"),
+    )
+    c = q_emb_ivfpq_topk(spark, sf_dir).select(
+        F.lit("ivfpq").alias("variant"),
+        "vec_id",
+        F.lit(None).cast("int").alias("cell"),
+        F.col("adc_dist").alias("score"),
+    )
+    return a.unionByName(b).unionByName(c).orderBy("variant", "vec_id")
 
 
 def q_emb_ivf_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1584,13 +1644,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_curation_pipeline": q_docs_curation_pipeline,
         "docs_repetition": q_docs_repetition,
         "docs_decontaminate": q_docs_decontaminate,
+        "docs_ppl_buckets": q_docs_ppl_buckets,
         "emb_cosine_topk": q_emb_cosine_topk,
-        "emb_pq_adc_topk": q_emb_pq_adc_topk,
+        "emb_ann_topk": q_emb_ann_topk,
         "emb_lsh": q_emb_lsh,
         "emb_label_stats": q_emb_label_stats,
         "emb_centroid_topk": q_emb_centroid_topk,
         "emb_near_dup_pairs": q_emb_near_dup_pairs,
-        "emb_ivf_topk": q_emb_ivf_topk,
         "emb_ivf_train_step": q_emb_ivf_train_step,
         "align_exact_spans": q_align_exact_spans,
         "flagship_extract_align": q_flagship_extract_align,
@@ -1624,13 +1684,17 @@ def demo_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       ``tei_render_roundtrip`` value-checks render -> reparse;
     - ``media_features`` (fake-codec features) — twin
       ``media_payload_digests`` value-checks the binary transfer
-      byte-for-byte."""
+      byte-for-byte;
+    - ``emb_pq_adc_topk`` / ``emb_ivf_topk`` — folded into the labeled
+      gate entry ``emb_ann_topk`` (variants ``pq`` / ``ivf``, alongside
+      the composed ``ivfpq``); kept addressable for bench.py."""
     return {
         "docs_minhash_near_dups": q_docs_minhash_near_dups,
         "tei_render": q_tei_render,
         "media_features": q_media_features,
         "emb_semantic_dedup": q_emb_semantic_dedup,
-        "docs_ppl_buckets": q_docs_ppl_buckets,
+        "emb_pq_adc_topk": q_emb_pq_adc_topk,
+        "emb_ivf_topk": q_emb_ivf_topk,
         "docs_bpe_stats": q_docs_bpe_stats,
         # kept addressable so bench.py's HEADLINE workload stays identical
         # round-over-round after the gate merged this into
@@ -1653,11 +1717,12 @@ def q_docs_bpe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_docs_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet head/middle/tail perplexity bucketing demo (rows-only: the
-    gate is at its 50-entry all-oracle cap; mode agreement, the exact
-    per-stratum thirds, null-stratum parity and the no-Window scale claim
-    are pinned by pytest): unigram corpus-LM scores -> cutoffs-mode
-    thirds per language."""
+    """CCNet head/middle/tail perplexity bucketing: unigram corpus-LM
+    scores -> cutoffs-mode thirds per language (exact interpolated
+    percentiles, the checkable definition; the DuckDB oracle replays the
+    scores, the quantile_cont cutoffs and the <=-cutoff assignment).
+    The cutoffs_approx sketch mode's agreement, null-stratum parity and
+    the no-Window scale claim are pinned by pytest."""
     docs = _spread(_load(spark, sf_dir, "documents"), spark)
     scored = textstats.unigram_logprob_features(docs, persist_vocab=False)
     scored = scored.join(docs.select("doc_id", "lang"), "doc_id")
@@ -1788,6 +1853,177 @@ _EMB_IVF_ORACLE_SQL = """
                                       a.embedding::DOUBLE[])) * q.qn)
              DESC, a.vec_id
     LIMIT 10
+"""
+
+
+# DuckDB replica of q_emb_pq_adc_topk: iters=0 codebooks come from the
+# TABLE (subvectors of vec_id < 8), so no literal injection is needed;
+# encode = per-(vec, subspace) squared-L2 argmin with lowest-code
+# tie-break (row_number), ADC = LUT join + per-vector sum.  dim 64, m 8,
+# sub 8 per TESTDATA.md.
+_EMB_PQ_ADC_ORACLE_SQL = """
+    WITH s_axis AS (SELECT unnest(range(0, 8)) AS s),
+    cb AS (
+        SELECT e.vec_id AS code, sa.s,
+               (e.embedding::DOUBLE[])[sa.s*8+1 : sa.s*8+8] AS cvec
+        FROM embeddings e, s_axis sa
+        WHERE e.vec_id < 8
+    ),
+    sv AS (
+        SELECT e.vec_id, sa.s,
+               (e.embedding::DOUBLE[])[sa.s*8+1 : sa.s*8+8] AS vvec
+        FROM embeddings e, s_axis sa
+    ),
+    dists AS (
+        SELECT sv.vec_id, sv.s, cb.code,
+               list_sum([(sv.vvec[i] - cb.cvec[i])^2
+                         for i in range(1, 9)]) AS d
+        FROM sv JOIN cb USING (s)
+    ),
+    enc AS (
+        SELECT vec_id, s, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d, code) AS rn
+        FROM dists
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qe
+          FROM embeddings WHERE vec_id = 0),
+    lut AS (
+        SELECT cb.s, cb.code,
+               list_sum([(q.qe[cb.s*8+i] - cb.cvec[i])^2
+                         for i in range(1, 9)]) AS ld
+        FROM cb, q
+    ),
+    adc AS (
+        SELECT e.vec_id, SUM(l.ld) AS d
+        FROM enc e JOIN lut l ON l.s = e.s AND l.code = e.code
+        WHERE e.rn = 1
+        GROUP BY e.vec_id
+    )
+    SELECT vec_id, ROUND(d, 4) AS adc_dist
+    FROM adc ORDER BY d, vec_id LIMIT 10
+"""
+
+
+# DuckDB replica of q_emb_ivfpq_topk: the IVF oracle's max-cosine cell
+# assignment, residual = vector - own-cell centroid, the PQ oracle's
+# iters=0 codebooks (RAW subvectors of vec_id < 8 — the seed is shared,
+# only the encoded stream is residual), nprobe=2 cells by L2 distance of
+# the query to the centroids (ties by cell), per-probed-cell residual
+# LUTs, ADC restricted to probed cells by the lut-cell join.
+_EMB_IVFPQ_ORACLE_SQL = """
+    WITH cent AS (
+        SELECT vec_id AS cell, embedding::DOUBLE[] AS cvec,
+               SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                   AS cnorm
+        FROM embeddings WHERE vec_id < 8
+    ),
+    assigned AS (
+        SELECT e.vec_id, e.embedding,
+               (SELECT c.cell FROM cent c
+                ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cvec)
+                         / (SQRT(list_dot_product(e.embedding::DOUBLE[],
+                                                  e.embedding::DOUBLE[]))
+                            * c.cnorm) DESC, c.cell
+                LIMIT 1) AS ivf_cell
+        FROM embeddings e
+    ),
+    res AS (
+        SELECT a.vec_id, a.ivf_cell,
+               [(a.embedding::DOUBLE[])[i] - c.cvec[i]
+                for i in range(1, 65)] AS rvec
+        FROM assigned a JOIN cent c ON c.cell = a.ivf_cell
+    ),
+    s_axis AS (SELECT unnest(range(0, 8)) AS s),
+    cb AS (
+        SELECT e.vec_id AS code, sa.s,
+               (e.embedding::DOUBLE[])[sa.s*8+1 : sa.s*8+8] AS cvec
+        FROM embeddings e, s_axis sa
+        WHERE e.vec_id < 8
+    ),
+    sv AS (
+        SELECT r.vec_id, r.ivf_cell, sa.s,
+               r.rvec[sa.s*8+1 : sa.s*8+8] AS vvec
+        FROM res r, s_axis sa
+    ),
+    dists AS (
+        SELECT sv.vec_id, sv.ivf_cell, sv.s, cb.code,
+               list_sum([(sv.vvec[i] - cb.cvec[i])^2
+                         for i in range(1, 9)]) AS d
+        FROM sv JOIN cb USING (s)
+    ),
+    enc AS (
+        SELECT vec_id, ivf_cell, s, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d, code) AS rn
+        FROM dists
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qe
+          FROM embeddings WHERE vec_id = 0),
+    probe AS (
+        SELECT c.cell,
+               [q.qe[i] - c.cvec[i] for i in range(1, 65)] AS rqvec
+        FROM cent c, q
+        ORDER BY list_sum([(q.qe[i] - c.cvec[i])^2 for i in range(1, 65)]),
+                 c.cell
+        LIMIT 2
+    ),
+    lut AS (
+        SELECT p.cell, cb.s, cb.code,
+               list_sum([(p.rqvec[cb.s*8+i] - cb.cvec[i])^2
+                         for i in range(1, 9)]) AS ld
+        FROM probe p, cb
+    ),
+    adc AS (
+        SELECT e.vec_id, SUM(l.ld) AS d
+        FROM enc e
+        JOIN lut l ON l.cell = e.ivf_cell AND l.s = e.s AND l.code = e.code
+        WHERE e.rn = 1
+        GROUP BY e.vec_id
+    )
+    SELECT vec_id, ROUND(d, 4) AS adc_dist
+    FROM adc ORDER BY d, vec_id LIMIT 10
+"""
+
+
+# the three quantized-ANN variants' labeled union (column names aligned)
+_EMB_ANN_TOPK_ORACLE_SQL = """
+    SELECT 'ivf' AS variant, vec_id, ivf_cell AS cell, cosine AS score
+    FROM (%s)
+    UNION ALL
+    SELECT 'pq' AS variant, vec_id, CAST(NULL AS INT) AS cell,
+           adc_dist AS score
+    FROM (%s)
+    UNION ALL
+    SELECT 'ivfpq' AS variant, vec_id, CAST(NULL AS INT) AS cell,
+           adc_dist AS score
+    FROM (%s)
+    ORDER BY variant, vec_id
+"""
+
+
+# DuckDB replica of q_docs_ppl_buckets: the unigram-LM oracle's scores,
+# per-language cutoffs via quantile_cont (the same interpolated exact
+# percentile Spark's `percentile` computes; the fraction literals are
+# injected with python str() so both engines parse the identical
+# doubles), bucket = first cutoff with score <= cutoff else the last.
+_DOCS_PPL_BUCKETS_ORACLE_SQL = """
+    WITH scored AS (%(unigram)s),
+    j AS (
+        SELECT s.doc_id, d.lang, s.avg_neg_logprob
+        FROM scored s JOIN documents d USING (doc_id)
+    ),
+    cuts AS (
+        SELECT lang,
+               quantile_cont(avg_neg_logprob, [%(q1)s, %(q2)s]) AS c
+        FROM j GROUP BY lang
+    )
+    SELECT j.doc_id, j.lang, j.avg_neg_logprob,
+           CAST(CASE WHEN j.avg_neg_logprob <= cuts.c[1] THEN 1
+                     WHEN j.avg_neg_logprob <= cuts.c[2] THEN 2
+                     ELSE 3 END AS INT) AS ppl_bucket
+    FROM j JOIN cuts USING (lang)
+    ORDER BY j.doc_id
 """
 
 
@@ -1964,13 +2200,17 @@ _DOCS_UNIGRAM_LOGPROB_ORACLE_SQL = """
 """
 
 
-# the two LM variants' labeled union (column names aligned on both sides)
+# the three LM variants' labeled union (column names aligned on both sides)
 _DOCS_LM_LOGPROB_ORACLE_SQL = """
     SELECT 'unigram' AS variant, doc_id, n_tokens AS n_units,
            avg_neg_logprob AS score
     FROM (%s)
     UNION ALL
     SELECT 'bigram' AS variant, doc_id, n_bigrams AS n_units,
+           avg_neg_logprob2 AS score
+    FROM (%s)
+    UNION ALL
+    SELECT 'kn' AS variant, doc_id, n_bigrams AS n_units,
            avg_neg_logprob2 AS score
     FROM (%s)
     ORDER BY variant, doc_id
@@ -2216,6 +2456,47 @@ _DOCS_BIGRAM_LOGPROB_ORACLE_SQL = """
     JOIN bcounts bc USING (w1, w2)
     JOIN ccounts cc USING (w1)
     CROSS JOIN vocab
+    GROUP BY b.doc_id ORDER BY b.doc_id
+"""
+
+
+# DuckDB replica of q_docs_bigram_kn_logprob: the SAME bigram count table
+# as the additive oracle, scored under interpolated Kneser-Ney with
+# D=0.75 — max(c2-D,0)/c1 + (D*N1+(w1,*)/c1) * N1+(*,w2)/N1+(*,*); every
+# KN statistic is a row-count over bcounts.  The arithmetic repeats the
+# Spark expression's association order exactly so ROUND(.,6) agrees.
+_DOCS_BIGRAM_KN_ORACLE_SQL = """
+    WITH arrs AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split(LOWER(REPLACE(text, chr(10), ' ')), ' '),
+                   t -> t <> ''
+               ) AS arr
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, arr, unnest(range(2, len(arr) + 1)) AS i
+        FROM arrs WHERE len(arr) >= 2
+    ),
+    bg AS (SELECT doc_id, arr[i - 1] AS w1, arr[i] AS w2 FROM idx),
+    bcounts AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+    ccounts AS (
+        SELECT w1, SUM(c2) AS c1, COUNT(*) AS n1p_fwd
+        FROM bcounts GROUP BY w1
+    ),
+    cont AS (SELECT w2, COUNT(*) AS n1p_bwd FROM bcounts GROUP BY w2),
+    tt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM bcounts)
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(-LN(
+               GREATEST(bc.c2 - 0.75, 0.0) / cc.c1
+               + 0.75 * cc.n1p_fwd / cc.c1 * (co.n1p_bwd / tt.t)
+           )), 6) AS avg_neg_logprob2
+    FROM bg b
+    JOIN bcounts bc USING (w1, w2)
+    JOIN ccounts cc USING (w1)
+    JOIN cont co USING (w2)
+    CROSS JOIN tt
     GROUP BY b.doc_id ORDER BY b.doc_id
 """
 
@@ -2657,15 +2938,30 @@ def oracle_sql() -> dict[str, str]:
         "docs_winnowing": _winnowing_oracle_sql(),
         "docs_token_budget": _DOCS_TOKEN_BUDGET_ORACLE_SQL,
         "docs_lm_logprob": _DOCS_LM_LOGPROB_ORACLE_SQL
-        % (_DOCS_UNIGRAM_LOGPROB_ORACLE_SQL, _DOCS_BIGRAM_LOGPROB_ORACLE_SQL),
+        % (
+            _DOCS_UNIGRAM_LOGPROB_ORACLE_SQL,
+            _DOCS_BIGRAM_LOGPROB_ORACLE_SQL,
+            _DOCS_BIGRAM_KN_ORACLE_SQL,
+        ),
         "docs_dsir_sample": _DOCS_DSIR_ORACLE_SQL,
         "docs_remove_repeated_spans": _DOCS_REMOVE_REPEATED_SPANS_ORACLE_SQL,
         "docs_curation_pipeline": _curation_pipeline_oracle_sql(),
         "docs_decontaminate": _DOCS_DECONTAMINATE_ORACLE_SQL,
         "emb_lsh": _lsh_merged_oracle_sql(),
         "emb_near_dup_pairs": _emb_near_dup_oracle_sql(),
-        "emb_ivf_topk": _EMB_IVF_ORACLE_SQL,
+        "emb_ann_topk": _EMB_ANN_TOPK_ORACLE_SQL
+        % (
+            _EMB_IVF_ORACLE_SQL,
+            _EMB_PQ_ADC_ORACLE_SQL,
+            _EMB_IVFPQ_ORACLE_SQL,
+        ),
         "emb_ivf_train_step": _EMB_IVF_TRAIN_STEP_ORACLE_SQL,
+        "docs_ppl_buckets": _DOCS_PPL_BUCKETS_ORACLE_SQL
+        % {
+            "unigram": _DOCS_UNIGRAM_LOGPROB_ORACLE_SQL,
+            "q1": str(1 / 3),
+            "q2": str(2 / 3),
+        },
         "docs_simhash": """
             WITH tok AS (
                 SELECT doc_id,
@@ -2696,53 +2992,6 @@ def oracle_sql() -> dict[str, str]:
             """
             % (_MINHASH_PORTABLE_SQL, _minhash_portable_sql(32, 8))
         ),
-        # DuckDB replica of q_emb_pq_adc_topk: iters=0 codebooks come from
-        # the TABLE (subvectors of vec_id < 8), so no literal injection is
-        # needed; encode = per-(vec, subspace) squared-L2 argmin with
-        # lowest-code tie-break (row_number), ADC = LUT join + per-vector
-        # sum.  dim 64, m 8, sub 8 per TESTDATA.md.
-        "emb_pq_adc_topk": """
-            WITH s_axis AS (SELECT unnest(range(0, 8)) AS s),
-            cb AS (
-                SELECT e.vec_id AS code, sa.s,
-                       (e.embedding::DOUBLE[])[sa.s*8+1 : sa.s*8+8] AS cvec
-                FROM embeddings e, s_axis sa
-                WHERE e.vec_id < 8
-            ),
-            sv AS (
-                SELECT e.vec_id, sa.s,
-                       (e.embedding::DOUBLE[])[sa.s*8+1 : sa.s*8+8] AS vvec
-                FROM embeddings e, s_axis sa
-            ),
-            dists AS (
-                SELECT sv.vec_id, sv.s, cb.code,
-                       list_sum([(sv.vvec[i] - cb.cvec[i])^2
-                                 for i in range(1, 9)]) AS d
-                FROM sv JOIN cb USING (s)
-            ),
-            enc AS (
-                SELECT vec_id, s, code,
-                       ROW_NUMBER() OVER (PARTITION BY vec_id, s
-                                          ORDER BY d, code) AS rn
-                FROM dists
-            ),
-            q AS (SELECT embedding::DOUBLE[] AS qe
-                  FROM embeddings WHERE vec_id = 0),
-            lut AS (
-                SELECT cb.s, cb.code,
-                       list_sum([(q.qe[cb.s*8+i] - cb.cvec[i])^2
-                                 for i in range(1, 9)]) AS ld
-                FROM cb, q
-            ),
-            adc AS (
-                SELECT e.vec_id, SUM(l.ld) AS d
-                FROM enc e JOIN lut l ON l.s = e.s AND l.code = e.code
-                WHERE e.rn = 1
-                GROUP BY e.vec_id
-            )
-            SELECT vec_id, ROUND(d, 4) AS adc_dist
-            FROM adc ORDER BY d, vec_id LIMIT 10
-        """,
         "emb_cosine_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
             SELECT e.vec_id,

@@ -83,7 +83,17 @@ def bpe_train(
     min_pair_count: int = 2,
 ) -> List[Tuple[str, str]]:
     """The learned merge list, most-frequent first.  Stops early when no
-    pair reaches ``min_pair_count`` (the corpus is fully compressed)."""
+    pair reaches ``min_pair_count`` (the corpus is fully compressed).
+
+    Latency honesty: each merge is ONE Spark job ending in a 1-row
+    collect, so a production vocabulary is ``n_merges`` sequential jobs
+    over the persisted word table — at 50k merges the driver round-trip
+    latency (seconds per job) dominates, not the data.  That is the
+    honest distributed-BPE shape: iterating in Spark only pays off when
+    the word table itself is cluster-sized (10^7-10^8 distinct words);
+    for smaller vocabularies, collect the word-count table once and run
+    the merge loop driver-side on the counts (the standard practice —
+    the (word, count) table, not the corpus, is all BPE ever needs)."""
     words = _word_counts(df, text_col).select(
         _seed_symbols().alias("syms"), F.col("n")
     )
