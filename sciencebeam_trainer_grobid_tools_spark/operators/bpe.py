@@ -76,31 +76,65 @@ def _apply_merge(syms, a: str, b: str):
     )
 
 
+def _select_disjoint(cands, batch: int) -> List[Tuple[str, str]]:
+    """Greedy symbol-disjoint selection from (a, b) candidates in rank
+    order: a candidate is taken iff none of {a, b, a+b} collides with a
+    previously-taken pair's {a, b, a+b}.  Disjointness is what makes the
+    batched counts exact: applying one taken merge can neither create
+    nor destroy an adjacency of another (the rewrite only touches the
+    taken pair's own symbols), so every taken pair's round-start count
+    is its true count at application time, in any application order."""
+    selected: List[Tuple[str, str]] = []
+    used: set = set()
+    for a, b in cands:
+        if {a, b, a + b} & used:
+            continue
+        selected.append((a, b))
+        used |= {a, b, a + b}
+        if len(selected) >= batch:
+            break
+    return selected
+
+
 def bpe_train(
     df: DataFrame,
     n_merges: int,
     text_col: str = "text",
     min_pair_count: int = 2,
+    batch: int = 1,
 ) -> List[Tuple[str, str]]:
     """The learned merge list, most-frequent first.  Stops early when no
     pair reaches ``min_pair_count`` (the corpus is fully compressed).
 
-    Latency honesty: each merge is ONE Spark job ending in a 1-row
-    collect, so a production vocabulary is ``n_merges`` sequential jobs
-    over the persisted word table — at 50k merges the driver round-trip
-    latency (seconds per job) dominates, not the data.  That is the
-    honest distributed-BPE shape: iterating in Spark only pays off when
-    the word table itself is cluster-sized (10^7-10^8 distinct words);
-    for smaller vocabularies, collect the word-count table once and run
-    the merge loop driver-side on the counts (the standard practice —
-    the (word, count) table, not the corpus, is all BPE ever needs)."""
+    Latency honesty: each round is ONE Spark job ending in a small
+    collect, so a production vocabulary is ``~n_merges / batch``
+    sequential jobs over the persisted word table — at 50k merges with
+    ``batch=1`` the driver round-trip latency (seconds per job)
+    dominates, not the data.  Iterating in Spark only pays off when the
+    word table itself is cluster-sized (10^7-10^8 distinct words); for
+    vocabularies that fit driver memory use
+    :func:`bpe_train_collected` (the standard practice — the
+    (word, count) table, not the corpus, is all BPE ever needs).
+
+    ``batch > 1`` is the standard distributed-BPE amortization: each
+    round collects the top ``4 * batch`` candidate pairs and greedily
+    takes up to ``batch`` SYMBOL-DISJOINT ones (no symbol of a taken
+    pair — nor its merged concatenation — appears in another taken
+    pair).  Disjointness keeps every taken pair's round-start count
+    exact under the other taken merges, so each round's selections are
+    individually correct; the sequence can still differ from strict
+    Sennrich order because later rounds see ``batch`` merges at once
+    (rounds may take fewer than ``batch`` when the candidate pool
+    conflicts).  ``batch=1`` IS strict Sennrich."""
+    if batch < 1:
+        raise ValueError("bpe_train: batch must be >= 1, got %r" % batch)
     words = _word_counts(df, text_col).select(
         _seed_symbols().alias("syms"), F.col("n")
     )
     words = words.persist()
     words.count()
     merges: List[Tuple[str, str]] = []
-    for _ in range(n_merges):
+    while len(merges) < n_merges:
         pairs = words.select(
             F.col("n"),
             F.explode(
@@ -120,19 +154,70 @@ def bpe_train(
             pairs.groupBy("p.a", "p.b")
             .agg(F.sum("n").alias("c"))
             .orderBy(F.col("c").desc(), F.col("a"), F.col("b"))
-            .limit(1)
+            .limit(1 if batch == 1 else 4 * batch)
             .collect()
         )
-        if not best or best[0]["c"] < min_pair_count:
+        cands = [(r["a"], r["b"]) for r in best if r["c"] >= min_pair_count]
+        if not cands:
             break
-        a, b = best[0]["a"], best[0]["b"]
-        merges.append((a, b))
-        nxt = words.select(_apply_merge(F.col("syms"), a, b).alias("syms"), "n")
+        selected = _select_disjoint(cands, min(batch, n_merges - len(merges)))
+        merges.extend(selected)
+        col = F.col("syms")
+        for a, b in selected:
+            col = _apply_merge(col, a, b)
+        nxt = words.select(col.alias("syms"), "n")
         nxt = nxt.persist()
         nxt.count()
         words.unpersist()
         words = nxt
     words.unpersist()
+    return merges
+
+
+def bpe_train_collected(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+) -> List[Tuple[str, str]]:
+    """Strict-Sennrich merge loop DRIVER-side over the collected
+    (word, count) table — identical output to ``bpe_train(batch=1)``,
+    and the right tool whenever the distinct-word table fits in driver
+    memory (<~10^7 rows): the corpus still reduces in Spark (ONE
+    shuffle, the only corpus read), but the 50k-merge iteration runs at
+    dict speed with zero per-merge job latency.  The collect is the
+    documented bound: at true web scale (10^8+ distinct words) use the
+    in-Spark loop instead."""
+    rows = _word_counts(df, text_col).collect()
+    vocab = {
+        tuple(list(r["word"]) + [END_OF_WORD]): r["n"] for r in rows
+    }
+    merges: List[Tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict = {}
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                key = (syms[i], syms[i + 1])
+                counts[key] = counts.get(key, 0) + n
+        if not counts:
+            break
+        neg_c, a, b = min((-c, a, b) for (a, b), c in counts.items())
+        if -neg_c < min_pair_count:
+            break
+        merges.append((a, b))
+        new_vocab: dict = {}
+        for syms, n in vocab.items():
+            i, out = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + n
+        vocab = new_vocab
     return merges
 
 

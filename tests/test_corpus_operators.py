@@ -496,6 +496,105 @@ class TestBpe:
         merges = bpe.bpe_train(df, n_merges=50)
         assert len(merges) <= 3
 
+    @staticmethod
+    def _ref_train_batched(word_counts, n_merges, batch, min_pair_count=2):
+        # python replica of the batched rule: top-4*batch candidate pool
+        # per round, greedy symbol-disjoint selection (a taken pair's
+        # {a, b, a+b} blocks later candidates), all taken merges applied
+        # before the next count round
+        vocab = {tuple(list(w) + ["</w>"]): n for w, n in word_counts.items()}
+        merges = []
+        while len(merges) < n_merges:
+            pairs = {}
+            for syms, n in vocab.items():
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] = (
+                        pairs.get((syms[i], syms[i + 1]), 0) + n
+                    )
+            ranked = sorted(
+                ((-c, a, b) for (a, b), c in pairs.items())
+            )[: 4 * batch]
+            cands = [(a, b) for nc, a, b in ranked if -nc >= min_pair_count]
+            if not cands:
+                break
+            selected, used = [], set()
+            for a, b in cands:
+                if {a, b, a + b} & used:
+                    continue
+                selected.append((a, b))
+                used |= {a, b, a + b}
+                if len(selected) >= min(batch, n_merges - len(merges)):
+                    break
+            merges.extend(selected)
+            for a, b in selected:
+                new_vocab = {}
+                for syms, n in vocab.items():
+                    i, out = 0, []
+                    while i < len(syms):
+                        if (
+                            i + 1 < len(syms)
+                            and syms[i] == a
+                            and syms[i + 1] == b
+                        ):
+                            out.append(a + b)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+                vocab = new_vocab
+        return merges
+
+    def test_batched_differential_vs_reference(self, spark):
+        import random
+
+        from sciencebeam_trainer_grobid_tools_spark.operators import bpe
+
+        rng = random.Random(33)
+        pool = ["river", "riverbank", "banker", "rank", "ranker", "ink", "rivet"]
+        rows = [
+            (i, " ".join(rng.choice(pool) for _ in range(rng.randint(3, 10))))
+            for i in range(25)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        word_counts = {}
+        for _, text in rows:
+            for w in text.split():
+                word_counts[w] = word_counts.get(w, 0) + 1
+        for batch in (2, 4):
+            got = bpe.bpe_train(df, n_merges=9, batch=batch)
+            want = self._ref_train_batched(word_counts, 9, batch)
+            assert got == want, batch
+        # batch=1 stays strict Sennrich
+        assert bpe.bpe_train(df, n_merges=6, batch=1) == self._ref_train(
+            word_counts, 6
+        )
+
+    def test_collected_matches_spark_loop(self, spark):
+        import random
+
+        from sciencebeam_trainer_grobid_tools_spark.operators import bpe
+
+        rng = random.Random(5)
+        pool = ["alpha", "alphabet", "beta", "betatron", "gamma", "gam"]
+        rows = [
+            (i, " ".join(rng.choice(pool) for _ in range(rng.randint(2, 8))))
+            for i in range(20)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        assert bpe.bpe_train_collected(df, n_merges=10) == bpe.bpe_train(
+            df, n_merges=10
+        )
+
+    def test_invalid_batch_raises(self, spark):
+        import pytest as _pytest
+
+        from sciencebeam_trainer_grobid_tools_spark.operators import bpe
+
+        df = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="batch"):
+            bpe.bpe_train(df, n_merges=1, batch=0)
+
 
 class TestRepetitionAndDecontamination:
     def test_repetition_features_planted(self, spark):
