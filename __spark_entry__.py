@@ -478,16 +478,17 @@ def q_docs_remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_docs_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All three corpus-LM quality scores in ONE labeled gate entry
+    """All four corpus-LM quality scores in ONE labeled gate entry
     (merged to keep the 50-entry gate all-oracle): ``unigram`` —
     CCNet-filter shape, per-doc mean -ln p(tok); ``bigram`` — the n=2
     generalization proof (context-keyed counts, model derived from the
     count table); ``kn`` — the same bigram counts under interpolated
     Kneser-Ney smoothing (D=0.75, the KenLM/CCNet smoothing family;
     continuation counts and the type total are row-counts over the
-    count table).  Each variant's scores value-check independently
-    under the label; ``n_units`` is tokens for unigram rows, bigrams
-    otherwise."""
+    count table); ``kn_heldout`` — the model trained on the even half,
+    scoring the odd half through the OOV-capable backoff layer.  Each
+    variant's scores value-check independently under the label;
+    ``n_units`` is tokens for unigram rows, bigrams otherwise."""
     a = q_docs_unigram_logprob(spark, sf_dir).select(
         F.lit("unigram").alias("variant"),
         "doc_id",
@@ -506,7 +507,16 @@ def q_docs_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bigrams").alias("n_units"),
         F.col("avg_neg_logprob2").alias("score"),
     )
-    return a.unionByName(b).unionByName(c).orderBy("variant", "doc_id")
+    d = q_docs_bigram_kn_heldout(spark, sf_dir).select(
+        F.lit("kn_heldout").alias("variant"),
+        "doc_id",
+        F.col("n_bigrams").alias("n_units"),
+        F.col("avg_neg_logprob2").alias("score"),
+    )
+    return (
+        a.unionByName(b).unionByName(c).unionByName(d)
+        .orderBy("variant", "doc_id")
+    )
 
 
 def q_docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -613,6 +623,22 @@ def q_docs_bigram_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(_load(spark, sf_dir, "documents"), spark)
     return textstats.bigram_logprob_features(
         docs, persist_counts=False, smoothing_mode="kn"
+    ).orderBy("doc_id")
+
+
+def q_docs_bigram_kn_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT Kneser-Ney scoring — the real CCNet/KenLM filter shape:
+    the bigram model trains on the EVEN-doc_id half of the corpus and
+    scores the ODD half, so unseen bigrams, unseen contexts and OOV
+    continuations all exercise the backoff layer (additively-smoothed
+    continuation distribution with one reserved OOV type; unseen
+    contexts back off fully to it).  The oracle recomputes the split,
+    the count-table model, and every LEFT-join branch."""
+    docs = _spread(_load(spark, sf_dir, "documents"), spark)
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    held = docs.filter(F.col("doc_id") % 2 == 1)
+    return textstats.bigram_logprob_features(
+        train, persist_counts=False, smoothing_mode="kn", score_df=held
     ).orderBy("doc_id")
 
 
@@ -2213,6 +2239,10 @@ _DOCS_LM_LOGPROB_ORACLE_SQL = """
     SELECT 'kn' AS variant, doc_id, n_bigrams AS n_units,
            avg_neg_logprob2 AS score
     FROM (%s)
+    UNION ALL
+    SELECT 'kn_heldout' AS variant, doc_id, n_bigrams AS n_units,
+           avg_neg_logprob2 AS score
+    FROM (%s)
     ORDER BY variant, doc_id
 """
 
@@ -2498,6 +2528,66 @@ _DOCS_BIGRAM_KN_ORACLE_SQL = """
     JOIN cont co USING (w2)
     CROSS JOIN tt
     GROUP BY b.doc_id ORDER BY b.doc_id
+"""
+
+
+# DuckDB replica of q_docs_bigram_kn_heldout: the model trains on the
+# even-doc_id half, the odd half is scored through LEFT joins so unseen
+# events keep their rows.  pc gains additive OOV mass (s=0.5, one reserved
+# OOV type -> denominator T + s*(V2+1)); a seen context interpolates
+# max(c2-D,0)/c1 + D*N1+(w1,*)/c1 * pc with c2 coalesced to 0; an unseen
+# context backs off fully to pc.  Arithmetic repeats the Spark
+# expression's association order exactly so ROUND(.,6) agrees.
+_DOCS_BIGRAM_KN_HELDOUT_ORACLE_SQL = """
+    WITH arrs AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split(LOWER(REPLACE(text, chr(10), ' ')), ' '),
+                   t -> t <> ''
+               ) AS arr
+        FROM documents
+    ),
+    tr_idx AS (
+        SELECT doc_id, arr, unnest(range(2, len(arr) + 1)) AS i
+        FROM arrs WHERE doc_id % 2 = 0 AND len(arr) >= 2
+    ),
+    tr_bg AS (SELECT arr[i - 1] AS w1, arr[i] AS w2 FROM tr_idx),
+    bcounts AS (SELECT w1, w2, COUNT(*) AS c2 FROM tr_bg GROUP BY w1, w2),
+    ccounts AS (
+        SELECT w1, SUM(c2) AS c1, COUNT(*) AS n1p_fwd
+        FROM bcounts GROUP BY w1
+    ),
+    cont AS (SELECT w2, COUNT(*) AS n1p_bwd FROM bcounts GROUP BY w2),
+    stats AS (
+        SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM bcounts) AS t,
+               (SELECT CAST(COUNT(*) AS DOUBLE) FROM cont) AS v2
+    ),
+    hd_idx AS (
+        SELECT doc_id, arr, unnest(range(2, len(arr) + 1)) AS i
+        FROM arrs WHERE doc_id % 2 = 1 AND len(arr) >= 2
+    ),
+    hd_bg AS (SELECT doc_id, arr[i - 1] AS w1, arr[i] AS w2 FROM hd_idx),
+    scored AS (
+        SELECT b.doc_id,
+               CASE WHEN cc.c1 IS NULL THEN
+                   (COALESCE(co.n1p_bwd, 0) + 0.5)
+                   / (stats.t + 0.5 * (stats.v2 + 1.0))
+               ELSE
+                   GREATEST(COALESCE(bc.c2, 0) - 0.75, 0.0) / cc.c1
+                   + 0.75 * cc.n1p_fwd / cc.c1
+                     * ((COALESCE(co.n1p_bwd, 0) + 0.5)
+                        / (stats.t + 0.5 * (stats.v2 + 1.0)))
+               END AS p
+        FROM hd_bg b
+        LEFT JOIN bcounts bc USING (w1, w2)
+        LEFT JOIN ccounts cc USING (w1)
+        LEFT JOIN cont co USING (w2)
+        CROSS JOIN stats
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(-LN(p)), 6) AS avg_neg_logprob2
+    FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
 
@@ -2942,6 +3032,7 @@ def oracle_sql() -> dict[str, str]:
             _DOCS_UNIGRAM_LOGPROB_ORACLE_SQL,
             _DOCS_BIGRAM_LOGPROB_ORACLE_SQL,
             _DOCS_BIGRAM_KN_ORACLE_SQL,
+            _DOCS_BIGRAM_KN_HELDOUT_ORACLE_SQL,
         ),
         "docs_dsir_sample": _DOCS_DSIR_ORACLE_SQL,
         "docs_remove_repeated_spans": _DOCS_REMOVE_REPEATED_SPANS_ORACLE_SQL,

@@ -190,6 +190,7 @@ def bigram_logprob_features(
     persist_counts: bool = True,
     smoothing_mode: str = "additive",
     kn_discount: float = 0.75,
+    score_df: "DataFrame" = None,
 ) -> "DataFrame":
     """Per-document mean -ln p(w2 | w1) under the corpus's own smoothed
     BIGRAM model — the n=2 instantiation proving what
@@ -216,9 +217,30 @@ def bigram_logprob_features(
     the same bigram count table the additive mode builds — no extra
     corpus scan, the scale story is unchanged.  Scoring the training
     corpus itself means every scored bigram is seen (c >= 1 > D), so the
-    backoff-to-unseen branch never divides by zero; OOV scoring of a
-    held-out corpus would add a unigram backoff layer on the same
-    derivation.
+    backoff-to-unseen branch never divides by zero.
+
+    ``score_df``: HELD-OUT scoring — the model trains on ``df`` and
+    scores ``score_df`` instead (the real CCNet/KenLM filter shape: the
+    LM is trained on a reference corpus, the web corpus is scored
+    against it).  Unseen events are exact, not errors:
+
+    * ``kn``: the continuation distribution gains additive OOV mass —
+      ``pc(w2) = (N1+(*,w2) + s) / (N1+(*,*) + s * (V2 + 1))`` with
+      ``s = smoothing`` and ``V2`` the distinct-continuation-type count
+      (OOV words share one reserved type, hence ``V2 + 1``); a seen
+      context interpolates ``max(c2 - D, 0)/c1 + (D * N1+(w1,*)/c1) *
+      pc(w2)`` with ``c2 = 0`` for unseen bigrams, and an UNSEEN
+      context backs off fully to ``pc(w2)``.  Every probability is
+      strictly positive (``pc >= s / (T + s*(V2+1))``).
+    * ``additive``: ``(c2 + s) / (c1 + s * V)`` with ``c2``/``c1``
+      coalesced to 0 for unseen events — an unseen context scores the
+      uniform ``1/V`` over the TRAINING vocabulary ``V`` (documented:
+      no OOV type is added in this mode).
+
+    The held-out path adds NO corpus scan of ``df`` beyond the one
+    count-table build; ``score_df`` is touched exactly twice (bigram
+    explode, per-doc mean), and the three model joins are LEFT joins on
+    the same keys the seen-corpus path uses.
 
     Score = mean over the doc's bigrams of ``-ln p``; documents with
     fewer than 2 tokens have no bigrams and do not appear (a closed-form
@@ -238,25 +260,31 @@ def bigram_logprob_features(
     repeated-query harnesses pass False."""
     from pyspark.sql import functions as _F
 
-    arr = _F.filter(
-        _F.split(
-            _F.lower(_F.replace(_F.col(text_col), _F.lit("\n"), _F.lit(" "))), " "
-        ),
-        lambda t: t != "",
-    )
-    with_arr = df.select(_F.col(id_col).alias("doc_id"), arr.alias("_arr")).filter(
-        _F.size("_arr") >= 2
-    )
-    pairs = _F.transform(
-        _F.sequence(_F.lit(2), _F.size("_arr")),
-        lambda i: _F.struct(
-            _F.get("_arr", i - _F.lit(2)).alias("w1"),
-            _F.get("_arr", i - _F.lit(1)).alias("w2"),
-        ),
-    )
-    bg = with_arr.select("doc_id", _F.explode(pairs).alias("_bg")).select(
-        "doc_id", _F.col("_bg.w1").alias("w1"), _F.col("_bg.w2").alias("w2")
-    )
+    def _bigrams(src: "DataFrame") -> "DataFrame":
+        arr = _F.filter(
+            _F.split(
+                _F.lower(
+                    _F.replace(_F.col(text_col), _F.lit("\n"), _F.lit(" "))
+                ),
+                " ",
+            ),
+            lambda t: t != "",
+        )
+        with_arr = src.select(
+            _F.col(id_col).alias("doc_id"), arr.alias("_arr")
+        ).filter(_F.size("_arr") >= 2)
+        pairs = _F.transform(
+            _F.sequence(_F.lit(2), _F.size("_arr")),
+            lambda i: _F.struct(
+                _F.get("_arr", i - _F.lit(2)).alias("w1"),
+                _F.get("_arr", i - _F.lit(1)).alias("w2"),
+            ),
+        )
+        return with_arr.select("doc_id", _F.explode(pairs).alias("_bg")).select(
+            "doc_id", _F.col("_bg.w1").alias("w1"), _F.col("_bg.w2").alias("w2")
+        )
+
+    bg = _bigrams(df)
     if smoothing_mode not in ("additive", "kn"):
         raise ValueError(
             "bigram_logprob_features smoothing_mode must be additive/kn,"
@@ -265,6 +293,11 @@ def bigram_logprob_features(
     bcounts = bg.groupBy("w1", "w2").agg(_F.count(_F.lit(1)).alias("c2"))
     if persist_counts:
         bcounts = bcounts.persist()
+    if score_df is not None:
+        return _heldout_bigram_scores(
+            _bigrams(score_df), bcounts, smoothing_mode,
+            float(smoothing), float(kn_discount),
+        )
     if smoothing_mode == "kn":
         if not 0.0 < kn_discount < 1.0:
             raise ValueError(
@@ -311,6 +344,68 @@ def bigram_logprob_features(
             _F.count(_F.lit(1)).cast("long").alias("n_bigrams"),
             _F.round(_F.avg(neg_logp), 6).alias("avg_neg_logprob2"),
         )
+    )
+
+
+def _heldout_bigram_scores(
+    bg_score: "DataFrame",
+    bcounts: "DataFrame",
+    smoothing_mode: str,
+    s: float,
+    d: float,
+) -> "DataFrame":
+    """Score held-out bigrams against a trained count table (see
+    ``bigram_logprob_features(score_df=...)`` for the formulas).  All
+    three model joins are LEFT joins so unseen events keep their rows;
+    the model statistics (type total, continuation-type count, vocab
+    size) remain 1-row collects over the count table."""
+    from pyspark.sql import functions as _F
+
+    c2f = _F.coalesce(_F.col("c2"), _F.lit(0)).cast("double")
+    if smoothing_mode == "kn":
+        if not 0.0 < d < 1.0:
+            raise ValueError(
+                "bigram_logprob_features kn_discount must be in (0, 1),"
+                " got %r" % d
+            )
+        t_types = float(bcounts.count())
+        ccounts = bcounts.groupBy("w1").agg(
+            _F.sum("c2").alias("c1"),
+            _F.count(_F.lit(1)).alias("_n1p_fwd"),
+        )
+        cont = bcounts.groupBy("w2").agg(
+            _F.count(_F.lit(1)).alias("_n1p_bwd")
+        )
+        v2 = float(cont.count())
+        # OOV words share one reserved continuation type, hence V2 + 1
+        pc = (_F.coalesce(_F.col("_n1p_bwd"), _F.lit(0)) + _F.lit(s)) / _F.lit(
+            t_types + s * (v2 + 1.0)
+        )
+        scored = (
+            bg_score.join(bcounts, ["w1", "w2"], "left")
+            .join(ccounts, ["w1"], "left")
+            .join(cont, ["w2"], "left")
+        )
+        prob = _F.when(_F.col("c1").isNull(), pc).otherwise(
+            _F.greatest(c2f - _F.lit(d), _F.lit(0.0)) / _F.col("c1")
+            + _F.lit(d) * _F.col("_n1p_fwd") / _F.col("c1") * pc
+        )
+    else:
+        v_size = float(
+            bcounts.select(_F.col("w1").alias("t"))
+            .union(bcounts.select(_F.col("w2")))
+            .distinct()
+            .count()
+        )
+        ccounts = bcounts.groupBy("w1").agg(_F.sum("c2").alias("c1"))
+        scored = bg_score.join(bcounts, ["w1", "w2"], "left").join(
+            ccounts, ["w1"], "left"
+        )
+        c1f = _F.coalesce(_F.col("c1"), _F.lit(0)).cast("double")
+        prob = (c2f + _F.lit(s)) / (c1f + _F.lit(s) * _F.lit(v_size))
+    return scored.groupBy("doc_id").agg(
+        _F.count(_F.lit(1)).cast("long").alias("n_bigrams"),
+        _F.round(_F.avg(-_F.log(prob)), 6).alias("avg_neg_logprob2"),
     )
 
 

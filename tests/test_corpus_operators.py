@@ -1670,6 +1670,91 @@ class TestBigramLogprob:
                 docs, smoothing_mode="kn", kn_discount=1.5
             ).collect()
 
+    TRAIN = [(1, "a b a b c"), (2, "a b"), (3, "x"), (4, "")]
+    # model from TRAIN: T=3 bigram types; c(a,.)=3 c(b,.)=2;
+    # N1+(a,*)=1 N1+(b,*)=2; N1+(*,a)=N1+(*,b)=N1+(*,c)=1; V2=3
+    HELDOUT = [
+        (10, "a b"),   # seen bigram
+        (11, "a c"),   # unseen bigram, seen context, seen continuation
+        (12, "z b"),   # unseen context, seen continuation
+        (13, "z q"),   # fully OOV
+        (14, "w"),     # < 2 tokens: no bigrams, drops
+    ]
+
+    def test_hand_computed_kn_heldout_scores(self, spark):
+        """s=0.5 D=0.75: pc denom = T + s*(V2+1) = 5, so pc(seen)=0.3,
+        pc(OOV)=0.1; p(b|a)=2.25/3 + .75*(1/3)*.3 = .825,
+        p(c|a)=0 + .075, p(b|z)=pc(b)=.3, p(q|z)=pc(OOV)=.1."""
+        import math
+
+        train = spark.createDataFrame(self.TRAIN, "doc_id long, text string")
+        held = spark.createDataFrame(self.HELDOUT, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r
+            for r in textstats.bigram_logprob_features(
+                train, persist_counts=False, smoothing_mode="kn",
+                score_df=held,
+            ).collect()
+        }
+        assert sorted(got) == [10, 11, 12, 13]
+        want = {10: 0.825, 11: 0.075, 12: 0.3, 13: 0.1}
+        for doc_id, p in want.items():
+            assert got[doc_id]["n_bigrams"] == 1
+            assert got[doc_id]["avg_neg_logprob2"] == round(-math.log(p), 6), doc_id
+        # improbability ordering: OOV > backoff > unseen bigram > seen
+        assert (
+            got[13]["avg_neg_logprob2"] > got[12]["avg_neg_logprob2"]
+            > got[10]["avg_neg_logprob2"]
+        )
+
+    def test_hand_computed_additive_heldout_scores(self, spark):
+        """V=3: p(b|a)=3.5/4.5, p(c|a)=0.5/4.5, unseen context ->
+        uniform 0.5/1.5 = 1/3 for any continuation."""
+        import math
+
+        train = spark.createDataFrame(self.TRAIN, "doc_id long, text string")
+        held = spark.createDataFrame(self.HELDOUT, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["avg_neg_logprob2"]
+            for r in textstats.bigram_logprob_features(
+                train, persist_counts=False, score_df=held
+            ).collect()
+        }
+        assert got[10] == round(-math.log(3.5 / 4.5), 6)
+        assert got[11] == round(-math.log(0.5 / 4.5), 6)
+        assert got[12] == got[13] == round(-math.log(1.0 / 3.0), 6)
+
+    def test_heldout_seen_corpus_agrees_with_in_corpus_kn(self, spark):
+        """Scoring the training corpus via score_df must equal the
+        in-corpus path up to the OOV mass: with every event seen, the
+        only difference is pc's +s/+s(V2+1) smoothing — assert exact
+        n_bigrams/doc set parity and score agreement within the
+        documented pc perturbation bound."""
+        train = spark.createDataFrame(
+            [(i, "tok%d the common run of words %d" % (i % 3, i)) for i in range(12)],
+            "doc_id long, text string",
+        )
+        in_corpus = {
+            r["doc_id"]: r
+            for r in textstats.bigram_logprob_features(
+                train, persist_counts=False, smoothing_mode="kn"
+            ).collect()
+        }
+        held = {
+            r["doc_id"]: r
+            for r in textstats.bigram_logprob_features(
+                train, persist_counts=False, smoothing_mode="kn",
+                score_df=train,
+            ).collect()
+        }
+        assert sorted(in_corpus) == sorted(held)
+        for doc_id in in_corpus:
+            assert held[doc_id]["n_bigrams"] == in_corpus[doc_id]["n_bigrams"]
+            assert abs(
+                held[doc_id]["avg_neg_logprob2"]
+                - in_corpus[doc_id]["avg_neg_logprob2"]
+            ) < 0.35
+
 
 class TestDsirSelect:
     """DSIR importance resampling (Xie et al. 2023 shape)."""
