@@ -350,22 +350,35 @@ def q_docs_minhash_xxhash_crosscheck(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 def q_docs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both MinHash verification shapes in ONE labeled gate entry (merged
-    to keep the 50-entry gate all-oracle): ``portable`` — the full
-    md5-family MinHash+LSH pipeline (8 hashes, 4 bands), every value
+    """The three MinHash verification shapes in ONE labeled gate entry
+    (merged to keep the 50-entry gate all-oracle): ``portable`` — the
+    full md5-family MinHash+LSH pipeline (8 hashes, 4 bands), every value
     DuckDB-reproducible; ``xxhash_crosscheck`` — the PRODUCTION xxhash64
     path at the headline parameters (32 hashes, 8 bands) restricted to
     exact-Jaccard >= 0.95, where per-family banding miss probability
     (~1.4e-6) makes the cross-family pair-set equality sound (full
-    validity analysis on q_docs_minhash_xxhash_crosscheck).  Each
-    variant's pair set value-checks independently under the label."""
+    validity analysis on q_docs_minhash_xxhash_crosscheck); ``clusters``
+    — connected components over the portable pair set (large-star/
+    small-star, Kiveris et al. 2014), the transitive pairs -> clusters ->
+    representative step a keep-one dedup needs, labels re-derived by the
+    oracle's recursive closure (doc_id_b carries the cluster id, jaccard
+    is NULL).  Each variant value-checks independently under the label."""
     a = q_docs_minhash_portable(spark, sf_dir).select(
         F.lit("portable").alias("variant"), "doc_id_a", "doc_id_b", "jaccard"
     )
     b = q_docs_minhash_xxhash_crosscheck(spark, sf_dir).select(
         F.lit("xxhash_crosscheck").alias("variant"), "doc_id_a", "doc_id_b", "jaccard"
     )
-    return a.unionByName(b).orderBy("variant", "doc_id_a", "doc_id_b")
+    c = dedup.duplicate_clusters(q_docs_minhash_portable(spark, sf_dir)).select(
+        F.lit("clusters").alias("variant"),
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("cluster_id").alias("doc_id_b"),
+        F.lit(None).cast("double").alias("jaccard"),
+    )
+    return (
+        a.unionByName(b).unionByName(c)
+        .orderBy("variant", "doc_id_a", "doc_id_b")
+    )
 
 
 def q_emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3071,7 +3084,9 @@ def oracle_sql() -> dict[str, str]:
                        AS simhash_bits
             FROM votes GROUP BY doc_id
         """,
-        # the two variants' labeled union (schemas already aligned)
+        # the three variants' labeled union (schemas already aligned);
+        # 'clusters' recomputes the components by recursive closure over
+        # the symmetric portable pair set — label = MIN reachable id
         "docs_minhash": (
             """
             SELECT 'portable' AS variant, doc_id_a, doc_id_b, jaccard
@@ -3079,9 +3094,32 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'xxhash_crosscheck' AS variant, doc_id_a, doc_id_b, jaccard
             FROM (SELECT * FROM (%s) WHERE jaccard >= 0.95)
+            UNION ALL
+            SELECT 'clusters' AS variant, doc_id_a, doc_id_b,
+                   CAST(NULL AS DOUBLE) AS jaccard
+            FROM (
+                WITH RECURSIVE prs AS (%s),
+                edges AS (
+                    SELECT doc_id_a AS u, doc_id_b AS v FROM prs
+                    UNION
+                    SELECT doc_id_b, doc_id_a FROM prs
+                ),
+                reach(src, dst) AS (
+                    SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+                    UNION
+                    SELECT r.src, e.v
+                    FROM reach r JOIN edges e ON r.dst = e.u
+                )
+                SELECT src AS doc_id_a, MIN(dst) AS doc_id_b
+                FROM reach GROUP BY src
+            )
             ORDER BY variant, doc_id_a, doc_id_b
             """
-            % (_MINHASH_PORTABLE_SQL, _minhash_portable_sql(32, 8))
+            % (
+                _MINHASH_PORTABLE_SQL,
+                _minhash_portable_sql(32, 8),
+                _MINHASH_PORTABLE_SQL,
+            )
         ),
         "emb_cosine_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

@@ -941,3 +941,133 @@ def with_common_lines_removed(
         .withColumn(text_col, F.col("clean_text"))
         .drop("clean_text")
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a_col: str = "doc_id_a",
+    id_b_col: str = "doc_id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair set -> per-document
+    cluster labels (``doc_id``, ``cluster_id`` = the smallest member id).
+
+    The step every web-scale dedup needs after candidate-pair generation:
+    MinHash banding emits PAIRS, but duplicate relations are transitive
+    (a~b, b~c => one cluster {a,b,c}) and the keep-one policy needs one
+    representative per component, not per pair.
+
+    Algorithm: alternating Large-Star / Small-Star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014), the
+    shuffle-native formulation that converges in O(log n) rounds even on
+    pathological chain graphs where naive min-label propagation needs
+    O(diameter) rounds:
+
+    - large-star: every node points its LARGER neighbors at the minimum
+      of its closed neighborhood;
+    - small-star: every node and its smaller neighbors re-point at the
+      minimum of the smaller neighborhood.
+
+    Each half-round is ONE min-aggregate plus ONE node-keyed join over an
+    edge list of two ids — nothing wider ever shuffles, and a high-degree
+    hub (one page duplicated millions of times) is handled by
+    construction: large-star splits its neighborhood toward the minimum
+    instead of funnelling it through one reducer.  Per round the edge set
+    is localCheckpoint'ed (eager) so the iterative plan's lineage stays
+    O(1); on a production cluster prefer a reliable ``checkpoint()`` dir
+    for fault tolerance (same call site).  Convergence is detected by an
+    exact ``exceptAll``-emptiness check on the canonical (big, small)
+    edge set; ``max_iter`` (default 50 >> log2 of any realistic corpus)
+    guards against a non-terminating regression with a RuntimeError.
+
+    Rows with a null id are dropped; self-pairs are ignored; ids may be
+    any orderable type (the representative is the MIN).  Singleton
+    documents (no pair) are not emitted — left-join the corpus and
+    coalesce to self, or use :func:`dedup_by_clusters`.
+    """
+    a = F.col(id_a_col)
+    b = F.col(id_b_col)
+    raw = (
+        pairs.filter(a.isNotNull() & b.isNotNull() & (a != b))
+        .select(a.alias("u"), b.alias("v"))
+    )
+    # canonical (big, small) so both star phases and the convergence
+    # check operate on one representation
+    edges = (
+        raw.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    for _ in range(max_iter):
+        # large-star over the symmetric view: m = min(neighborhood + self);
+        # larger neighbors re-point at m
+        sym = _sym(edges)
+        mins = sym.groupBy("u").agg(F.min("v").alias("_mv"))
+        m = F.least(F.col("_mv"), F.col("u")).alias("_m")
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), m.alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: edges already point big -> small, so the smaller
+        # neighborhood of u is exactly its out-neighbors
+        smins = large.groupBy("u").agg(F.min("v").alias("_m"))
+        small = (
+            large.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+            .union(smins.select("u", F.col("_m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        converged = small.exceptAll(edges).isEmpty() and (
+            small.count() == edges.count()
+        )
+        edges = small
+        if converged:
+            break
+    else:
+        raise RuntimeError(
+            "duplicate_clusters did not converge in %d rounds" % max_iter
+        )
+    # star forest: non-roots have exactly one out-edge to the component
+    # minimum; roots label themselves
+    labels = edges.groupBy("u").agg(F.min("v").alias("cluster_id"))
+    nodes = raw.select(F.col("u").alias("n")).union(
+        raw.select(F.col("v"))
+    ).distinct()
+    return (
+        nodes.join(labels, nodes["n"] == labels["u"], "left")
+        .select(
+            F.col("n").alias("doc_id"),
+            F.coalesce(F.col("cluster_id"), F.col("n")).alias("cluster_id"),
+        )
+    )
+
+
+def dedup_by_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a_col: str = "doc_id_a",
+    id_b_col: str = "doc_id_b",
+) -> DataFrame:
+    """Keep-one-representative dedup: drop every document that belongs to
+    a near-duplicate cluster (per :func:`duplicate_clusters`) and is not
+    its cluster's minimum id.  Singletons survive untouched (they never
+    enter the label table, so the LEFT ANTI join keeps them); the corpus
+    never shuffles on anything but the id-keyed anti-join."""
+    losers = duplicate_clusters(pairs, id_a_col, id_b_col).filter(
+        F.col("doc_id") != F.col("cluster_id")
+    )
+    return df.join(
+        losers.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
+    )

@@ -110,6 +110,103 @@ class TestDedup:
         assert found == exact  # max_hamming filter makes them equal
 
 
+class TestDuplicateClusters:
+    """Connected components over near-dup pairs (large-star/small-star,
+    Kiveris et al. 2014): transitive closure of the pair relation, label
+    = smallest member id."""
+
+    @staticmethod
+    def _union_find(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp = {}
+        for n in nodes:
+            comp.setdefault(find(n), []).append(n)
+        out = {}
+        for members in comp.values():
+            m = min(members)
+            for n in members:
+                out[n] = m
+        return out
+
+    def test_transitive_chain_and_noise_rows(self, spark):
+        """a~b, b~c must land in ONE cluster; self-pairs and null ids are
+        dropped without poisoning the label table."""
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (5, 5), (None, 7), (7, None)],
+            "doc_id_a long, doc_id_b long",
+        )
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.duplicate_clusters(pairs).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    def test_long_path_converges_to_one_component(self, spark):
+        """A diameter-61 path is the worst case for naive min-label
+        propagation; the star rounds must still collapse it (and do so
+        inside the documented O(log n) bound, far under max_iter)."""
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(60)], "doc_id_a long, doc_id_b long"
+        )
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.duplicate_clusters(pairs).collect()
+        }
+        assert len(got) == 61 and set(got.values()) == {0}
+
+    def test_random_graphs_match_union_find(self, spark):
+        import random
+
+        rnd = random.Random(42)
+        for _ in range(2):
+            edges = [
+                (rnd.randrange(80), rnd.randrange(80)) for _ in range(60)
+            ]
+            edges = [(a, b) for a, b in edges if a != b]
+            nodes = sorted({x for e in edges for x in e})
+            want = self._union_find(edges, nodes)
+            pairs = spark.createDataFrame(
+                edges, "doc_id_a long, doc_id_b long"
+            )
+            got = {
+                r["doc_id"]: r["cluster_id"]
+                for r in dedup.duplicate_clusters(pairs).collect()
+            }
+            assert got == want
+
+    def test_empty_pairs_keep_schema(self, spark):
+        out = dedup.duplicate_clusters(
+            spark.createDataFrame([], "doc_id_a long, doc_id_b long")
+        )
+        assert out.columns == ["doc_id", "cluster_id"]
+        assert out.count() == 0
+
+    def test_dedup_by_clusters_keeps_representatives_and_singletons(
+        self, spark
+    ):
+        docs = spark.createDataFrame(
+            [(i, "t%d" % i) for i in range(6)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3)], "doc_id_a long, doc_id_b long"
+        )
+        kept = sorted(
+            r["doc_id"] for r in dedup.dedup_by_clusters(docs, pairs).collect()
+        )
+        assert kept == [0, 1, 4, 5]
+
+
 class TestRemoveRepeatedSpans:
     """Exact-substring dedup (ExactSubstr rule): drop every token inside a
     >= k-token span that occurs >= 2 times corpus-wide."""
