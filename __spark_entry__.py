@@ -15,7 +15,12 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from sciencebeam_trainer_grobid_tools_spark.operators import dedup, similarity, textstats
+from sciencebeam_trainer_grobid_tools_spark.operators import (
+    dedup,
+    similarity,
+    textstats,
+    webfilters,
+)
 from sciencebeam_trainer_grobid_tools_spark.operators.multimodal import (
     attach_fake_media,
     extract_media_features,
@@ -307,6 +312,53 @@ def q_docs_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         textstats.whitespace_token_count(F.col("text")).alias("ws_tokens"),
         F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\w+"), 0)).alias("word_tokens"),
         F.length("text").alias("n_chars_computed"),
+    )
+
+
+def q_docs_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID and token/char counts in ONE gate entry (merged to
+    free a 50-entry-gate slot for the web-filter suite): a single
+    per-row codegen projection — no join, no shuffle — emitting the
+    n-gram-heuristic language guess next to the whitespace/word-regex
+    token counts (the former docs_lang_id + docs_token_counts entries;
+    docs_token_counts stays a bench headline via demo_queries)."""
+    docs = _spread(_load(spark, sf_dir, "documents"), spark)
+    return docs.select(
+        "doc_id",
+        "lang",
+        textstats.lang_id(F.col("text")).alias("lang_guess"),
+        textstats.whitespace_token_count(F.col("text")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\w+"), 0)).alias(
+            "word_tokens"
+        ),
+        F.length("text").alias("n_chars_computed"),
+    )
+
+
+def q_docs_web_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three web-corpus heuristic-filter families in ONE wide gate
+    entry, joined per document: Gopher quality rules (Rae et al. 2021 —
+    word/word-length bands, symbol/bullet/ellipsis ratios, alpha-word
+    ratio, required stopwords), the C4 cleaning pass (Raffel et al. 2020
+    — terminal-punctuation line filter, sentence minimum, brace and
+    lorem-ipsum page rules; cleaned text value-checked by md5), and
+    fastText-shaped hashed linear classifier inference (Joulin et al.
+    2016) in the oracle-portable derived-weight configuration.  Gopher
+    and C4 are zero-shuffle per-row projections; the classifier adds the
+    plan's only aggregation.  Classifier rows are LEFT-joined (a
+    zero-token document has no classifier row)."""
+    docs = _spread(
+        _load(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    )
+    g = webfilters.gopher_quality_features(docs)
+    c4 = webfilters.c4_clean(docs).withColumn(
+        "c4_clean_md5", F.md5("clean_text")
+    ).drop("clean_text")
+    clf = webfilters.hashed_classifier_score(docs)
+    return (
+        g.join(c4, "doc_id", "left")
+        .join(clf, "doc_id", "left")
+        .orderBy("doc_id")
     )
 
 
@@ -1667,9 +1719,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extraction": q_events_json_extraction,
         "levenshtein_check": q_levenshtein_check,
         "docs_fingerprint_dedup": q_docs_fingerprint_dedup,
-        "docs_lang_id": q_docs_lang_id,
+        "docs_text_features": q_docs_text_features,
         "docs_quality": q_docs_quality,
-        "docs_token_counts": q_docs_token_counts,
+        "docs_web_filters": q_docs_web_filters,
         "docs_remove_common_lines": q_docs_remove_common_lines,
         "docs_remove_repeated_spans": q_docs_remove_repeated_spans,
         "docs_minhash": q_docs_minhash,
@@ -1739,6 +1791,9 @@ def demo_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-over-round after the gate merged this into
         # docs_fingerprint_dedup (variant='groups' value-checks it there)
         "docs_exact_dedup": q_docs_exact_dedup,
+        # same rationale after the gate merged lang-id + token counts into
+        # docs_text_features (which value-checks every column)
+        "docs_token_counts": q_docs_token_counts,
     }
 
 
@@ -2063,6 +2118,129 @@ _DOCS_PPL_BUCKETS_ORACLE_SQL = """
                      ELSE 3 END AS INT) AS ppl_bucket
     FROM j JOIN cuts USING (lang)
     ORDER BY j.doc_id
+"""
+
+
+# DuckDB replica of q_docs_web_filters: the three heuristic-filter families
+# recomputed from scratch — Gopher statistics over the corpus tokenization
+# (rounded BEFORE thresholding, exactly as the Spark operator thresholds its
+# own rounded columns), the C4 line/page rules with the cleaned text pinned
+# by md5, and the hashed classifier through the same
+# md5-first-8-hex-chars bucket/weight derivation ('0x'||substr idiom shared
+# with the sampler oracles).  clf_keep mirrors the UNROUNDED sigmoid
+# comparison; zero-token documents have no classifier row (LEFT JOIN keeps
+# their NULLs).
+_DOCS_WEB_FILTERS_ORACLE_SQL = """
+    WITH base AS (
+        SELECT doc_id, text,
+               list_filter(
+                   string_split(LOWER(REPLACE(text, chr(10), ' ')), ' '),
+                   t -> t <> ''
+               ) AS words,
+               list_filter(
+                   list_transform(string_split(text, chr(10)), l -> TRIM(l)),
+                   t -> t <> ''
+               ) AS glines,
+               string_split(text, chr(10)) AS rawlines
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               CAST(LEN(words) AS INT) AS g_words,
+               ROUND(COALESCE(list_sum(list_transform(words, w -> LENGTH(w))), 0)
+                     / GREATEST(LEN(words), 1), 6) AS g_mean_word_len,
+               ROUND(LEN(regexp_extract_all(text, '#|\\.\\.\\.'))
+                     / GREATEST(LEN(words), 1), 6) AS g_symbol_ratio,
+               ROUND(LEN(list_filter(glines,
+                         t -> starts_with(t, '-') OR starts_with(t, '*')
+                              OR starts_with(t, '•')))
+                     / GREATEST(LEN(glines), 1), 6) AS g_bullet_ratio,
+               ROUND(LEN(list_filter(glines,
+                         t -> ends_with(t, '...') OR ends_with(t, '…')))
+                     / GREATEST(LEN(glines), 1), 6) AS g_ellipsis_ratio,
+               ROUND(LEN(list_filter(words, w -> regexp_matches(w, '[a-z]')))
+                     / GREATEST(LEN(words), 1), 6) AS g_alpha_ratio,
+               (CAST(list_contains(words, 'the') AS INT)
+                + CAST(list_contains(words, 'be') AS INT)
+                + CAST(list_contains(words, 'to') AS INT)
+                + CAST(list_contains(words, 'of') AS INT)
+                + CAST(list_contains(words, 'and') AS INT)
+                + CAST(list_contains(words, 'that') AS INT)
+                + CAST(list_contains(words, 'have') AS INT)
+                + CAST(list_contains(words, 'with') AS INT)) AS g_stopword_hits
+        FROM base
+    ),
+    gk AS (
+        SELECT *,
+               (g_words >= 50 AND g_words <= 100000
+                AND g_mean_word_len >= 3.0 AND g_mean_word_len <= 10.0
+                AND g_symbol_ratio <= 0.1
+                AND g_bullet_ratio <= 0.9
+                AND g_ellipsis_ratio <= 0.3
+                AND g_alpha_ratio >= 0.8
+                AND g_stopword_hits >= 2) AS g_keep
+        FROM g
+    ),
+    c4pre AS (
+        SELECT doc_id, text, rawlines,
+               list_filter(rawlines, l ->
+                   (ends_with(TRIM(l), '.') OR ends_with(TRIM(l), '!')
+                    OR ends_with(TRIM(l), '?') OR ends_with(TRIM(l), '"')
+                    OR ends_with(TRIM(l), '”'))
+                   AND LEN(list_filter(string_split(TRIM(l), ' '),
+                                       w -> w <> '')) >= 5
+                   AND NOT contains(LOWER(TRIM(l)), 'javascript')
+               ) AS kept
+        FROM base
+    ),
+    c4 AS (
+        SELECT doc_id,
+               CAST(LEN(rawlines) AS INT) AS c4_total_lines,
+               CAST(LEN(kept) AS INT) AS c4_kept_lines,
+               CAST(LEN(regexp_extract_all(clean, '[.!?]')) AS INT)
+                   AS c4_sentences,
+               contains(text, '{') AS c4_has_brace,
+               contains(LOWER(text), 'lorem ipsum') AS c4_has_lorem,
+               (LEN(regexp_extract_all(clean, '[.!?]')) >= 3
+                AND NOT contains(text, '{')
+                AND NOT contains(LOWER(text), 'lorem ipsum')) AS c4_keep,
+               md5(clean) AS c4_clean_md5
+        FROM (
+            -- array_to_string is NULL on an empty list in DuckDB;
+            -- Spark's array_join gives '' — pin the Spark semantics
+            SELECT *, COALESCE(array_to_string(kept, chr(10)), '') AS clean
+            FROM c4pre
+        )
+    ),
+    wtok AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 64 AS bucket
+        FROM (SELECT doc_id, unnest(words) AS tok FROM base)
+    ),
+    clf AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS clf_tokens,
+               ROUND(1.0 / (1.0 + EXP(-(0.0 + SUM(w) / COUNT(*)))), 6)
+                   AS clf_score,
+               (1.0 / (1.0 + EXP(-(0.0 + SUM(w) / COUNT(*)))) >= 0.5)
+                   AS clf_keep
+        FROM (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5('w' || CAST(bucket AS VARCHAR)),
+                                       1, 8) AS BIGINT)
+                   / 4294967296.0 - 0.5 AS w
+            FROM wtok
+        )
+        GROUP BY doc_id
+    )
+    SELECT gk.*,
+           c4.c4_total_lines, c4.c4_kept_lines, c4.c4_sentences,
+           c4.c4_has_brace, c4.c4_has_lorem, c4.c4_keep, c4.c4_clean_md5,
+           clf.clf_tokens, clf.clf_score, clf.clf_keep
+    FROM gk
+    LEFT JOIN c4 USING (doc_id)
+    LEFT JOIN clf USING (doc_id)
+    ORDER BY doc_id
 """
 
 
@@ -2968,7 +3146,7 @@ def oracle_sql() -> dict[str, str]:
             FROM planted p LEFT JOIN rebuilt r USING (doc_id)
             ORDER BY p.doc_id
         """,
-        "docs_lang_id": """
+        "docs_text_features": """
             SELECT doc_id, lang,
                    CASE
                      WHEN (' ' || LOWER(text) || ' ') LIKE '% der %'
@@ -2987,7 +3165,11 @@ def oracle_sql() -> dict[str, str]:
                        OR (' ' || LOWER(text) || ' ') LIKE '% is %'
                        OR (' ' || LOWER(text) || ' ') LIKE '% this %' THEN 'en'
                      ELSE 'unknown'
-                   END AS lang_guess
+                   END AS lang_guess,
+                   CAST(LEN(string_split(text, ' ')) AS INT) AS ws_tokens,
+                   CAST(LEN(regexp_extract_all(text, '\\w+')) AS INT)
+                       AS word_tokens,
+                   LENGTH(text) AS n_chars_computed
             FROM documents
         """,
         "docs_quality": """
@@ -3016,6 +3198,7 @@ def oracle_sql() -> dict[str, str]:
                    LENGTH(text) AS n_chars_computed
             FROM documents
         """,
+        "docs_web_filters": _DOCS_WEB_FILTERS_ORACLE_SQL,
 
         "docs_ngram_jaccard": """
             WITH shingled AS (

@@ -1,0 +1,277 @@
+"""Web-corpus heuristic filters: Gopher quality rules, C4 cleaning, and a
+hashed linear quality classifier.
+
+The three document-quality families every published web-scale pretraining
+pipeline composes after dedup:
+
+- :func:`gopher_quality_features` — the repetition-independent subset of
+  the Gopher rules (Rae et al. 2021, "Scaling Language Models", App. A):
+  word-count band, mean-word-length band, symbol-to-word ratio, bullet /
+  ellipsis line ratios, alphabetic-word ratio, required-stopword count.
+  (The Gopher REPETITION rules live in ``dedup.repetition_features``.)
+- :func:`c4_clean` — the C4 cleaning pass (Raffel et al. 2020, §2.2):
+  keep only lines that end in terminal punctuation, have >= 5 words and
+  do not mention "javascript"; drop pages with < 3 sentences, a "{", or
+  "lorem ipsum".  (C4's bad-word page filter needs an external word list
+  and is intentionally not bundled; compose it as one extra line/page
+  predicate.)
+- :func:`hashed_classifier_score` — fastText-shaped linear classifier
+  inference (Joulin et al. 2016; the CCNet/LLaMA quality-classifier
+  stage): hashing-trick bag-of-words, bucket weights, sigmoid.
+
+Scale design (the 100 TB test): Gopher and C4 are PURE PER-ROW Catalyst
+projections — zero shuffles, zero Python, they ride whatever scan
+partitioning the corpus already has and fuse into one whole-stage-codegen
+span with any surrounding pipeline stage.  The classifier adds exactly ONE
+shuffle (the per-document aggregation of token weights); in derived-weight
+mode the weight is a codegen hash expression so nothing joins at all, and
+in trained-weight mode the bucket table is broadcast (it is at most
+``num_buckets`` rows by construction).
+
+Everything is md5-based where a hash is needed so a SQL oracle reproduces
+exact values (the production pipelines would swap xxhash64 in one line;
+``dedup.py`` documents that trade for MinHash).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# the Gopher "must contain at least 2 of" stopword list (Rae et al. 2021)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+# terminal punctuation accepted by the C4 line rule (Raffel et al. 2020)
+C4_TERMINAL_PUNCT = (".", "!", "?", '"', "”")
+
+
+def _words(text: Column) -> Column:
+    """Lowered whitespace tokens, empty strings dropped — the corpus-wide
+    tokenization convention (matches textstats/dedup and their oracles)."""
+    return F.filter(
+        F.split(F.lower(F.replace(text, F.lit("\n"), F.lit(" "))), " "),
+        lambda t: t != "",
+    )
+
+
+def gopher_quality_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Per-document Gopher rule statistics plus the combined ``g_keep``.
+
+    Defaults are the published Gopher thresholds; every statistic is also
+    emitted so callers can re-threshold without recomputing.  Ratios are
+    rounded to 6 places (the repo's oracle-comparison convention).  A
+    document with no words fails the word-count band (``g_keep`` false,
+    never a division by zero — denominators are clamped to 1).
+    """
+    words = _words(F.col(text_col))
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), F.trim),
+        lambda t: t != "",
+    )
+    n_words = F.size(words)
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    dn = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_word_len = (
+        F.aggregate(
+            words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ).cast("double")
+        / dn
+    )
+    symbol_ratio = (
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"#|\.\.\."), 0))
+        .cast("double")
+        / dn
+    )
+    bullet_ratio = (
+        F.size(
+            F.filter(
+                lines,
+                lambda t: t.startswith("-")
+                | t.startswith("*")
+                | t.startswith("•"),
+            )
+        ).cast("double")
+        / n_lines
+    )
+    ellipsis_ratio = (
+        F.size(
+            F.filter(
+                lines,
+                lambda t: t.endswith("...") | t.endswith("…"),
+            )
+        ).cast("double")
+        / n_lines
+    )
+    alpha_ratio = (
+        F.size(F.filter(words, lambda w: w.rlike("[a-z]"))).cast("double") / dn
+    )
+    stopword_hits = sum(
+        F.array_contains(words, sw).cast("int") for sw in GOPHER_STOPWORDS
+    )
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("g_words"),
+        F.round(mean_word_len, 6).alias("g_mean_word_len"),
+        F.round(symbol_ratio, 6).alias("g_symbol_ratio"),
+        F.round(bullet_ratio, 6).alias("g_bullet_ratio"),
+        F.round(ellipsis_ratio, 6).alias("g_ellipsis_ratio"),
+        F.round(alpha_ratio, 6).alias("g_alpha_ratio"),
+        stopword_hits.alias("g_stopword_hits"),
+    )
+    return out.withColumn(
+        "g_keep",
+        (F.col("g_words") >= min_words)
+        & (F.col("g_words") <= max_words)
+        & (F.col("g_mean_word_len") >= min_mean_word_len)
+        & (F.col("g_mean_word_len") <= max_mean_word_len)
+        & (F.col("g_symbol_ratio") <= max_symbol_ratio)
+        & (F.col("g_bullet_ratio") <= max_bullet_ratio)
+        & (F.col("g_ellipsis_ratio") <= max_ellipsis_ratio)
+        & (F.col("g_alpha_ratio") >= min_alpha_ratio)
+        & (F.col("g_stopword_hits") >= min_stopword_hits),
+    )
+
+
+def c4_clean(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4 cleaning (Raffel et al. 2020 §2.2) as one per-row projection.
+
+    Line rule (applied to the whitespace-trimmed line, original line kept
+    verbatim in the output): ends in terminal punctuation AND has at
+    least ``min_line_words`` words AND does not contain "javascript"
+    (case-insensitive).  Page rule: the cleaned text must contain at
+    least ``min_sentences`` sentence-terminal characters, and the
+    ORIGINAL page must contain neither "{" nor "lorem ipsum".
+
+    Output: ``doc_id``, line/sentence counts, the page-rule flags,
+    ``c4_keep``, and ``clean_text`` (kept lines re-joined with ``\\n``;
+    empty string when no line survives — the document is never lost, the
+    caller filters on ``c4_keep``).
+    """
+
+    def _line_ok(line: Column) -> Column:
+        t = F.trim(line)
+        ends = F.lit(False)
+        for p in C4_TERMINAL_PUNCT:
+            ends = ends | t.endswith(p)
+        enough_words = (
+            F.size(F.filter(F.split(t, " "), lambda w: w != ""))
+            >= min_line_words
+        )
+        return ends & enough_words & ~F.contains(F.lower(t), F.lit("javascript"))
+
+    kept = F.filter(F.split(F.col(text_col), "\n"), _line_ok)
+    clean = F.array_join(kept, "\n")
+    n_sentences = F.size(F.regexp_extract_all(clean, F.lit(r"[.!?]"), 0))
+    has_brace = F.contains(F.col(text_col), F.lit("{"))
+    has_lorem = F.contains(F.lower(F.col(text_col)), F.lit("lorem ipsum"))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), "\n")).alias("c4_total_lines"),
+        F.size(kept).alias("c4_kept_lines"),
+        n_sentences.cast("int").alias("c4_sentences"),
+        has_brace.alias("c4_has_brace"),
+        has_lorem.alias("c4_has_lorem"),
+        (
+            (n_sentences >= min_sentences) & ~has_brace & ~has_lorem
+        ).alias("c4_keep"),
+        clean.alias("clean_text"),
+    )
+
+
+def _bucket(tok: Column, num_buckets: int) -> Column:
+    """Hashing-trick bucket: first 8 md5 hex chars mod B (portable — the
+    SQL oracle reproduces it; production would swap xxhash64)."""
+    return (
+        F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+        % F.lit(num_buckets)
+    )
+
+
+def derived_bucket_weight(bucket: Column) -> Column:
+    """Deterministic pseudo-weight in [-0.5, 0.5) per bucket, derived from
+    the bucket id by the same md5-uniform draw the samplers use.  This is
+    the ORACLE-CHECKABLE stand-in for trained weights: it exercises the
+    full inference plumbing (hashing, weighting, aggregation, sigmoid)
+    with values any SQL engine reproduces; swap in a trained table via
+    ``hashed_classifier_score(weights=...)`` without touching the plan
+    shape."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("w"), bucket.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16 ** 8))
+        - F.lit(0.5)
+    )
+
+
+def hashed_classifier_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+    bias: float = 0.0,
+    threshold: float = 0.5,
+    weights: Optional[DataFrame] = None,
+) -> DataFrame:
+    """fastText-shaped linear classifier inference over hashed bag-of-words
+    (Joulin et al. 2016): ``score = sigmoid(bias + mean_token weight)``.
+
+    ``weights``: optional trained (``bucket`` int, ``weight`` double)
+    table — at most ``num_buckets`` rows by construction, so it is
+    explicitly ``broadcast()``; omitted, the md5-derived pseudo-weights
+    (:func:`derived_bucket_weight`) make the whole computation one
+    codegen expression with NO join.  Either way the plan has exactly one
+    shuffle: the per-document mean.  Documents with zero tokens produce
+    no exploded rows and are absent from the result (compose a left join
+    + default if every row must survive).
+
+    Output: ``doc_id``, ``clf_tokens``, ``clf_score`` (rounded 6),
+    ``clf_keep`` (score >= ``threshold``).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_words(F.col(text_col))).alias("_tok"),
+    ).withColumn("_bucket", _bucket(F.col("_tok"), num_buckets))
+    if weights is not None:
+        toks = toks.join(
+            F.broadcast(
+                weights.select(
+                    F.col("bucket").alias("_bucket"),
+                    F.col("weight").alias("_w"),
+                )
+            ),
+            "_bucket",
+            "left",
+        ).withColumn("_w", F.coalesce(F.col("_w"), F.lit(0.0)))
+    else:
+        toks = toks.withColumn("_w", derived_bucket_weight(F.col("_bucket")))
+    raw = F.lit(bias) + F.sum("_w") / F.count(F.lit(1))
+    return toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("clf_tokens"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-raw)), 6).alias("clf_score"),
+        (
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-raw)) >= F.lit(threshold)
+        ).alias("clf_keep"),
+    )
