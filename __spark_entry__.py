@@ -295,11 +295,6 @@ def q_docs_remove_common_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def q_docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _load(spark, sf_dir, "documents")
-    return docs.select("doc_id", "lang", textstats.lang_id(F.col("text")).alias("lang_guess"))
-
-
 def q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
     return textstats.quality_features(docs).drop("text")
@@ -605,9 +600,10 @@ def q_docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPOSED curation pipeline (plans/curation.py) — canonical-URL
-    recrawl dedup -> PII scrub -> quality filter -> repetition filter ->
-    per-lang token-budget sample, as ONE lazy plan; every stage is
-    individually oracle-verified elsewhere, this query proves they fuse.
+    recrawl dedup -> C4 cleaning -> PII scrub -> quality filter -> Gopher
+    rules -> repetition filter -> hashed classifier -> per-lang
+    token-budget sample, as ONE lazy plan; every stage is individually
+    oracle-verified elsewhere, this query proves they fuse.
 
     Deterministic construction: documents pair up as recrawls of the same
     page (pair key doc_id div 2) — the even member carries a case-variant
@@ -615,7 +611,15 @@ def q_docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     gclid param and the newer warc_ts (= doc_id), so canonicalization must
     merge each pair and keep='latest' must keep the odd member.  PII
     (email/IP/phone derived from doc_id) is planted into every text, so
-    the scrub's placeholder suffix is part of the verified md5."""
+    the scrub's placeholder suffix is part of the verified md5.  A
+    trailing '.' makes the (single-line) page pass the C4 line rule with
+    >= 3 sentence characters from the planted dotted suffix; docs with
+    doc_id % 17 == 3 get a planted ' {' (C4 page-rule casualties — the
+    corpus is brace-free, verified per-SF).  Gopher runs with
+    min_stopword_hits=1 / min_words=20 because the synthetic corpus
+    carries only 'the' from the stopword list (real thresholds would
+    blank it); the classifier threshold 0.5 splits on the md5-derived
+    pseudo-weights the webfilters oracle pins."""
     from sciencebeam_trainer_grobid_tools_spark.plans.curation import curate_corpus
 
     docs = _spread(_load(spark, sf_dir, "documents"), spark)
@@ -634,19 +638,22 @@ def q_docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             pair.cast("string"), F.lit("?ref=rss&gclid=abc"),
         )
     )
+    base_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com via 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".77 or 555-123-4567."),
+    )
     planted = docs.select(
         "doc_id",
         "lang",
         url.alias("url"),
         F.col("doc_id").alias("warc_ts"),
-        F.concat(
-            F.col("text"),
-            F.lit(" contact user"),
-            F.col("doc_id").cast("string"),
-            F.lit("@example.com via 10.0."),
-            (F.col("doc_id") % 256).cast("string"),
-            F.lit(".77 or 555-123-4567"),
-        ).alias("text"),
+        F.when(
+            F.col("doc_id") % 17 == 3, F.concat(base_text, F.lit(" {"))
+        ).otherwise(base_text).alias("text"),
     )
     curated = curate_corpus(
         planted,
@@ -657,6 +664,9 @@ def q_docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_dup_ngram_frac=0.09,
         rep_k=2,
         sample_mode="rate",
+        c4={},
+        gopher={"min_words": 20, "min_stopword_hits": 1},
+        clf_threshold=0.5,
     )
     return curated.select(
         "doc_id",
@@ -2562,13 +2572,16 @@ def _lsh_merged_oracle_sql() -> str:
     """ % (_lsh_topk_oracle_sql(), _lsh_prebucketed_oracle_sql())
 
 
-# DuckDB replica of q_docs_curation_pipeline: replays all five stages —
+# DuckDB replica of q_docs_curation_pipeline: replays all eight stages —
 # the dedup stage's closed form is that each (2k, 2k+1) recrawl pair folds
 # to one canonical URL and keep='latest' keeps the odd member (plus an
-# unpaired trailing even doc, if the table ever ends on one); scrub /
-# quality / repetition / rate-sampling reuse the verified per-stage oracle
-# fragments verbatim, applied in the pipeline's order on the pipeline's
-# intermediate text.
+# unpaired trailing even doc, if the table ever ends on one); the C4
+# stage's closed form is that on this single-line brace-free corpus with a
+# planted trailing '.' the page survives (with clean == text) iff its
+# brace was not planted (doc_id % 17 <> 3); scrub / quality / Gopher /
+# repetition / classifier / rate-sampling reuse the verified per-stage
+# oracle fragments verbatim, applied in the pipeline's order on the
+# pipeline's intermediate text.
 def _curation_pipeline_oracle_sql() -> str:
     from sciencebeam_trainer_grobid_tools_spark.operators import pii
 
@@ -2577,7 +2590,8 @@ def _curation_pipeline_oracle_sql() -> str:
         SELECT doc_id, lang,
                text || ' contact user' || CAST(doc_id AS VARCHAR)
                     || '@example.com via 10.0.'
-                    || CAST(doc_id %% 256 AS VARCHAR) || '.77 or 555-123-4567'
+                    || CAST(doc_id %% 256 AS VARCHAR) || '.77 or 555-123-4567.'
+                    || CASE WHEN doc_id %% 17 = 3 THEN ' {' ELSE '' END
                    AS text
         FROM documents
     ),
@@ -2586,13 +2600,16 @@ def _curation_pipeline_oracle_sql() -> str:
         WHERE doc_id %% 2 = 1
            OR doc_id + 1 NOT IN (SELECT doc_id FROM documents)
     ),
+    c4kept AS (
+        SELECT * FROM survivors WHERE doc_id %% 17 <> 3
+    ),
     scrubbed AS (
         SELECT doc_id, lang,
                regexp_replace(regexp_replace(regexp_replace(
                    text, '%(email)s', '<EMAIL>', 'g'),
                          '%(ip)s', '<IP>', 'g'),
                          '%(phone)s', '<PHONE>', 'g') AS text
-        FROM survivors
+        FROM c4kept
     ),
     quality AS (
         SELECT * FROM scrubbed
@@ -2603,10 +2620,47 @@ def _curation_pipeline_oracle_sql() -> str:
           AND (LENGTH(text) - (LEN(string_split(text, ' ')) - 1))
               / LEN(string_split(text, ' ')) BETWEEN 3 AND 12
     ),
+    gwords AS (
+        SELECT doc_id, lang, text,
+               list_filter(
+                   string_split(LOWER(REPLACE(text, chr(10), ' ')), ' '),
+                   t -> t <> ''
+               ) AS words,
+               list_filter(
+                   list_transform(string_split(text, chr(10)), l -> TRIM(l)),
+                   t -> t <> ''
+               ) AS glines
+        FROM quality
+    ),
+    gopher AS (
+        SELECT doc_id, lang, text FROM gwords
+        WHERE LEN(words) >= 20 AND LEN(words) <= 100000
+          AND ROUND(COALESCE(list_sum(list_transform(words, w -> LENGTH(w))), 0)
+                    / GREATEST(LEN(words), 1), 6) BETWEEN 3.0 AND 10.0
+          AND ROUND(LEN(regexp_extract_all(text, '#|\\.\\.\\.'))
+                    / GREATEST(LEN(words), 1), 6) <= 0.1
+          AND ROUND(LEN(list_filter(glines,
+                        t -> starts_with(t, '-') OR starts_with(t, '*')
+                             OR starts_with(t, '•')))
+                    / GREATEST(LEN(glines), 1), 6) <= 0.9
+          AND ROUND(LEN(list_filter(glines,
+                        t -> ends_with(t, '...') OR ends_with(t, '…')))
+                    / GREATEST(LEN(glines), 1), 6) <= 0.3
+          AND ROUND(LEN(list_filter(words, w -> regexp_matches(w, '[a-z]')))
+                    / GREATEST(LEN(words), 1), 6) >= 0.8
+          AND (CAST(list_contains(words, 'the') AS INT)
+               + CAST(list_contains(words, 'be') AS INT)
+               + CAST(list_contains(words, 'to') AS INT)
+               + CAST(list_contains(words, 'of') AS INT)
+               + CAST(list_contains(words, 'and') AS INT)
+               + CAST(list_contains(words, 'that') AS INT)
+               + CAST(list_contains(words, 'have') AS INT)
+               + CAST(list_contains(words, 'with') AS INT)) >= 1
+    ),
     tok AS (
         SELECT doc_id,
                string_split(LOWER(REPLACE(text, chr(10), ' ')), ' ') AS tokens
-        FROM quality
+        FROM gopher
     ),
     grams AS (
         SELECT doc_id,
@@ -2622,14 +2676,36 @@ def _curation_pipeline_oracle_sql() -> str:
         HAVING ROUND(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) / SUM(c), 6)
                <= 0.09
     ),
-    kept AS (SELECT q.* FROM quality q JOIN rep USING (doc_id)),
+    kept AS (SELECT q.* FROM gopher q JOIN rep USING (doc_id)),
+    clfkeep AS (
+        SELECT doc_id FROM (
+            SELECT doc_id, SUM(w) / COUNT(*) AS mw
+            FROM (
+                SELECT doc_id,
+                       CAST('0x' || substr(md5('w' || CAST(
+                            CAST('0x' || substr(md5(tk), 1, 8) AS BIGINT)
+                            %% 64 AS VARCHAR)), 1, 8) AS BIGINT)
+                       / 4294967296.0 - 0.5 AS w
+                FROM (
+                    SELECT doc_id,
+                           unnest(list_filter(string_split(
+                               LOWER(REPLACE(text, chr(10), ' ')), ' '),
+                               t -> t <> '')) AS tk
+                    FROM kept
+                )
+            )
+            GROUP BY doc_id
+        )
+        WHERE 1.0 / (1.0 + EXP(-(0.0 + mw))) >= 0.5
+    ),
+    kept2 AS (SELECT k.* FROM kept k JOIN clfkeep USING (doc_id)),
     tot AS (
         SELECT lang, CAST(SUM(LEN(string_split(text, ' '))) AS DOUBLE) AS st
-        FROM kept GROUP BY lang
+        FROM kept2 GROUP BY lang
     ),
     sampled AS (
         SELECT k.doc_id, k.lang, k.text
-        FROM kept k JOIN tot USING (lang)
+        FROM kept2 k JOIN tot USING (lang)
         WHERE CAST('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8)
                    AS BIGINT) / 4294967296.0
               < LEAST(1.0, 1500.0 / tot.st)

@@ -55,31 +55,15 @@ def _words(text: Column) -> Column:
     )
 
 
-def gopher_quality_features(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    min_words: int = 50,
-    max_words: int = 100_000,
-    min_mean_word_len: float = 3.0,
-    max_mean_word_len: float = 10.0,
-    max_symbol_ratio: float = 0.1,
-    max_bullet_ratio: float = 0.9,
-    max_ellipsis_ratio: float = 0.3,
-    min_alpha_ratio: float = 0.8,
-    min_stopword_hits: int = 2,
-) -> DataFrame:
-    """Per-document Gopher rule statistics plus the combined ``g_keep``.
-
-    Defaults are the published Gopher thresholds; every statistic is also
-    emitted so callers can re-threshold without recomputing.  Ratios are
-    rounded to 6 places (the repo's oracle-comparison convention).  A
-    document with no words fails the word-count band (``g_keep`` false,
-    never a division by zero — denominators are clamped to 1).
-    """
-    words = _words(F.col(text_col))
+def _gopher_stat_columns(text_col: Column) -> "dict[str, Column]":
+    """The Gopher rule statistics as named column expressions (ratios
+    rounded to 6 places, the repo's oracle-comparison convention).
+    Shared by the feature projection and the in-place pipeline filter so
+    both threshold the SAME rounded values.  A document with no words
+    never divides by zero — denominators are clamped to 1."""
+    words = _words(text_col)
     lines = F.filter(
-        F.transform(F.split(F.col(text_col), "\n"), F.trim),
+        F.transform(F.split(text_col, "\n"), F.trim),
         lambda t: t != "",
     )
     n_words = F.size(words)
@@ -92,7 +76,7 @@ def gopher_quality_features(
         / dn
     )
     symbol_ratio = (
-        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"#|\.\.\."), 0))
+        F.size(F.regexp_extract_all(text_col, F.lit(r"#|\.\.\."), 0))
         .cast("double")
         / dn
     )
@@ -122,28 +106,165 @@ def gopher_quality_features(
     stopword_hits = sum(
         F.array_contains(words, sw).cast("int") for sw in GOPHER_STOPWORDS
     )
+    return {
+        "g_words": n_words,
+        "g_mean_word_len": F.round(mean_word_len, 6),
+        "g_symbol_ratio": F.round(symbol_ratio, 6),
+        "g_bullet_ratio": F.round(bullet_ratio, 6),
+        "g_ellipsis_ratio": F.round(ellipsis_ratio, 6),
+        "g_alpha_ratio": F.round(alpha_ratio, 6),
+        "g_stopword_hits": stopword_hits,
+    }
+
+
+def _gopher_keep_expr(
+    stats: "dict[str, Column]",
+    min_words: int,
+    max_words: int,
+    min_mean_word_len: float,
+    max_mean_word_len: float,
+    max_symbol_ratio: float,
+    max_bullet_ratio: float,
+    max_ellipsis_ratio: float,
+    min_alpha_ratio: float,
+    min_stopword_hits: int,
+) -> Column:
+    return (
+        (stats["g_words"] >= min_words)
+        & (stats["g_words"] <= max_words)
+        & (stats["g_mean_word_len"] >= min_mean_word_len)
+        & (stats["g_mean_word_len"] <= max_mean_word_len)
+        & (stats["g_symbol_ratio"] <= max_symbol_ratio)
+        & (stats["g_bullet_ratio"] <= max_bullet_ratio)
+        & (stats["g_ellipsis_ratio"] <= max_ellipsis_ratio)
+        & (stats["g_alpha_ratio"] >= min_alpha_ratio)
+        & (stats["g_stopword_hits"] >= min_stopword_hits)
+    )
+
+
+def gopher_quality_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Per-document Gopher rule statistics plus the combined ``g_keep``.
+
+    Defaults are the published Gopher thresholds; every statistic is also
+    emitted so callers can re-threshold without recomputing (``g_keep``
+    compares the ROUNDED emitted values, so re-thresholding the output
+    columns reproduces it exactly)."""
+    stats = _gopher_stat_columns(F.col(text_col))
     out = df.select(
         F.col(id_col).alias("doc_id"),
-        n_words.alias("g_words"),
-        F.round(mean_word_len, 6).alias("g_mean_word_len"),
-        F.round(symbol_ratio, 6).alias("g_symbol_ratio"),
-        F.round(bullet_ratio, 6).alias("g_bullet_ratio"),
-        F.round(ellipsis_ratio, 6).alias("g_ellipsis_ratio"),
-        F.round(alpha_ratio, 6).alias("g_alpha_ratio"),
-        stopword_hits.alias("g_stopword_hits"),
+        *(expr.alias(name) for name, expr in stats.items()),
     )
+    emitted = {name: F.col(name) for name in stats}
     return out.withColumn(
         "g_keep",
-        (F.col("g_words") >= min_words)
-        & (F.col("g_words") <= max_words)
-        & (F.col("g_mean_word_len") >= min_mean_word_len)
-        & (F.col("g_mean_word_len") <= max_mean_word_len)
-        & (F.col("g_symbol_ratio") <= max_symbol_ratio)
-        & (F.col("g_bullet_ratio") <= max_bullet_ratio)
-        & (F.col("g_ellipsis_ratio") <= max_ellipsis_ratio)
-        & (F.col("g_alpha_ratio") >= min_alpha_ratio)
-        & (F.col("g_stopword_hits") >= min_stopword_hits),
+        _gopher_keep_expr(
+            emitted,
+            min_words,
+            max_words,
+            min_mean_word_len,
+            max_mean_word_len,
+            max_symbol_ratio,
+            max_bullet_ratio,
+            max_ellipsis_ratio,
+            min_alpha_ratio,
+            min_stopword_hits,
+        ),
     )
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher rules as an IN-PLACE row filter for pipeline composition:
+    keeps every column, adds none, and stays a pure codegen predicate —
+    zero shuffles, fuses into the surrounding stage.  Thresholds the
+    exact rounded statistics :func:`gopher_quality_features` emits."""
+    return df.filter(
+        _gopher_keep_expr(
+            _gopher_stat_columns(F.col(text_col)),
+            min_words,
+            max_words,
+            min_mean_word_len,
+            max_mean_word_len,
+            max_symbol_ratio,
+            max_bullet_ratio,
+            max_ellipsis_ratio,
+            min_alpha_ratio,
+            min_stopword_hits,
+        )
+    )
+
+
+def _c4_parts(text_col: Column, min_line_words: int):
+    """The C4 rule building blocks (kept lines, cleaned text, sentence
+    count, page flags) as column expressions shared by the feature
+    projection and the in-place pipeline filter."""
+
+    def _line_ok(line: Column) -> Column:
+        t = F.trim(line)
+        ends = F.lit(False)
+        for p in C4_TERMINAL_PUNCT:
+            ends = ends | t.endswith(p)
+        enough_words = (
+            F.size(F.filter(F.split(t, " "), lambda w: w != ""))
+            >= min_line_words
+        )
+        return ends & enough_words & ~F.contains(F.lower(t), F.lit("javascript"))
+
+    kept = F.filter(F.split(text_col, "\n"), _line_ok)
+    clean = F.array_join(kept, "\n")
+    n_sentences = F.size(F.regexp_extract_all(clean, F.lit(r"[.!?]"), 0))
+    has_brace = F.contains(text_col, F.lit("{"))
+    has_lorem = F.contains(F.lower(text_col), F.lit("lorem ipsum"))
+    return kept, clean, n_sentences, has_brace, has_lorem
+
+
+def c4_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+    replace_text: bool = True,
+) -> DataFrame:
+    """C4 cleaning as an IN-PLACE pipeline stage: drops pages failing the
+    page rules and (by default) rewrites ``text_col`` to the kept lines —
+    the C4 semantics, where the cleaned page IS what flows downstream.
+    Pure codegen predicate + projection, zero shuffles; every other
+    column passes through untouched.  ``replace_text=False`` keeps the
+    original text (filter-only composition)."""
+    _, clean, n_sentences, has_brace, has_lorem = _c4_parts(
+        F.col(text_col), min_line_words
+    )
+    out = df.filter((n_sentences >= min_sentences) & ~has_brace & ~has_lorem)
+    if replace_text:
+        # recomputed on the surviving rows from the SAME original column
+        # (the filter has not rewritten it), so this fuses into one span
+        _, clean2, _, _, _ = _c4_parts(F.col(text_col), min_line_words)
+        out = out.withColumn(text_col, clean2)
+    return out
 
 
 def c4_clean(
@@ -168,22 +289,9 @@ def c4_clean(
     caller filters on ``c4_keep``).
     """
 
-    def _line_ok(line: Column) -> Column:
-        t = F.trim(line)
-        ends = F.lit(False)
-        for p in C4_TERMINAL_PUNCT:
-            ends = ends | t.endswith(p)
-        enough_words = (
-            F.size(F.filter(F.split(t, " "), lambda w: w != ""))
-            >= min_line_words
-        )
-        return ends & enough_words & ~F.contains(F.lower(t), F.lit("javascript"))
-
-    kept = F.filter(F.split(F.col(text_col), "\n"), _line_ok)
-    clean = F.array_join(kept, "\n")
-    n_sentences = F.size(F.regexp_extract_all(clean, F.lit(r"[.!?]"), 0))
-    has_brace = F.contains(F.col(text_col), F.lit("{"))
-    has_lorem = F.contains(F.lower(F.col(text_col)), F.lit("lorem ipsum"))
+    kept, clean, n_sentences, has_brace, has_lorem = _c4_parts(
+        F.col(text_col), min_line_words
+    )
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.size(F.split(F.col(text_col), "\n")).alias("c4_total_lines"),

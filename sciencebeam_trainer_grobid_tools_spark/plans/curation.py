@@ -2,8 +2,10 @@
 training-data run would execute, chaining the individually-verified
 operators into ONE lazy DataFrame plan:
 
-    canonical-URL recrawl dedup  ->  PII scrub  ->  quality filter
-      ->  repetition filter      ->  per-stratum token-budget sample
+    canonical-URL recrawl dedup  ->  boilerplate line removal
+      ->  C4 cleaning            ->  PII scrub  ->  quality filter
+      ->  Gopher rules           ->  repetition filter
+      ->  hashed classifier      ->  per-stratum token-budget sample
 
 Nothing materializes between stages — the stages fuse into the minimal
 set of shuffles their semantics require (the dedup window, the two
@@ -30,7 +32,7 @@ Scale notes (per stage, see each operator's own docstring for depth):
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Mapping, Optional, Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -38,6 +40,7 @@ from ..operators.dedup import repetition_features, with_common_lines_removed
 from ..operators.pii import scrub_pii
 from ..operators.textstats import quality_features, token_budget_sample
 from ..operators.urlnorm import dedup_by_canonical_url
+from ..operators.webfilters import c4_filter, gopher_filter, hashed_classifier_score
 
 _QUALITY_COLS = ("q_chars", "q_tokens", "q_mean_word_len", "q_punct_ratio", "q_passed")
 
@@ -55,15 +58,24 @@ def curate_corpus(
     rep_k: int = 2,
     sample_mode: str = "rate",
     min_line_docs: Optional[int] = None,
+    c4: Optional[Mapping[str, object]] = None,
+    gopher: Optional[Mapping[str, object]] = None,
+    clf_threshold: Optional[float] = None,
+    clf_weights: Optional[DataFrame] = None,
     persist_intermediate: bool = False,
 ) -> DataFrame:
     """The curated corpus: input rows that survive every enabled stage,
     with ``text_col`` scrubbed of PII.  Stages toggle off by omission
     (``url_col=None`` skips dedup, ``min_line_docs=None`` skips
-    boilerplate line removal, ``max_dup_ngram_frac=None`` skips the
-    repetition filter, ``budget_tokens=None`` skips sampling) so the same
-    entry point serves partial pipelines; the quality filter and the
-    scrub always run — they are the non-negotiable hygiene floor.
+    boilerplate line removal, ``c4=None`` / ``gopher=None`` skip those
+    rule families (pass ``{}`` for published defaults, keys override),
+    ``max_dup_ngram_frac=None`` skips the repetition filter,
+    ``clf_threshold=None`` skips the hashed classifier,
+    ``budget_tokens=None`` skips sampling) so the same entry point serves
+    partial pipelines; the quality filter and the scrub always run — they
+    are the non-negotiable hygiene floor.  C4 and Gopher add ZERO
+    shuffles (pure codegen predicates fused into the neighbouring
+    stages); the classifier adds one aggregation + an id-only semi join.
 
     The repetition and sampling stages are STATISTICS over the stream
     they filter — each re-derives the upstream plan (dedup -> scrub ->
@@ -83,12 +95,21 @@ def curate_corpus(
         out = with_common_lines_removed(
             out, id_col=id_col, text_col=text_col, min_docs=min_line_docs
         )
+    if c4 is not None:
+        # C4 cleaning at the same line granularity as boilerplate removal,
+        # BEFORE the scrub: the cleaned page is what flows downstream
+        # (``{}`` enables the published defaults; keys override them)
+        out = c4_filter(out, text_col=text_col, **dict(c4))
     out = out.withColumn(text_col, scrub_pii(F.col(text_col)))
     out = (
         quality_features(out, text_col=text_col)
         .filter(F.col("q_passed"))
         .drop(*_QUALITY_COLS)
     )
+    if gopher is not None:
+        # Gopher rules on the scrubbed text — another pure codegen
+        # predicate, fuses with the quality filter into one span
+        out = gopher_filter(out, text_col=text_col, **dict(gopher))
     if persist_intermediate:
         out = out.persist()
     if max_dup_ngram_frac is not None:
@@ -103,6 +124,23 @@ def curate_corpus(
             .select(F.col("doc_id").alias(id_col))
         )
         out = out.join(keep_ids, on=id_col, how="left_semi")
+    if clf_threshold is not None:
+        # hashed linear quality classifier (one aggregation shuffle over
+        # (id, bucket) rows, then an id-only LEFT SEMI back) — placed after
+        # the cheap filters so it scores the fewest rows; a zero-token
+        # document has no classifier row and is dropped here by definition
+        clf_keep = (
+            hashed_classifier_score(
+                out.select(F.col(id_col), F.col(text_col)),
+                id_col=id_col,
+                text_col=text_col,
+                threshold=clf_threshold,
+                weights=clf_weights,
+            )
+            .filter(F.col("clf_keep"))
+            .select(F.col("doc_id").alias(id_col))
+        )
+        out = out.join(clf_keep, on=id_col, how="left_semi")
     if budget_tokens is not None:
         out = token_budget_sample(
             out,

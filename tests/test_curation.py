@@ -124,3 +124,74 @@ class TestCurateCorpus:
         assert plan.count("InMemoryTableScan") >= 2
         assert df.count() > 0  # materializes through the cache
         spark.catalog.clearCache()
+
+    def test_web_filter_stages_drop_their_casualties(self, spark):
+        """c4 / gopher / classifier stages each remove exactly their
+        planted casualty and nothing else."""
+        base = (
+            "the quick brown fox and the lazy dog run to the river near "
+            "the farm house every day with great joy under a tall tree."
+        )
+        rows = [
+            (1, base * 3),                       # survives all stages
+            (2, base * 3 + " stray { brace"),    # c4 page rule
+            (3, "the and to of short words."),   # gopher word-count band
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+            "lang", F.lit("en")
+        )
+        out = curate_corpus(
+            df, c4={}, gopher={"min_words": 30}, clf_threshold=0.0
+        ).collect()
+        assert {r["doc_id"] for r in out} == {1}
+        # clf_threshold=1.0 is unreachable (sigmoid < 1): kills everything
+        assert (
+            curate_corpus(
+                df, c4={}, gopher={"min_words": 30}, clf_threshold=1.0
+            ).count()
+            == 0
+        )
+
+    def test_c4_stage_rewrites_text_to_kept_lines(self, spark):
+        text = (
+            "A proper first sentence that is long enough to stay here.\n"
+            "noise menu line\n"
+            "Another proper closing sentence finishes the page cleanly. "
+            "It even has three sentences total. Truly it does."
+        )
+        df = spark.createDataFrame(
+            [(1, text)], "doc_id long, text string"
+        ).withColumn("lang", F.lit("en"))
+        out = curate_corpus(df, c4={}).collect()
+        assert len(out) == 1
+        assert "noise menu line" not in out[0]["text"]
+        assert out[0]["text"].startswith("A proper first sentence")
+
+    def test_web_filter_stages_stay_jvm_side(self, spark):
+        df = spark.createDataFrame(
+            [(1, GOOD)], "doc_id long, text string"
+        ).withColumn("lang", F.lit("en"))
+        plan = (
+            curate_corpus(df, c4={}, gopher={}, clf_threshold=0.5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Python" not in plan
+
+    def test_c4_and_gopher_add_zero_exchanges(self, spark):
+        """The two rule families are pure codegen predicates: enabling
+        them must not change the plan's shuffle count."""
+        df = spark.createDataFrame(
+            [(1, GOOD)], "doc_id long, text string"
+        ).withColumn("lang", F.lit("en"))
+        base_plan = (
+            curate_corpus(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        with_rules = (
+            curate_corpus(df, c4={}, gopher={})
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert with_rules.count("Exchange") == base_plan.count("Exchange")
