@@ -29,6 +29,7 @@ HEADLINE = [
     "docs_exact_dedup",
     "docs_token_counts",
     "docs_minhash_near_dups",
+    "docs_web_filters",
     "emb_cosine_topk",
 ]
 
