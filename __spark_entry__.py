@@ -338,21 +338,18 @@ def q_docs_web_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     — terminal-punctuation line filter, sentence minimum, brace and
     lorem-ipsum page rules; cleaned text value-checked by md5), and
     fastText-shaped hashed linear classifier inference (Joulin et al.
-    2016) in the oracle-portable derived-weight configuration.  Gopher
-    and C4 are zero-shuffle per-row projections; the classifier adds the
-    plan's only aggregation.  Classifier rows are LEFT-joined (a
-    zero-token document has no classifier row)."""
+    2016) in the oracle-portable derived-weight configuration.  Composed
+    via ``web_filter_features``: Gopher and C4 are per-row, so they share
+    ONE projection over one scan; the classifier — the only aggregating
+    family — is the plan's single join (LEFT: a zero-token document has
+    no classifier row)."""
     docs = _spread(
         _load(spark, sf_dir, "documents").select("doc_id", "text"), spark
     )
-    g = webfilters.gopher_quality_features(docs)
-    c4 = webfilters.c4_clean(docs).withColumn(
-        "c4_clean_md5", F.md5("clean_text")
-    ).drop("clean_text")
-    clf = webfilters.hashed_classifier_score(docs)
     return (
-        g.join(c4, "doc_id", "left")
-        .join(clf, "doc_id", "left")
+        webfilters.web_filter_features(docs)
+        .withColumn("c4_clean_md5", F.md5("clean_text"))
+        .drop("clean_text")
         .orderBy("doc_id")
     )
 

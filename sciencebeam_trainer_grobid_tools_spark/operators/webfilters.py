@@ -306,6 +306,62 @@ def c4_clean(
     )
 
 
+def web_filter_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    classifier: bool = True,
+    num_buckets: int = 64,
+    threshold: float = 0.5,
+    weights: Optional[DataFrame] = None,
+) -> DataFrame:
+    """All three filter families' signals per document in the MINIMAL
+    plan: the Gopher statistics and the C4 line/page columns are computed
+    in ONE projection over one scan (they are both per-row — joining two
+    separate projections of the same table, as a naive composition would,
+    buys two needless shuffles), and the classifier — the only family
+    that genuinely aggregates — is LEFT-joined on top (absent row =
+    zero-token document).  ``classifier=False`` drops that join too,
+    leaving a completely shuffle-free plan.
+
+    Columns: ``doc_id``, the ``g_*`` statistics + ``g_keep`` (published
+    Gopher thresholds), the ``c4_*`` counts/flags + ``c4_keep`` +
+    ``clean_text``, and (with ``classifier=True``) ``clf_tokens`` /
+    ``clf_score`` / ``clf_keep``."""
+    stats = _gopher_stat_columns(F.col(text_col))
+    kept, clean, n_sentences, has_brace, has_lorem = _c4_parts(
+        F.col(text_col), min_line_words=5
+    )
+    emitted = {name: F.col(name) for name in stats}
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        *(expr.alias(name) for name, expr in stats.items()),
+        F.size(F.split(F.col(text_col), "\n")).alias("c4_total_lines"),
+        F.size(kept).alias("c4_kept_lines"),
+        n_sentences.cast("int").alias("c4_sentences"),
+        has_brace.alias("c4_has_brace"),
+        has_lorem.alias("c4_has_lorem"),
+        ((n_sentences >= 3) & ~has_brace & ~has_lorem).alias("c4_keep"),
+        clean.alias("clean_text"),
+    ).withColumn(
+        "g_keep",
+        _gopher_keep_expr(
+            emitted, 50, 100_000, 3.0, 10.0, 0.1, 0.9, 0.3, 0.8, 2
+        ),
+    )
+    if not classifier:
+        return out
+    clf = hashed_classifier_score(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        num_buckets=num_buckets,
+        threshold=threshold,
+        weights=weights,
+    )
+    return out.join(clf, "doc_id", "left")
+
+
 def _bucket(tok: Column, num_buckets: int) -> Column:
     """Hashing-trick bucket: first 8 md5 hex chars mod B (portable — the
     SQL oracle reproduces it; production would swap xxhash64)."""

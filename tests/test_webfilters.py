@@ -185,3 +185,42 @@ class TestHashedClassifier:
         for fn in (webfilters.gopher_quality_features, webfilters.c4_clean):
             plan = fn(df)._jdf.queryExecution().executedPlan().toString()
             assert "Exchange" not in plan, fn.__name__
+
+
+class TestWebFilterFeatures:
+    def test_matches_individual_operators(self, spark):
+        df = _rows(spark, [(1, "The quick brown fox runs to the barn."), (2, "")])
+        combo = {r["doc_id"]: r for r in webfilters.web_filter_features(df).collect()}
+        g = {r["doc_id"]: r for r in webfilters.gopher_quality_features(df).collect()}
+        c4 = {r["doc_id"]: r for r in webfilters.c4_clean(df).collect()}
+        clf = {r["doc_id"]: r for r in webfilters.hashed_classifier_score(df).collect()}
+        for i in (1, 2):
+            for col in ("g_words", "g_mean_word_len", "g_keep"):
+                assert combo[i][col] == g[i][col], (i, col)
+            for col in ("c4_kept_lines", "c4_sentences", "c4_keep", "clean_text"):
+                assert combo[i][col] == c4[i][col], (i, col)
+        assert combo[1]["clf_score"] == clf[1]["clf_score"]
+        assert combo[2]["clf_score"] is None  # zero-token: LEFT join null
+
+    def test_rule_families_share_one_scan(self, spark):
+        """Gopher + C4 signals must come from ONE projection: with the
+        classifier off the plan has no join and no shuffle at all."""
+        df = _rows(spark, [(1, GOOD)])
+        plan = (
+            webfilters.web_filter_features(df, classifier=False)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan and "Join" not in plan
+
+    def test_classifier_is_the_only_join(self, spark):
+        df = _rows(spark, [(1, GOOD)])
+        plan = (
+            webfilters.web_filter_features(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Join") <= 2  # one logical left join (+ AQE variants)
+        assert "EvalPython" not in plan
