@@ -596,11 +596,15 @@ def q_docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The COMPOSED curation pipeline (plans/curation.py) — canonical-URL
-    recrawl dedup -> C4 cleaning -> PII scrub -> quality filter -> Gopher
-    rules -> repetition filter -> hashed classifier -> per-lang
-    token-budget sample, as ONE lazy plan; every stage is individually
-    oracle-verified elsewhere, this query proves they fuse.
+    """The COMPOSED curation pipeline (plans/curation.py) — domain
+    blocklist -> canonical-URL recrawl dedup -> C4 cleaning -> PII scrub
+    -> quality filter -> Gopher rules -> repetition filter -> hashed
+    classifier -> per-lang token-budget sample, as ONE lazy plan; every
+    stage is individually oracle-verified elsewhere, this query proves
+    they fuse.  The blocklist plants ``example5.com``: the host cycle is
+    example{pair % 7}.com (www/case variants), so every pair with
+    pair % 7 == 5 dies at the first stage, subdomain-matched through the
+    www prefix.
 
     Deterministic construction: documents pair up as recrawls of the same
     page (pair key doc_id div 2) — the even member carries a case-variant
@@ -661,6 +665,7 @@ def q_docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_dup_ngram_frac=0.09,
         rep_k=2,
         sample_mode="rate",
+        blocked_domains=["example5.com"],
         c4={},
         gopher={"min_words": 20, "min_stopword_hits": 1},
         clf_threshold=0.5,
@@ -2569,8 +2574,11 @@ def _lsh_merged_oracle_sql() -> str:
     """ % (_lsh_topk_oracle_sql(), _lsh_prebucketed_oracle_sql())
 
 
-# DuckDB replica of q_docs_curation_pipeline: replays all eight stages —
-# the dedup stage's closed form is that each (2k, 2k+1) recrawl pair folds
+# DuckDB replica of q_docs_curation_pipeline: replays all nine stages —
+# the domain-blocklist stage's closed form is that the planted host cycle
+# www.example{(doc_id div 2) % 7}.com makes exactly the pair % 7 == 5
+# rows subdomain-match the blocked 'example5.com'; the dedup stage's
+# closed form is that each (2k, 2k+1) recrawl pair folds
 # to one canonical URL and keep='latest' keeps the odd member (plus an
 # unpaired trailing even doc, if the table ever ends on one); the C4
 # stage's closed form is that on this single-line brace-free corpus with a
@@ -2594,8 +2602,9 @@ def _curation_pipeline_oracle_sql() -> str:
     ),
     survivors AS (
         SELECT * FROM planted
-        WHERE doc_id %% 2 = 1
-           OR doc_id + 1 NOT IN (SELECT doc_id FROM documents)
+        WHERE (doc_id // 2) %% 7 <> 5
+          AND (doc_id %% 2 = 1
+               OR doc_id + 1 NOT IN (SELECT doc_id FROM documents))
     ),
     c4kept AS (
         SELECT * FROM survivors WHERE doc_id %% 17 <> 3

@@ -2,9 +2,9 @@
 training-data run would execute, chaining the individually-verified
 operators into ONE lazy DataFrame plan:
 
-    canonical-URL recrawl dedup  ->  boilerplate line removal
-      ->  C4 cleaning            ->  PII scrub  ->  quality filter
-      ->  Gopher rules           ->  repetition filter
+    domain blocklist             ->  canonical-URL recrawl dedup
+      ->  boilerplate line removal  ->  C4 cleaning  ->  PII scrub
+      ->  quality filter         ->  Gopher rules  ->  repetition filter
       ->  hashed classifier      ->  per-stratum token-budget sample
 
 Nothing materializes between stages — the stages fuse into the minimal
@@ -40,6 +40,7 @@ from ..operators.dedup import repetition_features, with_common_lines_removed
 from ..operators.pii import scrub_pii
 from ..operators.textstats import quality_features, token_budget_sample
 from ..operators.urlnorm import dedup_by_canonical_url
+from ..operators.urlfilter import filter_blocked_domains
 from ..operators.webfilters import c4_filter, gopher_filter, hashed_classifier_score
 
 _QUALITY_COLS = ("q_chars", "q_tokens", "q_mean_word_len", "q_punct_ratio", "q_passed")
@@ -58,6 +59,7 @@ def curate_corpus(
     rep_k: int = 2,
     sample_mode: str = "rate",
     min_line_docs: Optional[int] = None,
+    blocked_domains: Optional[Sequence[str]] = None,
     c4: Optional[Mapping[str, object]] = None,
     gopher: Optional[Mapping[str, object]] = None,
     clf_threshold: Optional[float] = None,
@@ -66,7 +68,9 @@ def curate_corpus(
 ) -> DataFrame:
     """The curated corpus: input rows that survive every enabled stage,
     with ``text_col`` scrubbed of PII.  Stages toggle off by omission
-    (``url_col=None`` skips dedup, ``min_line_docs=None`` skips
+    (``blocked_domains=None`` skips the domain blocklist — the published
+    pipelines' first cut, applied before any content work,
+    ``url_col=None`` skips dedup, ``min_line_docs=None`` skips
     boilerplate line removal, ``c4=None`` / ``gopher=None`` skip those
     rule families (pass ``{}`` for published defaults, keys override),
     ``max_dup_ngram_frac=None`` skips the repetition filter,
@@ -87,6 +91,14 @@ def curate_corpus(
     ``minhash_candidate_pairs(persist_intermediate=...)``; a production
     run would checkpoint to storage here instead)."""
     out = df
+    if blocked_domains is not None:
+        # FIRST, before any content work: the blocklist is the cheapest
+        # cut and published pipelines apply it before touching page bytes
+        if url_col is None:
+            raise ValueError(
+                "curate_corpus(blocked_domains=...) requires url_col"
+            )
+        out = filter_blocked_domains(out, blocked_domains, url_col=url_col)
     if url_col is not None:
         out = dedup_by_canonical_url(out, url_col=url_col, ts_col=ts_col, keep=keep)
     if min_line_docs is not None:

@@ -195,3 +195,23 @@ class TestCurateCorpus:
             .toString()
         )
         assert with_rules.count("Exchange") == base_plan.count("Exchange")
+
+    def test_blocked_domains_stage(self, corpus):
+        out = curate_corpus(
+            corpus,
+            url_col="url",
+            max_dup_ngram_frac=0.2,
+            blocked_domains=["site.com"],
+        )
+        assert out.count() == 0  # every fixture url lives under site.com
+        kept = curate_corpus(
+            corpus,
+            url_col="url",
+            max_dup_ngram_frac=0.2,
+            blocked_domains=["othersite.com"],
+        ).collect()
+        assert {r["doc_id"] for r in kept} == {1, 4, 5}
+
+    def test_blocked_domains_requires_url_col(self, corpus):
+        with pytest.raises(ValueError):
+            curate_corpus(corpus, url_col=None, blocked_domains=["x.com"])
