@@ -311,13 +311,26 @@ def q_docs_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_docs_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID and token/char counts in ONE gate entry (merged to
-    free a 50-entry-gate slot for the web-filter suite): a single
-    per-row codegen projection — no join, no shuffle — emitting the
-    n-gram-heuristic language guess next to the whitespace/word-regex
-    token counts (the former docs_lang_id + docs_token_counts entries;
-    docs_token_counts stays a bench headline via demo_queries)."""
+    """Language-ID, token/char counts AND the encoding-damage signals in
+    ONE gate entry (merged to free a 50-entry-gate slot for the
+    web-filter suite): a single per-row codegen projection — no join, no
+    shuffle — emitting the n-gram-heuristic language guess, the
+    whitespace/word-regex token counts (the former docs_lang_id +
+    docs_token_counts entries; docs_token_counts stays a bench headline
+    via demo_queries) and ``textstats.cleanliness_columns`` over a
+    PLANTED-damage variant of the text (every doc_id % 5 == 0 gains a
+    U+FFFD, a C0 control char, accented letters, digits and uppercase —
+    the clean corpus would otherwise never exercise the ratios; token
+    counts stay on the raw text)."""
     docs = _spread(_load(spark, sf_dir, "documents"), spark)
+    damaged = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.col("text"), F.lit(" �"), F.lit("\x01"),
+            F.lit("Ünïcødé 42 UPPER"),
+        ),
+    ).otherwise(F.col("text"))
+    clean_cols = textstats.cleanliness_columns(damaged)
     return docs.select(
         "doc_id",
         "lang",
@@ -327,6 +340,7 @@ def q_docs_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "word_tokens"
         ),
         F.length("text").alias("n_chars_computed"),
+        *(expr.alias(name) for name, expr in clean_cols.items()),
     )
 
 
@@ -3251,8 +3265,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(LEN(string_split(text, ' ')) AS INT) AS ws_tokens,
                    CAST(LEN(regexp_extract_all(text, '\\w+')) AS INT)
                        AS word_tokens,
-                   LENGTH(text) AS n_chars_computed
-            FROM documents
+                   LENGTH(text) AS n_chars_computed,
+                   CAST(LEN(regexp_extract_all(dmg, chr(65533))) AS INT)
+                       AS replacement_chars,
+                   ROUND(LEN(regexp_extract_all(dmg,
+                         '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]'))
+                         / GREATEST(LENGTH(dmg), 1), 6) AS control_ratio,
+                   ROUND(LEN(regexp_extract_all(dmg, '[^\\x00-\\x7f]'))
+                         / GREATEST(LENGTH(dmg), 1), 6) AS non_ascii_ratio,
+                   ROUND(LEN(regexp_extract_all(dmg, '[0-9]'))
+                         / GREATEST(LENGTH(dmg), 1), 6) AS digit_ratio,
+                   ROUND(LEN(regexp_extract_all(dmg, '[A-Z]'))
+                         / GREATEST(LENGTH(dmg), 1), 6) AS upper_ratio
+            FROM (
+                SELECT *,
+                       CASE WHEN doc_id % 5 = 0 THEN
+                           text || ' ' || chr(65533) || chr(1)
+                                || 'Ünïcødé 42 UPPER'
+                       ELSE text END AS dmg
+                FROM documents
+            )
         """,
         "docs_quality": """
             SELECT doc_id,

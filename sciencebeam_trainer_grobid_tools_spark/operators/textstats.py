@@ -61,6 +61,47 @@ def word_token_count(text: Column) -> Column:
     )
 
 
+def cleanliness_columns(text: Column) -> "dict[str, Column]":
+    """Encoding-damage / text-cleanliness signals (the ftfy-adjacent
+    heuristics web pipelines threshold before spending quality-model
+    compute on a page): U+FFFD replacement-character count (the mojibake
+    smoking gun), C0/DEL control-character ratio, non-ASCII ratio,
+    digit ratio and uppercase ratio.  Pure per-row codegen — zero
+    shuffles, zero Python; ratios are over codepoints, rounded 6
+    (the oracle convention), denominators clamped to 1.  Both regex
+    engines (Java, RE2) count codepoints over the same classes, so the
+    DuckDB oracle reproduces every value exactly."""
+    dn = F.greatest(F.length(text), F.lit(1)).cast("double")
+
+    def _ratio(pattern: str) -> Column:
+        return F.round(
+            F.size(F.regexp_extract_all(text, F.lit(pattern), 0)).cast("double")
+            / dn,
+            6,
+        )
+
+    return {
+        "replacement_chars": F.size(
+            F.regexp_extract_all(text, F.lit("�"), 0)
+        ),
+        "control_ratio": _ratio(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"),
+        "non_ascii_ratio": _ratio(r"[^\x00-\x7f]"),
+        "digit_ratio": _ratio(r"[0-9]"),
+        "upper_ratio": _ratio(r"[A-Z]"),
+    }
+
+
+def cleanliness_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document :func:`cleanliness_columns` projection."""
+    cols = cleanliness_columns(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        *(expr.alias(name) for name, expr in cols.items()),
+    )
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / sentence-shape features + a quality flag."""
     text = F.col(text_col)

@@ -1457,6 +1457,35 @@ class TestTextstats:
         )
         assert row["q_tokens"] == 14
 
+    def test_cleanliness_hand_computed(self, spark):
+        # "A1b\x01�é" -> 6 codepoints: 1 upper, 1 digit, 1 control,
+        # 2 non-ascii (the replacement char counts as non-ascii too)
+        df = spark.createDataFrame(
+            [(1, "A1b\x01�é"), (2, "")], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r
+            for r in textstats.cleanliness_features(df).collect()
+        }
+        assert got[1]["replacement_chars"] == 1
+        assert got[1]["control_ratio"] == round(1 / 6, 6)
+        assert got[1]["non_ascii_ratio"] == round(2 / 6, 6)
+        assert got[1]["digit_ratio"] == round(1 / 6, 6)
+        assert got[1]["upper_ratio"] == round(1 / 6, 6)
+        # empty text: clamped denominator, all zeros, no NaN
+        assert got[2]["control_ratio"] == 0.0
+        assert got[2]["replacement_chars"] == 0
+
+    def test_cleanliness_plan_is_pure_codegen(self, spark):
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        plan = (
+            textstats.cleanliness_features(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan and "EvalPython" not in plan
+
     def test_fingerprint_stable_across_case_and_newlines(self, spark):
         df = spark.createDataFrame(
             [(0, "Hello World"), (1, "hello\nworld")], "doc_id long, text string"
