@@ -1106,12 +1106,20 @@ def q_flagship_title_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_docs_line_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Line-number detection (A4) oracle-checked end-to-end: each document is
-    laid out as 20 five-word lines where line i carries a sequential margin
-    number unless ``(doc_id + i) % 7 == 0`` (deterministic positional gaps,
-    different per document).  The detector must tag exactly the numbered
-    first-tokens — DuckDB recomputes the expected count per document."""
+def q_docs_layout_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-number detection (A4) + page-header frequency detection (A3)
+    oracle-checked end-to-end in ONE labeled entry over ONE corpus scan
+    (same-family gate merge, freeing a 50-cap slot for `warc_records`).
+
+    `line_numbers` variant: each document is laid out as 20 five-word
+    lines where line i carries a sequential margin number unless
+    ``(doc_id + i) % 7 == 0`` (deterministic positional gaps, different
+    per document); the detector must tag exactly the numbered
+    first-tokens.  `page_headers` variant: the document is laid out as
+    ``3 + doc_id % 3`` pages, every page opening with the same repeated
+    running-head line; the segmentation annotator's repeated-untagged-line
+    detector must tag exactly that many headnote lines.  DuckDB
+    recomputes both closed forms per document."""
     import pandas as pd
 
     from sciencebeam_trainer_grobid_tools_spark.kernel.doc import tokenize_lines
@@ -1119,8 +1127,10 @@ def q_docs_line_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sciencebeam_trainer_grobid_tools_spark.operators.line_numbers import (
         annotate_line_numbers,
     )
+    from sciencebeam_trainer_grobid_tools_spark.plans.flavors import segmentation_flavor
 
     docs = _spread(_load(spark, sf_dir, "documents"), spark)
+    chain = segmentation_flavor()
 
     def batches(it):
         for pdf in it:
@@ -1145,55 +1155,82 @@ def q_docs_line_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for t in doc.iter_tokens()
                     if strip_tag_prefix(t.tag) == "line_no"
                 )
-                rows.append({"doc_id": row.doc_id, "detected_line_numbers": detected})
-            yield pd.DataFrame(rows, columns=["doc_id", "detected_line_numbers"])
+                rows.append(
+                    {"doc_id": row.doc_id, "signal": "line_numbers", "value": detected}
+                )
 
-    return docs.select("doc_id", "text").mapInPandas(
-        batches, "doc_id long, detected_line_numbers int"
-    )
-
-
-def q_docs_page_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Page-header frequency detection (A3) oracle-checked end-to-end: each
-    document is laid out as ``3 + doc_id % 3`` pages, every page opening with
-    the same repeated running-head line; the segmentation annotator's
-    repeated-untagged-line detector must tag exactly that many headnote
-    lines — DuckDB recomputes the page count per document."""
-    import pandas as pd
-
-    from sciencebeam_trainer_grobid_tools_spark.kernel.doc import tokenize_lines
-    from sciencebeam_trainer_grobid_tools_spark.operators.annotate import strip_tag_prefix
-    from sciencebeam_trainer_grobid_tools_spark.plans.flavors import segmentation_flavor
-
-    docs = _spread(_load(spark, sf_dir, "documents"), spark)
-    chain = segmentation_flavor()
-
-    def batches(it):
-        for pdf in it:
-            rows = []
-            for row in pdf.itertuples(index=False):
-                words = (row.text.split() + ["w"] * 60) [:60]
                 n_pages = 3 + row.doc_id % 3
                 header = "Journal of Mice volume %d" % (row.doc_id % 10)
-                lines = []
+                page_lines = []
                 w = 0
                 for _ in range(n_pages):
-                    lines.append(header)
+                    page_lines.append(header)
                     for _ in range(3):  # 3 body lines per page, each unique
-                        lines.append("x%d %s" % (w, " ".join(words[w : w + 4])))
+                        page_lines.append(
+                            "x%d %s" % (w, " ".join(words[w : w + 4]))
+                        )
                         w += 4
-                doc = tokenize_lines(lines)
+                doc = tokenize_lines(page_lines)
                 chain(doc, [])
                 headnotes = sum(
                     1
                     for line in doc.lines
                     if line and strip_tag_prefix(line[0].tag) == "headnote"
                 )
-                rows.append({"doc_id": row.doc_id, "headnote_lines": headnotes})
-            yield pd.DataFrame(rows, columns=["doc_id", "headnote_lines"])
+                rows.append(
+                    {"doc_id": row.doc_id, "signal": "page_headers", "value": headnotes}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "signal", "value"])
 
     return docs.select("doc_id", "text").mapInPandas(
-        batches, "doc_id long, headnote_lines int"
+        batches, "doc_id long, signal string, value int"
+    )
+
+
+def q_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC (ISO 28500) build + parse round-trip, value-checked end to
+    end (sources/warc.py — the Common-Crawl on-disk format seam of the
+    north-star input table): each document becomes TWO WARC/1.0 records
+    (a `response` carrying text, a `metadata` carrying lang) via the
+    pure-Catalyst builder, the concatenated blob is parsed back by the
+    pure-Catalyst Content-Length-checked parser, and every recovered
+    header and the payload md5 must match the closed form DuckDB
+    rebuilds directly from the table.  Content-Length is BYTES
+    (multi-byte text lengths differ from char counts — `strlen` on the
+    DuckDB side, `octet_length` on the Spark side, both re-derived
+    independently of the parsed header).  Zero Python, zero shuffles:
+    build, parse and explode are all per-row projections in the scan
+    stage.  The byte-exact `parse_warc_stream` twin (arbitrary payloads,
+    embedded-marker adversary) is differential-pytest-pinned against
+    this parser on well-formed blobs in tests/test_warc.py."""
+    from sciencebeam_trainer_grobid_tools_spark.sources import warc
+
+    docs = _spread(
+        _load(spark, sf_dir, "documents").select("doc_id", "text", "lang"), spark
+    )
+    uri = F.concat(F.lit("https://example.org/doc/"), F.col("doc_id"))
+    date = F.concat(
+        F.lit("2026-08-17T12:"),
+        F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0"),
+        F.lit(":00Z"),
+    )
+    blob = F.concat(
+        warc.warc_record_expr(uri, date, F.col("text")),
+        warc.warc_record_expr(uri, date, F.col("lang"), warc_type="metadata"),
+    )
+    parsed = docs.select(
+        "doc_id",
+        F.posexplode(warc.parse_warc_records_expr(blob)).alias("rec_index", "rec"),
+    )
+    return parsed.select(
+        "doc_id",
+        "rec_index",
+        F.col("rec.warc_type").alias("warc_type"),
+        F.col("rec.target_uri").alias("target_uri"),
+        F.col("rec.warc_date").alias("warc_date"),
+        F.col("rec.content_length").alias("content_length"),
+        F.md5(F.col("rec.payload")).alias("payload_md5"),
+        F.col("rec.length_ok").alias("length_ok"),
     )
 
 
@@ -1773,8 +1810,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_extract_align": q_flagship_extract_align,
         "flagship_title_spans": q_flagship_title_spans,
         "flagship_title_spans_complex": q_flagship_title_spans_complex,
-        "docs_line_numbers": q_docs_line_numbers,
-        "docs_page_headers": q_docs_page_headers,
+        "docs_layout_signals": q_docs_layout_signals,
+        "warc_records": q_warc_records,
         "tei_render_roundtrip": q_tei_render_roundtrip,
         "docs_segmentation_layout": q_docs_segmentation_layout,
         "media_payload_digests": q_media_payload_digests,
@@ -3488,15 +3525,43 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string((string_split(text, ' '))[1:8], ' ') AS span_text
             FROM documents
         """,
-        "docs_line_numbers": """
+        "docs_layout_signals": """
             SELECT d.doc_id,
+                   'line_numbers' AS signal,
                    CAST(20 - (SELECT COUNT(*) FROM range(1, 21) r
                               WHERE (d.doc_id + r.range) % 7 = 0) AS INT)
-                       AS detected_line_numbers
+                       AS value
             FROM documents d
+            UNION ALL
+            SELECT doc_id,
+                   'page_headers' AS signal,
+                   CAST(3 + doc_id % 3 AS INT) AS value
+            FROM documents
         """,
-        "docs_page_headers": """
-            SELECT doc_id, CAST(3 + doc_id % 3 AS INT) AS headnote_lines
+        # closed-form replica of the WARC round-trip: DuckDB rebuilds every
+        # header and the payload digest directly from the table (strlen =
+        # byte length, matching the builder's octet_length Content-Length)
+        "warc_records": """
+            SELECT doc_id,
+                   0 AS rec_index,
+                   'response' AS warc_type,
+                   'https://example.org/doc/' || doc_id AS target_uri,
+                   '2026-08-17T12:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+                       || ':00Z' AS warc_date,
+                   strlen(text) AS content_length,
+                   md5(text) AS payload_md5,
+                   TRUE AS length_ok
+            FROM documents
+            UNION ALL
+            SELECT doc_id,
+                   1 AS rec_index,
+                   'metadata' AS warc_type,
+                   'https://example.org/doc/' || doc_id AS target_uri,
+                   '2026-08-17T12:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+                       || ':00Z' AS warc_date,
+                   strlen(lang) AS content_length,
+                   md5(lang) AS payload_md5,
+                   TRUE AS length_ok
             FROM documents
         """,
         "tei_render_roundtrip": """
