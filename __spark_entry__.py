@@ -971,25 +971,78 @@ def q_emb_ivf_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_emb_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_emb_centroid_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-family entries merged into ONE labeled entry (same-family
+    gate merge, freeing a 50-cap slot for `hosts_pagerank`).
+
+    `label_stats` variant: per-label counts, first-coordinate mean and
+    mean norm (one partial-aggregated shuffle).  `centroid_topk`
+    variant: each vector's cosine to its LABEL CENTROID, top-5 per label
+    (similarity.pairwise_topk_by_label — one centroid shuffle with
+    map-side partials, broadcast join back, window top-k).  Columns the
+    other variant lacks are NULL-padded, the established merge shape."""
     embeddings = _load(spark, sf_dir, "embeddings")
-    return embeddings.groupBy("label").agg(
+    stats = embeddings.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.round(F.avg(F.col("embedding")[0]), 4).alias("c0"),
         F.round(F.avg(similarity.embedding_norm(F.col("embedding"))), 4).alias("avg_norm"),
+    ).select(
+        F.lit("label_stats").alias("variant"),
+        "label",
+        F.lit(None).cast("long").alias("vec_id"),
+        "n_vectors",
+        "c0",
+        "avg_norm",
+        F.lit(None).cast("double").alias("cosine"),
     )
+    topk = similarity.pairwise_topk_by_label(
+        embeddings, k=5, round_digits=4
+    ).select(
+        F.lit("centroid_topk").alias("variant"),
+        "label",
+        "vec_id",
+        F.lit(None).cast("long").alias("n_vectors"),
+        F.lit(None).cast("double").alias("c0"),
+        F.lit(None).cast("double").alias("avg_norm"),
+        "cosine",
+    )
+    return stats.unionByName(topk)
 
 
-# ---------------------------------------------------------------------------
-# alignment kernel against a SQL oracle
+def q_hosts_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The host link-graph family end to end (operators/linkgraph.py):
+    each document becomes a synthetic page — url on host
+    ``h{doc_id % 40}.com``, html with two anchors pointing at hosts
+    ``h{(3*doc_id+1) % 40}.com`` and ``h{(7*doc_id+2) % 40}.com`` (the
+    second with a fragment, exercising the strip) — then
+    ``extract_outlinks`` -> ``host_edges`` (explode in the scan stage,
+    ONE distinct shuffle of bare host pairs) -> 3 damped PageRank
+    iterations over the 40-host graph in the fully-lazy configuration.
+    DuckDB rebuilds the closed-form edge list and unrolls the same three
+    iterations; ranks compare at ROUND(., 6)."""
+    from sciencebeam_trainer_grobid_tools_spark.operators import linkgraph
 
+    docs = _spread(_load(spark, sf_dir, "documents").select("doc_id"), spark)
 
-def q_emb_centroid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped similarity: each vector's cosine to its LABEL CENTROID, top-5
-    per label (similarity.pairwise_topk_by_label — one centroid shuffle with
-    map-side partials, broadcast join back, window top-k)."""
-    embeddings = _load(spark, sf_dir, "embeddings")
-    return similarity.pairwise_topk_by_label(embeddings, k=5, round_digits=4)
+    def host(expr):
+        return F.concat(F.lit("h"), expr.cast("string"), F.lit(".com"))
+
+    pages = docs.select(
+        F.concat(
+            F.lit("https://"), host(F.col("doc_id") % 40), F.lit("/p/"),
+            F.col("doc_id"),
+        ).alias("url"),
+        F.concat(
+            F.lit('<html><a href="https://'),
+            host((F.col("doc_id") * 3 + 1) % 40),
+            F.lit('/x">a</a> <a href="https://'),
+            host((F.col("doc_id") * 7 + 2) % 40),
+            F.lit('/y#frag">b</a></html>'),
+        ).alias("html"),
+    )
+    edges = linkgraph.host_edges(pages)
+    ranks = linkgraph.pagerank(edges, iters=3, persist_each=False)
+    return ranks.select("host", F.round("rank", 6).alias("rank"))
 
 
 def q_align_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1802,8 +1855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_ann_topk": q_emb_ann_topk,
         "emb_lsh": q_emb_lsh,
-        "emb_label_stats": q_emb_label_stats,
-        "emb_centroid_topk": q_emb_centroid_topk,
+        "emb_centroid_family": q_emb_centroid_family,
+        "hosts_pagerank": q_hosts_pagerank,
         "emb_near_dup_pairs": q_emb_near_dup_pairs,
         "emb_ivf_train_step": q_emb_ivf_train_step,
         "align_exact_spans": q_align_exact_spans,
@@ -3467,13 +3520,21 @@ def oracle_sql() -> dict[str, str]:
                         * SQRT(list_dot_product(q.qe, q.qe))) DESC, e.vec_id
             LIMIT 10
         """,
-        "emb_label_stats": """
-            SELECT label, COUNT(*) AS n_vectors,
+        "emb_centroid_family": """
+            SELECT 'label_stats' AS variant, label,
+                   CAST(NULL AS BIGINT) AS vec_id,
+                   COUNT(*) AS n_vectors,
                    ROUND(AVG(embedding[1]), 4) AS c0,
-                   ROUND(AVG(SQRT(list_dot_product(embedding, embedding))), 4) AS avg_norm
+                   ROUND(AVG(SQRT(list_dot_product(embedding, embedding))), 4) AS avg_norm,
+                   CAST(NULL AS DOUBLE) AS cosine
             FROM embeddings GROUP BY label
-        """,
-        "emb_centroid_topk": """
+            UNION ALL
+            SELECT 'centroid_topk' AS variant, label, vec_id,
+                   CAST(NULL AS BIGINT) AS n_vectors,
+                   CAST(NULL AS DOUBLE) AS c0,
+                   CAST(NULL AS DOUBLE) AS avg_norm,
+                   cosine
+            FROM (
             WITH flat AS (
                 -- dim=64 per TESTDATA.md (same convention as the LSH oracle)
                 SELECT e.label, e.vec_id,
@@ -3500,6 +3561,67 @@ def oracle_sql() -> dict[str, str]:
                 ) AS rn FROM cos
             )
             WHERE rn <= 5
+            )
+        """,
+        # closed-form replica of the link-graph entry: the synthetic page on
+        # host h(doc_id%40).com links to h((3*doc_id+1)%40).com and
+        # h((7*doc_id+2)%40).com; DuckDB rebuilds that edge list and unrolls
+        # the same three damped iterations (dangling mass dropped, matching
+        # the operator's documented convention)
+        "hosts_pagerank": """
+            WITH raw AS (
+                SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) || '.com' AS src,
+                       'h' || CAST((doc_id * 3 + 1) % 40 AS VARCHAR) || '.com' AS dst
+                FROM documents
+                UNION ALL
+                SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) || '.com',
+                       'h' || CAST((doc_id * 7 + 2) % 40 AS VARCHAR) || '.com'
+                FROM documents
+            ),
+            edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+            nodes AS (SELECT src AS host FROM edges
+                      UNION SELECT dst FROM edges),
+            nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+            outdeg AS (SELECT src AS host, CAST(COUNT(*) AS DOUBLE) AS deg
+                       FROM edges GROUP BY src),
+            r0 AS (SELECT host, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+            r1 AS (
+                SELECT nd.host,
+                       0.15 / (SELECT n FROM nn)
+                           + 0.85 * COALESCE(s.c, 0) AS rank
+                FROM nodes nd LEFT JOIN (
+                    SELECT e.dst AS host, SUM(r0.rank / od.deg) AS c
+                    FROM edges e
+                    JOIN r0 ON e.src = r0.host
+                    JOIN outdeg od ON od.host = e.src
+                    GROUP BY e.dst
+                ) s ON nd.host = s.host
+            ),
+            r2 AS (
+                SELECT nd.host,
+                       0.15 / (SELECT n FROM nn)
+                           + 0.85 * COALESCE(s.c, 0) AS rank
+                FROM nodes nd LEFT JOIN (
+                    SELECT e.dst AS host, SUM(r1.rank / od.deg) AS c
+                    FROM edges e
+                    JOIN r1 ON e.src = r1.host
+                    JOIN outdeg od ON od.host = e.src
+                    GROUP BY e.dst
+                ) s ON nd.host = s.host
+            ),
+            r3 AS (
+                SELECT nd.host,
+                       0.15 / (SELECT n FROM nn)
+                           + 0.85 * COALESCE(s.c, 0) AS rank
+                FROM nodes nd LEFT JOIN (
+                    SELECT e.dst AS host, SUM(r2.rank / od.deg) AS c
+                    FROM edges e
+                    JOIN r2 ON e.src = r2.host
+                    JOIN outdeg od ON od.host = e.src
+                    GROUP BY e.dst
+                ) s ON nd.host = s.host
+            )
+            SELECT host, ROUND(rank, 6) AS rank FROM r3
         """,
         "flagship_extract_align": """
             -- closed-form replica of the flagship kernel's summary columns on

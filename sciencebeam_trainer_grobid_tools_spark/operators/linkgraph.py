@@ -1,0 +1,138 @@
+"""Host-level link graph + PageRank — the crawl-prioritization /
+quality signal web-scale corpora rank hosts by (Common Crawl publishes
+exactly this shape: a host-level ranking derived from the crawl's link
+graph; RefinedWeb and friends consume host reputation as a filter
+input).
+
+Operators:
+
+- :func:`extract_outlinks` — ``href`` targets of a page's anchor tags
+  as an array column (pure Catalyst ``regexp_extract_all``).
+- :func:`host_edges` — the distinct (src_host, dst_host) edge list of a
+  page table: outlinks explode IN the scan stage, hosts parse via the
+  same :func:`~..operators.urlfilter.url_host` regexp the blocklist
+  stage uses, relative links resolve to the page's own host, self-loops
+  drop.  ONE shuffle (the distinct on bare host pairs — page bytes
+  never leave the scan).
+- :func:`pagerank` — the standard damped PageRank over an edge list,
+  driver-side loop building a lazy plan per iteration.
+
+PageRank semantics (matched exactly by the gate's unrolled DuckDB
+replica): nodes = all hosts appearing as src or dst; rank_0 = 1/N;
+rank_{t+1}(v) = (1-d)/N + d * sum over in-edges (u,v) of
+rank_t(u)/outdeg(u).  Dangling hosts (no outlinks) keep receiving rank
+but redistribute none — their mass leaves the system, the plain
+Spark-examples convention, so ranks do not sum to 1 (documented; the
+redistribution variant adds one 1-row aggregate per iteration and is
+not needed for ordering).
+
+Scale design (the 100 TB test): the page corpus is touched ONCE (edge
+extraction in the scan stage); everything iterative runs on the HOST
+graph, orders of magnitude smaller.  The degree-weighted edge list is
+repartitioned by src host once and persisted — every iteration's
+rank join then co-partitions against it, so an iteration costs exactly
+two bounded shuffles (rank join keyed by src host, contribution sum
+keyed by dst host), never a scan of pages.  Each iteration's rank
+table persists and the previous one unpersists (lineage stays one step
+deep — no exponential plan growth across iterations).  Skewed in-degree
+(everyone links to google.com) lands in the SUM's map-side partial
+aggregation, not in a join fan-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .urlfilter import url_host
+
+_HREF_RE = r'href\s*=\s*"([^"#]+)'
+
+
+def extract_outlinks(html: Column) -> Column:
+    """``href`` targets (fragment part stripped) of the page's anchors."""
+    return F.regexp_extract_all(html.cast("string"), F.lit(_HREF_RE), 1)
+
+
+def host_edges(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Distinct (src, dst) host pairs of a page table.  Relative links
+    (no parseable host) resolve to the page's own host and therefore
+    drop with the self-loops; unparseable page URLs ('' host) drop."""
+    src = url_host(F.col(url_col))
+    exploded = df.select(
+        src.alias("src"),
+        F.explode(extract_outlinks(F.col(html_col))).alias("link"),
+    )
+    dst = url_host(F.col("link"))
+    dst = F.when(dst != "", dst).otherwise(F.col("src"))
+    return (
+        exploded.select("src", dst.alias("dst"))
+        .where((F.col("src") != "") & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 10,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    persist_each: bool = True,
+) -> DataFrame:
+    """Damped PageRank over a (src, dst) edge list -> (host, rank).
+
+    ``persist_each=True`` (the scale configuration) materializes each
+    iteration's rank table and unpersists the previous one, keeping the
+    lineage one step deep at the cost of one job per iteration;
+    ``False`` builds a single fully-lazy plan — right for small
+    iteration counts and for value-checking the whole computation as
+    one query (the gate entry's configuration)."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1, got %d" % iters)
+    edge = (
+        edges.select(F.col(src).alias("host"), F.col(dst).alias("dst"))
+        .where(F.col("host") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        edge.select("host")
+        .union(edge.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    outdeg = edge.groupBy("host").agg(F.count(F.lit(1)).alias("deg"))
+    # degree-weighted edges: repartition by src host ONCE so every
+    # iteration's rank join co-partitions against a persisted layout
+    edges_w = edge.join(outdeg, "host").repartition("host")
+    if persist_each:
+        edges_w = edges_w.persist()
+        nodes = nodes.persist()
+    n = nodes.count()
+    teleport = (1.0 - damping) / n
+    ranks = nodes.select("host", F.lit(1.0 / n).alias("rank"))
+    prev = None
+    for _ in range(iters):
+        contribs = (
+            edges_w.join(ranks, "host")
+            .select(
+                F.col("dst").alias("host"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = nodes.join(contribs, "host", "left").select(
+            "host",
+            (
+                F.lit(teleport)
+                + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        if persist_each:
+            ranks = ranks.persist()
+            ranks.count()  # materialize before releasing the parent
+            if prev is not None:
+                prev.unpersist()
+            prev = ranks
+    return ranks

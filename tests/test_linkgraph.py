@@ -1,0 +1,145 @@
+"""Host link graph + PageRank (operators/linkgraph.py): edge
+extraction from anchor tags, and a pure-python PageRank differential
+across graph shapes (chain with a dangling tail, star, cycle,
+disconnected component)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sciencebeam_trainer_grobid_tools_spark.operators import linkgraph
+from sciencebeam_trainer_grobid_tools_spark.plans.session import build_session
+
+
+@pytest.fixture(scope="module")
+def spark():
+    session = build_session("linkgraph-tests", cpus=4, shuffle_partitions=8)
+    session.sparkContext.setLogLevel("ERROR")
+    yield session
+    session.stop()
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "url string, html string")
+
+
+def ref_pagerank(edges, iters, d=0.85):
+    edges = sorted({(s, t) for s, t in edges if s != t})
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    n = len(nodes)
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        nr = {v: (1 - d) / n for v in nodes}
+        for s, t in edges:
+            nr[t] += d * r[s] / out[s]
+        r = nr
+    return r
+
+
+def _spark_pr(spark, edges, iters, **kw):
+    df = spark.createDataFrame(list(edges), "src string, dst string")
+    got = linkgraph.pagerank(df, iters=iters, **kw).collect()
+    return {r.host: r.rank for r in got}
+
+
+def _close(a, b):
+    assert set(a) == set(b)
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-9, (k, a[k], b[k])
+
+
+class TestHostEdges:
+    def test_extraction_relative_fragment_self(self, spark):
+        pages = _pages(
+            spark,
+            [
+                (
+                    "https://a.com/page",
+                    '<a href="https://b.com/x">B</a>'
+                    '<a href="/relative/only">rel</a>'  # -> own host, drops
+                    '<a href="https://a.com/other">self</a>'  # self-loop drops
+                    '<a href="https://c.com/y#frag">C</a>',  # fragment stripped
+                ),
+                ("not a url", '<a href="https://b.com/z">B</a>'),  # '' src drops
+                ("https://d.com/", "no links here"),
+            ],
+        )
+        got = sorted(
+            (r.src, r.dst) for r in linkgraph.host_edges(pages).collect()
+        )
+        assert got == [("a.com", "b.com"), ("a.com", "c.com")]
+
+    def test_distinct_edges(self, spark):
+        pages = _pages(
+            spark,
+            [
+                ("https://a.com/1", '<a href="https://b.com/x">'),
+                ("https://a.com/2", '<a href="https://b.com/y">'),
+            ],
+        )
+        assert linkgraph.host_edges(pages).count() == 1
+
+    def test_no_python_no_cartesian(self, spark):
+        pages = _pages(spark, [("https://a.com/", '<a href="https://b.com/">')])
+        plan = (
+            linkgraph.host_edges(pages)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+        assert "CartesianProduct" not in plan
+
+
+GRAPHS = {
+    "chain_dangling": [("a", "b"), ("b", "c")],  # c dangles
+    "star": [("hub", "s1"), ("hub", "s2"), ("hub", "s3"), ("s1", "hub")],
+    "cycle": [("a", "b"), ("b", "c"), ("c", "a")],
+    "disconnected": [("a", "b"), ("x", "y"), ("y", "x")],
+}
+
+
+class TestPagerank:
+    @pytest.mark.parametrize("name", sorted(GRAPHS))
+    def test_matches_python_reference(self, spark, name):
+        edges = GRAPHS[name]
+        _close(
+            _spark_pr(spark, edges, iters=4, persist_each=False),
+            ref_pagerank(edges, iters=4),
+        )
+
+    def test_persist_each_mode_agrees(self, spark):
+        edges = GRAPHS["star"]
+        _close(
+            _spark_pr(spark, edges, iters=3, persist_each=True),
+            _spark_pr(spark, edges, iters=3, persist_each=False),
+        )
+
+    def test_no_inlink_node_gets_teleport_only(self, spark):
+        got = _spark_pr(spark, [("a", "b")], iters=5, persist_each=False)
+        assert abs(got["a"] - 0.15 / 2) < 1e-12
+
+    def test_dangling_mass_leaves_the_system(self, spark):
+        got = _spark_pr(spark, GRAPHS["chain_dangling"], iters=3, persist_each=False)
+        assert sum(got.values()) < 1.0  # documented convention
+
+    def test_duplicate_and_self_edges_ignored(self, spark):
+        noisy = [("a", "b"), ("a", "b"), ("a", "a"), ("b", "c")]
+        _close(
+            _spark_pr(spark, noisy, iters=3, persist_each=False),
+            ref_pagerank([("a", "b"), ("b", "c")], iters=3),
+        )
+
+    def test_invalid_iters(self, spark):
+        df = spark.createDataFrame([("a", "b")], "src string, dst string")
+        with pytest.raises(ValueError):
+            linkgraph.pagerank(df, iters=0)
+
+    def test_lazy_mode_plan_has_no_python(self, spark):
+        df = spark.createDataFrame(GRAPHS["cycle"], "src string, dst string")
+        plan = (
+            linkgraph.pagerank(df, iters=2, persist_each=False)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
