@@ -1794,16 +1794,38 @@ def q_jats_fix_identifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_payload_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal payload plumbing, oracle-checked: the Arrow-batched stage
-    digests each binary payload (sha256 via hashlib) and DuckDB recomputes
-    sha256(md5(text)) over the same derivation — byte-exact binary-column
-    transfer through scan -> Arrow -> pandas is value-verified."""
+    """Arrow-plumbing family, oracle-checked: the binary transfer check
+    plus (since round 8) Unicode NFC normalization as a labeled variant.
+
+    `image/fake` rows: the Arrow-batched stage digests each binary
+    payload (sha256 via hashlib) and DuckDB recomputes sha256(md5(text))
+    over the same derivation — byte-exact binary-column transfer through
+    scan -> Arrow -> pandas is value-verified.  `text/nfc` rows
+    (operators/textnorm.py): each document's text gets a PLANTED
+    decomposed suffix (e + combining acute, so NFC genuinely rewrites),
+    normalizes in the honest one-Arrow-stage path, and the md5 + byte
+    length of the composed result must equal what DuckDB's independent
+    ``nfc_normalize`` implementation produces."""
+    from sciencebeam_trainer_grobid_tools_spark.operators import textnorm
     from sciencebeam_trainer_grobid_tools_spark.operators.multimodal import (
         media_payload_digests,
     )
 
     docs = _load(spark, sf_dir, "documents")
-    return media_payload_digests(attach_fake_media(docs))
+    payload = media_payload_digests(attach_fake_media(docs))
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40), F.lit("Café au lait")
+        ).alias("text"),
+    )
+    nfc = textnorm.normalize_text(aug).select(
+        "doc_id",
+        F.lit("text/nfc").alias("media_type"),
+        F.octet_length("text_norm").cast("int").alias("n_bytes"),
+        F.md5("text_norm").alias("digest"),
+    )
+    return payload.unionByName(nfc)
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3722,6 +3744,16 @@ def oracle_sql() -> dict[str, str]:
                    'image/fake' AS media_type,
                    32 AS n_bytes,
                    sha256(md5(text)) AS digest
+            FROM documents
+            UNION ALL
+            SELECT doc_id,
+                   'text/nfc' AS media_type,
+                   CAST(strlen(nfc_normalize(
+                       substr(text, 1, 40) || 'Cafe' || chr(769) || ' au lait'
+                   )) AS INT) AS n_bytes,
+                   md5(nfc_normalize(
+                       substr(text, 1, 40) || 'Cafe' || chr(769) || ' au lait'
+                   )) AS digest
             FROM documents
         """,
         # the complex-matcher path must land the identical spans
