@@ -331,6 +331,7 @@ def q_docs_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.col("text"))
     clean_cols = textstats.cleanliness_columns(damaged)
+    tri_scores = textstats.trigram_lang_scores(F.col("text"))
     return docs.select(
         "doc_id",
         "lang",
@@ -341,6 +342,14 @@ def q_docs_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.length("text").alias("n_chars_computed"),
         *(expr.alias(name) for name, expr in clean_cols.items()),
+        # round-8 trigram-profile language ID (Cavnar-Trenkle shape):
+        # pure-codegen weighted profile scores + deterministic argmax,
+        # replicated term-for-term by the generated DuckDB fragment
+        textstats.trigram_lang_id(F.col("text")).alias("lang_trigram"),
+        *(
+            F.round(tri_scores[lang], 6).alias("tri_" + lang)
+            for lang in sorted(tri_scores)
+        ),
     )
 
 
@@ -3209,8 +3218,99 @@ def _minhash_portable_sql(num_hashes: int = 8, bands: int = 4) -> str:
 
 _MINHASH_PORTABLE_SQL = _minhash_portable_sql(8, 4)
 
+def _trigram_score_sql(pad: str) -> "dict[str, str]":
+    """Per-language DuckDB score expressions generated from the SAME
+    ``textstats.TRIGRAM_PROFILES`` constants the Spark expression path
+    compiles from — identical trigram order (sorted), identical term
+    shape ((len diff)/3 * weight), identical left-fold association, so
+    the doubles agree bit-for-bit before the ROUND."""
+    scores = {}
+    for lang, profile in sorted(textstats.TRIGRAM_PROFILES.items()):
+        terms = " + ".join(
+            "(LENGTH({p}) - LENGTH(REPLACE({p}, '{t}', ''))) / 3 * {w}".format(
+                p=pad, t=tri, w=float(w)
+            )
+            for tri, w in sorted(profile.items())
+        )
+        scores[lang] = "(({terms}) / GREATEST(LENGTH({p}), 1))".format(
+            terms=terms, p=pad
+        )
+    return scores
+
+
+def _docs_text_features_sql() -> str:
+    pad = "(' ' || LOWER(text) || ' ')"
+    score_exprs = _trigram_score_sql(pad)
+    langs = sorted(score_exprs)
+    inner_scores = ",\n                       ".join(
+        "{e} AS s_{l}".format(e=score_exprs[lang], l=lang) for lang in langs
+    )
+    best = "GREATEST({})".format(", ".join("s_" + lang for lang in langs))
+    argmax = "CASE WHEN {m} > 0 THEN CASE {whens} ELSE '{last}' END ELSE 'unknown' END".format(
+        m=best,
+        whens=" ".join(
+            "WHEN s_{l} = {m} THEN '{l}'".format(l=lang, m=best)
+            for lang in langs[:-1]
+        ),
+        last=langs[-1],
+    )
+    rounded = ",\n                   ".join(
+        "ROUND(s_{l}, 6) AS tri_{l}".format(l=lang) for lang in langs
+    )
+    return """
+            SELECT doc_id, lang,
+                   CASE
+                     WHEN (' ' || LOWER(text) || ' ') LIKE '% der %'
+                       OR (' ' || LOWER(text) || ' ') LIKE '% und %'
+                       OR (' ' || LOWER(text) || ' ') LIKE '% die %'
+                       OR (' ' || LOWER(text) || ' ') LIKE '% nicht %'
+                       OR (' ' || LOWER(text) || ' ') LIKE '% das %' THEN 'de'
+                     WHEN (' ' || LOWER(text) || ' ') LIKE '% le %'
+                       OR (' ' || LOWER(text) || ' ') LIKE '% la %'
+                       OR (' ' || LOWER(text) || ' ') LIKE '% les %'
+                       OR (' ' || LOWER(text) || ' ') LIKE '% et %'
+                       OR (' ' || LOWER(text) || ' ') LIKE '% est %' THEN 'fr'
+                     WHEN (' ' || LOWER(text) || ' ') LIKE '% the %'
+                       OR (' ' || LOWER(text) || ' ') LIKE '% and %'
+                       OR (' ' || LOWER(text) || ' ') LIKE '% of %'
+                       OR (' ' || LOWER(text) || ' ') LIKE '% is %'
+                       OR (' ' || LOWER(text) || ' ') LIKE '% this %' THEN 'en'
+                     ELSE 'unknown'
+                   END AS lang_guess,
+                   CAST(LEN(string_split(text, ' ')) AS INT) AS ws_tokens,
+                   CAST(LEN(regexp_extract_all(text, '\\w+')) AS INT)
+                       AS word_tokens,
+                   LENGTH(text) AS n_chars_computed,
+                   CAST(LEN(regexp_extract_all(dmg, chr(65533))) AS INT)
+                       AS replacement_chars,
+                   ROUND(LEN(regexp_extract_all(dmg,
+                         '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]'))
+                         / GREATEST(LENGTH(dmg), 1), 6) AS control_ratio,
+                   ROUND(LEN(regexp_extract_all(dmg, '[^\\x00-\\x7f]'))
+                         / GREATEST(LENGTH(dmg), 1), 6) AS non_ascii_ratio,
+                   ROUND(LEN(regexp_extract_all(dmg, '[0-9]'))
+                         / GREATEST(LENGTH(dmg), 1), 6) AS digit_ratio,
+                   ROUND(LEN(regexp_extract_all(dmg, '[A-Z]'))
+                         / GREATEST(LENGTH(dmg), 1), 6) AS upper_ratio,
+                   {argmax} AS lang_trigram,
+                   {rounded}
+            FROM (
+                SELECT *,
+                       {inner_scores}
+                FROM (
+                    SELECT *,
+                           CASE WHEN doc_id % 5 = 0 THEN
+                               text || ' ' || chr(65533) || chr(1)
+                                    || 'Ünïcødé 42 UPPER'
+                           ELSE text END AS dmg
+                    FROM documents
+                )
+            )
+        """.format(argmax=argmax, rounded=rounded, inner_scores=inner_scores)
+
+
 def oracle_sql() -> dict[str, str]:
-    return {
+    sqls = {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 2) AS sum_qty,
@@ -3354,50 +3454,9 @@ def oracle_sql() -> dict[str, str]:
             FROM planted p LEFT JOIN rebuilt r USING (doc_id)
             ORDER BY p.doc_id
         """,
-        "docs_text_features": """
-            SELECT doc_id, lang,
-                   CASE
-                     WHEN (' ' || LOWER(text) || ' ') LIKE '% der %'
-                       OR (' ' || LOWER(text) || ' ') LIKE '% und %'
-                       OR (' ' || LOWER(text) || ' ') LIKE '% die %'
-                       OR (' ' || LOWER(text) || ' ') LIKE '% nicht %'
-                       OR (' ' || LOWER(text) || ' ') LIKE '% das %' THEN 'de'
-                     WHEN (' ' || LOWER(text) || ' ') LIKE '% le %'
-                       OR (' ' || LOWER(text) || ' ') LIKE '% la %'
-                       OR (' ' || LOWER(text) || ' ') LIKE '% les %'
-                       OR (' ' || LOWER(text) || ' ') LIKE '% et %'
-                       OR (' ' || LOWER(text) || ' ') LIKE '% est %' THEN 'fr'
-                     WHEN (' ' || LOWER(text) || ' ') LIKE '% the %'
-                       OR (' ' || LOWER(text) || ' ') LIKE '% and %'
-                       OR (' ' || LOWER(text) || ' ') LIKE '% of %'
-                       OR (' ' || LOWER(text) || ' ') LIKE '% is %'
-                       OR (' ' || LOWER(text) || ' ') LIKE '% this %' THEN 'en'
-                     ELSE 'unknown'
-                   END AS lang_guess,
-                   CAST(LEN(string_split(text, ' ')) AS INT) AS ws_tokens,
-                   CAST(LEN(regexp_extract_all(text, '\\w+')) AS INT)
-                       AS word_tokens,
-                   LENGTH(text) AS n_chars_computed,
-                   CAST(LEN(regexp_extract_all(dmg, chr(65533))) AS INT)
-                       AS replacement_chars,
-                   ROUND(LEN(regexp_extract_all(dmg,
-                         '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]'))
-                         / GREATEST(LENGTH(dmg), 1), 6) AS control_ratio,
-                   ROUND(LEN(regexp_extract_all(dmg, '[^\\x00-\\x7f]'))
-                         / GREATEST(LENGTH(dmg), 1), 6) AS non_ascii_ratio,
-                   ROUND(LEN(regexp_extract_all(dmg, '[0-9]'))
-                         / GREATEST(LENGTH(dmg), 1), 6) AS digit_ratio,
-                   ROUND(LEN(regexp_extract_all(dmg, '[A-Z]'))
-                         / GREATEST(LENGTH(dmg), 1), 6) AS upper_ratio
-            FROM (
-                SELECT *,
-                       CASE WHEN doc_id % 5 = 0 THEN
-                           text || ' ' || chr(65533) || chr(1)
-                                || 'Ünïcødé 42 UPPER'
-                       ELSE text END AS dmg
-                FROM documents
-            )
-        """,
+        # "docs_text_features" is GENERATED below (the trigram-profile
+        # fragment derives from textstats.TRIGRAM_PROFILES so the oracle
+        # can never drift from the Spark expression's profile)
         "docs_quality": """
             SELECT doc_id,
                    LENGTH(text) AS q_chars,
@@ -3829,3 +3888,5 @@ def oracle_sql() -> dict[str, str]:
             FROM needles
         """,
     }
+    sqls["docs_text_features"] = _docs_text_features_sql()
+    return sqls

@@ -721,3 +721,138 @@ def perplexity_buckets(
         .withColumn("ppl_bucket", bucket)
         .drop("_cuts", *["_s_" + s for s in strata])
     )
+
+
+# ---------------------------------------------------------------------------
+# trigram-profile language identification (Cavnar & Trenkle 1994 n-gram
+# profiling, in the fixed-profile weighted form CLD-family classifiers use)
+
+# character trigrams with rough frequency-rank weights per language —
+# deliberately ASCII-only and small: the point of the EXPRESSION path is
+# that a fixed profile compiles to pure codegen (no shuffle, no join);
+# production-sized profiles (10^4+ n-grams) use the TABLE path below.
+TRIGRAM_PROFILES = {
+    "de": {
+        " de": 3, "der": 3, "die": 2, "ie ": 2, "und": 3, " un": 2,
+        "ich": 2, "ein": 2, "sch": 2, "cht": 1, "en ": 2, " ge": 1,
+    },
+    "en": {
+        " th": 3, "the": 3, "he ": 2, " an": 2, "and": 2, "ing": 2,
+        " of": 2, "of ": 1, " to": 1, "ion": 1, " is": 1, "ed ": 1,
+    },
+    "es": {
+        " de": 3, "de ": 2, " la": 2, "os ": 2, " el": 2, "que": 2,
+        " qu": 1, " y ": 3, "ado": 1, "cio": 1, " lo": 1, "as ": 1,
+    },
+    "fr": {
+        " le": 3, "le ": 2, " la": 2, "es ": 2, " de": 3, "ent": 2,
+        " et": 2, "et ": 1, "que": 2, " qu": 1, "ait": 1, " un": 1,
+    },
+}
+
+
+def _padded_lower(text: Column) -> Column:
+    return F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+
+
+def substring_count(haystack: Column, needle: str) -> Column:
+    """Non-overlapping occurrence count via length difference — the same
+    portable idiom as :func:`count_char`, so DuckDB replicates it with
+    the identical expression (both engines' replace() are
+    non-overlapping; lengths are in CHARS on both sides)."""
+    return (
+        F.length(haystack)
+        - F.length(F.replace(haystack, F.lit(needle), F.lit("")))
+    ) / len(needle)
+
+
+def trigram_lang_scores(text: Column) -> "dict[str, Column]":
+    """Per-language profile score: sum of weight * trigram count over the
+    padded lowercased text, normalized by padded length (a per-char
+    density, so long documents don't dominate).  Pure codegen — the
+    whole scorer is |langs| * |profile| replace/length terms in ONE
+    projection, zero shuffles."""
+    padded = _padded_lower(text)
+    denom = F.greatest(F.length(padded), F.lit(1)).cast("double")
+    return {
+        lang: sum(
+            (substring_count(padded, tri) * F.lit(float(w)))
+            for tri, w in sorted(profile.items())
+        )
+        / denom
+        for lang, profile in sorted(TRIGRAM_PROFILES.items())
+    }
+
+
+def trigram_lang_id(text: Column) -> Column:
+    """Argmax language over :func:`trigram_lang_scores`, 'unknown' when
+    no profile trigram occurs at all.  Ties resolve to the FIRST
+    language in sorted order (deterministic, replicated verbatim by the
+    oracle's CASE chain)."""
+    scores = trigram_lang_scores(text)
+    best = F.greatest(*scores.values())
+    out = F.lit("unknown")
+    guess = F.when(F.lit(False), F.lit(""))
+    for lang in sorted(scores):
+        guess = guess.when(scores[lang] == best, F.lit(lang))
+    return F.when(best > 0, guess).otherwise(F.lit("unknown"))
+
+
+def trigram_profile_table(spark) -> "DataFrame":
+    """TRIGRAM_PROFILES as a (lang, tri, weight) DataFrame — the TABLE
+    path's model input (and the shape a real 10^4+-n-gram profile
+    arrives in)."""
+    rows = [
+        (lang, tri, float(w))
+        for lang, profile in sorted(TRIGRAM_PROFILES.items())
+        for tri, w in sorted(profile.items())
+    ]
+    return spark.createDataFrame(rows, "lang string, tri string, weight double")
+
+
+def trigram_lang_features_table(
+    df: DataFrame,
+    profiles: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The TABLE path for production-sized profiles: explode each
+    document into its character trigrams JVM-side (sequence + transform
+    over substring — no Python), count per (doc, trigram) with map-side
+    partials (the ONE corpus-wide shuffle, carrying (id, 3-char, count)
+    rows only), inner-join the ``broadcast()`` profile table, and sum
+    weight*count per (doc, lang).  Returns one row per document with a
+    score column per language (docs with no profile hit keep score 0 via
+    the left join back to the id spine) — same normalization as the
+    expression path, so the two paths agree exactly (differential
+    pytest)."""
+    padded = _padded_lower(F.col(text_col))
+    tris = df.select(
+        F.col(id_col),
+        F.length(padded).alias("_plen"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(padded) - 2, F.lit(0))),
+                lambda i: padded.substr(i, F.lit(3)),
+            )
+        ).alias("tri"),
+    )
+    counts = tris.groupBy(id_col, "_plen", "tri").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    from pyspark.sql.functions import broadcast
+
+    scored = (
+        counts.join(broadcast(profiles), "tri")
+        .groupBy(id_col, "_plen")
+        .pivot("lang", sorted(TRIGRAM_PROFILES))
+        .agg(F.sum(F.col("weight") * F.col("c")))
+    )
+    spine = df.select(id_col, F.length(padded).alias("_plen"))
+    out = spine.join(scored, [id_col, "_plen"], "left")
+    denom = F.greatest(F.col("_plen"), F.lit(1)).cast("double")
+    for lang in sorted(TRIGRAM_PROFILES):
+        out = out.withColumn(
+            "score_" + lang, F.coalesce(F.col(lang), F.lit(0.0)) / denom
+        )
+    return out.drop("_plen", *sorted(TRIGRAM_PROFILES))
