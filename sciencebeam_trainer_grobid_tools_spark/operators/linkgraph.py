@@ -46,11 +46,39 @@ from pyspark.sql import Column, DataFrame, functions as F
 from .urlfilter import url_host
 
 _HREF_RE = r'href\s*=\s*"([^"#]+)'
+_ANCHOR_RE = r"<a\s[^>]*>"
+_NOFOLLOW_RE = r'rel\s*=\s*"[^"]*nofollow'
+_NOINDEX_RE = (
+    r'(?i)<meta[^>]*name\s*=\s*"robots"[^>]*content\s*=\s*"[^"]*noindex'
+)
 
 
-def extract_outlinks(html: Column) -> Column:
-    """``href`` targets (fragment part stripped) of the page's anchors."""
-    return F.regexp_extract_all(html.cast("string"), F.lit(_HREF_RE), 1)
+def extract_outlinks(html: Column, skip_nofollow: bool = False) -> Column:
+    """``href`` targets (fragment part stripped) of the page's anchors.
+
+    ``skip_nofollow=True`` honors ``rel="nofollow"`` — the crawl-policy
+    signal PageRank-family systems are expected to respect (nofollow
+    exists precisely to keep a link out of ranking computations):
+    anchor tags are extracted whole, nofollow ones filtered, then hrefs
+    pulled per surviving tag.  Still pure Catalyst (regexp + filter +
+    transform), zero Python."""
+    text = html.cast("string")
+    if not skip_nofollow:
+        return F.regexp_extract_all(text, F.lit(_HREF_RE), 1)
+    tags = F.regexp_extract_all(text, F.lit(_ANCHOR_RE), 0)
+    followed = F.filter(tags, lambda t: ~t.rlike(_NOFOLLOW_RE))
+    hrefs = F.transform(
+        followed, lambda t: F.regexp_extract(t, _HREF_RE, 1)
+    )
+    return F.filter(hrefs, lambda h: h != "")
+
+
+def meta_robots_noindex(html: Column) -> Column:
+    """True when the page carries ``<meta name="robots"
+    content="...noindex...">`` — the page-level crawl-policy flag a
+    compliant corpus pipeline drops before indexing/training.  Pure
+    codegen ``rlike``."""
+    return html.cast("string").rlike(_NOINDEX_RE)
 
 
 def host_edges(

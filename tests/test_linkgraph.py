@@ -143,3 +143,54 @@ class TestPagerank:
             .toString()
         )
         assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+class TestCrawlPolicy:
+    def test_nofollow_links_excluded(self, spark):
+        html = (
+            '<a href="https://ok.com/x">ok</a>'
+            '<a rel="nofollow" href="https://paid.com/y">ad</a>'
+            '<a href="https://also.com/z" rel="ugc nofollow">ugc</a>'
+        )
+        df = spark.createDataFrame([(html,)], "html string")
+        all_links = df.select(
+            F.explode(linkgraph.extract_outlinks(F.col("html"))).alias("l")
+        ).collect()
+        followed = df.select(
+            F.explode(
+                linkgraph.extract_outlinks(F.col("html"), skip_nofollow=True)
+            ).alias("l")
+        ).collect()
+        assert len(all_links) == 3
+        assert [r.l for r in followed] == ["https://ok.com/x"]
+
+    def test_meta_robots_noindex_flag(self, spark):
+        cases = [
+            ('<meta name="robots" content="noindex, nofollow">', True),
+            ('<META NAME="robots" CONTENT="NOINDEX">', True),
+            ('<meta name="robots" content="index, follow">', False),
+            ('<meta name="viewport" content="noindex">', False),
+            ("no meta at all", False),
+        ]
+        df = spark.createDataFrame(
+            [(i, h) for i, (h, _) in enumerate(cases)], "i long, html string"
+        )
+        got = {
+            r.i: r.f
+            for r in df.select(
+                "i", linkgraph.meta_robots_noindex(F.col("html")).alias("f")
+            ).collect()
+        }
+        assert got == {i: exp for i, (_, exp) in enumerate(cases)}
+
+    def test_nofollow_path_stays_codegen(self, spark):
+        df = spark.createDataFrame([("<a href=\"https://a.com/\">",)], "html string")
+        plan = (
+            df.select(
+                linkgraph.extract_outlinks(F.col("html"), skip_nofollow=True)
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
