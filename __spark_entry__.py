@@ -557,6 +557,96 @@ def q_docs_remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_docs_rewrite_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two REWRITE-granularity dedup families in ONE labeled entry
+    (same-family gate merge, freeing a 50-cap slot for `robots_policy`):
+    `common_lines` — boilerplate line-level dedup (CCNet/RefinedWeb
+    granularity); `repeated_spans` — exact-substring dedup (Lee et al.
+    2022 ExactSubstr).  Each variant's construction, plan and DuckDB
+    replay are unchanged from the standalone entries (see the two
+    wrapped builders); units_before/units_removed are lines for the
+    line variant, tokens for the span variant."""
+    lines = q_docs_remove_common_lines(spark, sf_dir).select(
+        F.lit("common_lines").alias("variant"),
+        "doc_id",
+        F.col("n_lines_before").alias("units_before"),
+        F.col("n_lines_removed").alias("units_removed"),
+        "clean_md5",
+    )
+    spans = q_docs_remove_repeated_spans(spark, sf_dir).select(
+        F.lit("repeated_spans").alias("variant"),
+        "doc_id",
+        F.col("n_tokens_before").alias("units_before"),
+        F.col("n_tokens_removed").alias("units_removed"),
+        "clean_md5",
+    )
+    return lines.unionByName(spans)
+
+
+def q_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt crawl policy end to end (operators/robots.py),
+    value-checked both halves: each of the 40 synthetic hosts publishes
+    a robots.txt with a megabot-only group (must be IGNORED for ua=*),
+    a wildcard rule (must be SKIPPED, documented simplification) and
+    three prefix rules parameterized by the host index; `rule` variant
+    rows are the honest parser's output (DuckDB rebuilds the expected
+    rules closed-form — group selection and the skip are therefore
+    value-pinned), and `decision` variant rows run the RFC 9309
+    longest-match/allow-tie fold over one synthetic URL per document
+    (five path cases cycling by doc_id; DuckDB knows which cases block).
+    The URL side is never shuffled or exploded — rules broadcast as one
+    array row per host and a codegen aggregate picks the winner."""
+    from sciencebeam_trainer_grobid_tools_spark.operators import robots
+
+    docs = _spread(_load(spark, sf_dir, "documents").select("doc_id"), spark)
+    k = (F.col("doc_id") % 40).cast("string")
+    host = F.concat(F.lit("h"), k, F.lit(".com"))
+    hosts = docs.select(host.alias("host"), k.alias("k")).distinct()
+    rtxt = F.concat(
+        F.lit("# corpus policy\nUser-agent: megabot\nDisallow: /secret/\n\n"
+              "User-agent: *\nDisallow: /d"),
+        F.col("k"),
+        F.lit("/\nAllow: /d"),
+        F.col("k"),
+        F.lit("/pub/\nDisallow: /q\nDisallow: /wild*card\n"),
+    )
+    rules = robots.parse_robots(hosts.select("host", rtxt.alias("robots_txt")))
+    path = (
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("/d"), k, F.lit("/x")))
+        .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("/d"), k, F.lit("/pub/x")))
+        .when(F.col("doc_id") % 5 == 2, F.lit("/q?y=1"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("/open"))
+        .otherwise(F.lit(""))
+    )
+    urls = docs.select(
+        "doc_id", F.concat(F.lit("https://"), host, path).alias("url")
+    )
+    decisions = robots.robots_blocked(urls, rules)
+    rule_rows = rules.select(
+        F.lit("rule").alias("variant"),
+        "host",
+        "seq",
+        "allow",
+        "prefix",
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("string").alias("url"),
+        F.lit(None).cast("boolean").alias("blocked"),
+    )
+    decision_rows = decisions.select(
+        F.lit("decision").alias("variant"),
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % 40).cast("string"), F.lit(".com")
+        ).alias("host"),
+        F.lit(None).cast("int").alias("seq"),
+        F.lit(None).cast("boolean").alias("allow"),
+        F.lit(None).cast("string").alias("prefix"),
+        "doc_id",
+        "url",
+        F.col("robots_blocked").alias("blocked"),
+    )
+    return rule_rows.unionByName(decision_rows)
+
+
 def q_docs_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All four corpus-LM quality scores in ONE labeled gate entry
     (merged to keep the 50-entry gate all-oracle): ``unigram`` —
@@ -1869,8 +1959,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_text_features": q_docs_text_features,
         "docs_quality": q_docs_quality,
         "docs_web_filters": q_docs_web_filters,
-        "docs_remove_common_lines": q_docs_remove_common_lines,
-        "docs_remove_repeated_spans": q_docs_remove_repeated_spans,
+        "docs_rewrite_dedup": q_docs_rewrite_dedup,
+        "robots_policy": q_robots_policy,
         "docs_minhash": q_docs_minhash,
         "docs_simhash": q_docs_simhash,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
@@ -3889,4 +3979,53 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
     sqls["docs_text_features"] = _docs_text_features_sql()
+    # merged rewrite-dedup entry: wraps the two standalone replicas
+    # verbatim (kept under their own keys for local value-checking)
+    sqls["docs_rewrite_dedup"] = (
+        "SELECT 'common_lines' AS variant, doc_id,"
+        " n_lines_before AS units_before,"
+        " n_lines_removed AS units_removed, clean_md5 FROM ("
+        + sqls["docs_remove_common_lines"]
+        + ") UNION ALL SELECT 'repeated_spans' AS variant, doc_id,"
+        " n_tokens_before AS units_before,"
+        " n_tokens_removed AS units_removed, clean_md5 FROM ("
+        + sqls["docs_remove_repeated_spans"]
+        + ")"
+    )
+    sqls["robots_policy"] = """
+        WITH ks AS (SELECT DISTINCT doc_id % 40 AS k FROM documents),
+        rules AS (
+            SELECT 'h' || CAST(k AS VARCHAR) || '.com' AS host,
+                   0 AS seq, FALSE AS allow,
+                   '/d' || CAST(k AS VARCHAR) || '/' AS prefix
+            FROM ks
+            UNION ALL
+            SELECT 'h' || CAST(k AS VARCHAR) || '.com', 1, TRUE,
+                   '/d' || CAST(k AS VARCHAR) || '/pub/'
+            FROM ks
+            UNION ALL
+            SELECT 'h' || CAST(k AS VARCHAR) || '.com', 2, FALSE, '/q'
+            FROM ks
+        )
+        SELECT 'rule' AS variant, host, seq, allow, prefix,
+               CAST(NULL AS BIGINT) AS doc_id,
+               CAST(NULL AS VARCHAR) AS url,
+               CAST(NULL AS BOOLEAN) AS blocked
+        FROM rules
+        UNION ALL
+        SELECT 'decision',
+               'h' || CAST(doc_id % 40 AS VARCHAR) || '.com',
+               CAST(NULL AS INT), CAST(NULL AS BOOLEAN),
+               CAST(NULL AS VARCHAR),
+               doc_id,
+               'https://h' || CAST(doc_id % 40 AS VARCHAR) || '.com'
+                   || CASE doc_id % 5
+                      WHEN 0 THEN '/d' || CAST(doc_id % 40 AS VARCHAR) || '/x'
+                      WHEN 1 THEN '/d' || CAST(doc_id % 40 AS VARCHAR) || '/pub/x'
+                      WHEN 2 THEN '/q?y=1'
+                      WHEN 3 THEN '/open'
+                      ELSE '' END,
+               (doc_id % 5) IN (0, 2)
+        FROM documents
+    """
     return sqls
