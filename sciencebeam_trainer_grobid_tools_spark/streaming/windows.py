@@ -123,3 +123,29 @@ def stream_sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_first_seen(
+    pages: DataFrame,
+    key_col: str = "url",
+    ts_col: str = "warc_ts",
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """Streaming first-seen filter — the crawl-ingest dedup shape: a
+    stream of (url, warc_ts, ...) page rows keeps only each key's first
+    arrival, so recrawls within the watermark horizon drop before any
+    downstream parse/annotate compute is spent on them.
+
+    ``dropDuplicatesWithinWatermark`` bounds the seen-set state by the
+    watermark (the unbounded-dedup-state failure mode at corpus scale:
+    a naive ``dropDuplicates`` on a 10^12-URL stream keeps every key
+    forever; here keys age out once the event-time watermark passes
+    them, which matches crawl semantics — a recrawl AFTER the horizon
+    is a legitimate new snapshot, and the batch keep-latest recrawl
+    dedup in ``operators/urlnorm.py`` reconciles those downstream).
+    With micro-batches arriving in event-time order the survivor per
+    key is the earliest-timestamp row (pinned by the batch-equivalence
+    test)."""
+    return pages.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [key_col]
+    )

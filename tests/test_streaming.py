@@ -170,3 +170,71 @@ class TestStreamingWindows:
             .collect()
         }
         assert got == expected
+
+
+class TestStreamFirstSeen:
+    def _pages_stream(self, spark, tmp_path, n_chunks=4):
+        """URL stream with planted recrawls across micro-batches: url
+        u{i%20} appears in several chunks with increasing timestamps."""
+        import datetime
+
+        import pyspark.sql.functions as F
+
+        base = datetime.datetime(2026, 8, 1)
+        rows = []
+        for i in range(80):
+            rows.append(
+                (
+                    "https://example.org/u%d" % (i % 20),
+                    base + datetime.timedelta(minutes=i),
+                    i,
+                )
+            )
+        pages = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, seq long"
+        )
+        stream_dir = tmp_path / "pages_stream"
+        pdf = pages.orderBy("warc_ts").toPandas()
+        per = len(pdf) // n_chunks + 1
+        for k in range(n_chunks):
+            chunk = pdf.iloc[k * per : (k + 1) * per]
+            if len(chunk):
+                spark.createDataFrame(chunk).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(str(stream_dir / ("chunk%d" % k)))
+        return (
+            spark.readStream.schema(pages.schema)
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(stream_dir)),
+            pages,
+        )
+
+    def test_first_seen_matches_batch_min_ts(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from sciencebeam_trainer_grobid_tools_spark.streaming.windows import (
+            stream_first_seen,
+        )
+
+        stream, pages = self._pages_stream(spark, tmp_path)
+        q = (
+            stream_first_seen(stream)
+            .writeStream.format("memory")
+            .queryName("first_seen_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["url"]: r["warc_ts"]
+            for r in spark.table("first_seen_test").collect()
+        }
+        expected = {
+            r["url"]: r["first_ts"]
+            for r in pages.groupBy("url")
+            .agg(F.min("warc_ts").alias("first_ts"))
+            .collect()
+        }
+        assert got == expected  # one survivor per url, the earliest row
