@@ -267,7 +267,22 @@ def q_docs_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs").cast("long"),
         F.col("keep_id").cast("long"),
     )
-    return per_doc.unionByName(groups).orderBy("variant", "doc_id", "fingerprint")
+    # third variant since round 8: winnowing fingerprint sets (rolling-
+    # hash family — same fingerprint-family merge, freeing the former
+    # docs_winnowing slot for urls_bloom_membership); hash rendered as
+    # string to share the fingerprint column
+    winnow = q_docs_winnowing(spark, sf_dir).select(
+        F.lit("winnowing").alias("variant"),
+        "doc_id",
+        F.col("fingerprint").cast("string").alias("fingerprint"),
+        F.lit(None).cast("long").alias("n_docs"),
+        F.lit(None).cast("long").alias("keep_id"),
+    )
+    return (
+        per_doc.unionByName(groups)
+        .unionByName(winnow)
+        .orderBy("variant", "doc_id", "fingerprint")
+    )
 
 
 def q_docs_remove_common_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -841,6 +856,31 @@ def q_docs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(_load(spark, sf_dir, "documents"), spark)
     return dedup.winnowing_fingerprints(docs, k=5, window=4).orderBy(
         "doc_id", "fingerprint"
+    )
+
+
+def q_urls_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom seen-set (operators/bloom.py), value-checked with
+    its false positives INCLUDED: the filter builds over the even-doc_id
+    half of a synthetic URL universe (one partial-aggregated shuffle of
+    at most m/32 word rows; driver-side artifact like the IVF
+    centroids), then every URL probes it through the pure-codegen
+    k-bit-test conjunction — no join, no shuffle, no Python on the probe
+    side.  DuckDB rebuilds the identical bitset (same md5-derived
+    positions, same 32-bit words under bit_or) and evaluates the same
+    bit tests, so seen URLs hash-match as True (the exact-negative
+    guarantee), and the deterministic false positives among the odd half
+    match too."""
+    from sciencebeam_trainer_grobid_tools_spark.operators import bloom
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(F.lit("https://example.org/page/"), F.col("doc_id"))
+    seen = docs.where(F.col("doc_id") % 2 == 0).select(url.alias("url"))
+    words = bloom.bloom_build(seen, col="url", m_bits=4096, k=3)
+    probes = _spread(docs, spark).select("doc_id", url.alias("url"))
+    return probes.select(
+        "doc_id",
+        bloom.bloom_contains(words, F.col("url"), 4096, 3).alias("in_bloom"),
     )
 
 
@@ -1965,7 +2005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash": q_docs_simhash,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "docs_pii_scrub": q_docs_pii_scrub,
-        "docs_winnowing": q_docs_winnowing,
+        "urls_bloom_membership": q_urls_bloom_membership,
         "docs_token_budget": q_docs_token_budget,
         "docs_lm_logprob": q_docs_lm_logprob,
         "docs_dsir_sample": q_docs_dsir_sample,
@@ -3992,6 +4032,57 @@ def oracle_sql() -> dict[str, str]:
         + sqls["docs_remove_repeated_spans"]
         + ")"
     )
+    # winnowing joins the fingerprint-family entry as a third variant;
+    # its generated replica is wrapped verbatim
+    sqls["docs_fingerprint_dedup"] = (
+        "SELECT * FROM ("
+        + sqls["docs_fingerprint_dedup"]
+        + ") UNION ALL SELECT 'winnowing' AS variant, doc_id,"
+        " CAST(fingerprint AS VARCHAR) AS fingerprint,"
+        " CAST(NULL AS BIGINT) AS n_docs, CAST(NULL AS BIGINT) AS keep_id"
+        " FROM (" + sqls["docs_winnowing"] + ")"
+    )
+    sqls["urls_bloom_membership"] = """
+        WITH seen AS (
+            SELECT 'https://example.org/page/' || CAST(doc_id AS VARCHAR)
+                       AS url
+            FROM documents WHERE doc_id % 2 = 0
+        ),
+        pos AS (
+            SELECT (CAST('0x' || substr(md5(CAST(t.i AS VARCHAR) || ':' || url),
+                         1, 8) AS BIGINT) % 4096) AS p
+            FROM seen, (VALUES (0), (1), (2)) t(i)
+        ),
+        words AS (
+            SELECT p // 32 AS w,
+                   bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS word
+            FROM pos GROUP BY p // 32
+        ),
+        probes AS (
+            SELECT doc_id,
+                   'https://example.org/page/' || CAST(doc_id AS VARCHAR)
+                       AS url
+            FROM documents
+        ),
+        probe_pos AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5('0:' || url), 1, 8) AS BIGINT)
+                       % 4096 AS p0,
+                   CAST('0x' || substr(md5('1:' || url), 1, 8) AS BIGINT)
+                       % 4096 AS p1,
+                   CAST('0x' || substr(md5('2:' || url), 1, 8) AS BIGINT)
+                       % 4096 AS p2
+            FROM probes
+        )
+        SELECT doc_id,
+               ((COALESCE((SELECT word FROM words WHERE w = p0 // 32), 0)
+                 >> CAST(p0 % 32 AS INT)) & 1) = 1
+               AND ((COALESCE((SELECT word FROM words WHERE w = p1 // 32), 0)
+                 >> CAST(p1 % 32 AS INT)) & 1) = 1
+               AND ((COALESCE((SELECT word FROM words WHERE w = p2 // 32), 0)
+                 >> CAST(p2 % 32 AS INT)) & 1) = 1 AS in_bloom
+        FROM probe_pos
+    """
     sqls["robots_policy"] = """
         WITH ks AS (SELECT DISTINCT doc_id % 40 AS k FROM documents),
         rules AS (
