@@ -206,6 +206,61 @@ def q_event_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two event-window aggregates in ONE labeled entry (same-family
+    gate merge, freeing a 50-cap slot for `crawl_snapshot_diff`):
+    `majority_vote` — per-user majority with deterministic ties (A2
+    analogue); `hourly_rollup` — the tumbling time-window aggregate
+    (streaming-shaped, batch-executed; its streaming twin is pytest-
+    pinned in tests/test_streaming.py).  NULL-padded variant columns,
+    the established merge shape."""
+    mv = q_event_majority_vote(spark, sf_dir).select(
+        F.lit("majority_vote").alias("variant"),
+        "user_id",
+        F.lit(None).cast("timestamp").alias("hour"),
+        F.col("top_event").alias("event_type"),
+        F.col("n_events").cast("long").alias("n"),
+        F.lit(None).cast("double").alias("total_value"),
+    )
+    hr = q_event_hourly_rollup(spark, sf_dir).select(
+        F.lit("hourly_rollup").alias("variant"),
+        F.lit(None).cast("long").alias("user_id"),
+        "hour",
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        "total_value",
+    )
+    return mv.unionByName(hr)
+
+
+def q_crawl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-crawl snapshot delta (operators/urlnorm.snapshot_diff),
+    value-checked over all four statuses: the old snapshot holds every
+    URL except the doc_id%5==1 cohort, the new snapshot every URL except
+    the doc_id%5==2 cohort, and the doc_id%5==3 cohort's content changed
+    between crawls — so added/removed/changed/same each appear closed-
+    form.  ONE full-outer join on the bare URL + a presence-flag CASE;
+    DuckDB replays the cohort logic directly from the table."""
+    from sciencebeam_trainer_grobid_tools_spark.operators.urlnorm import (
+        snapshot_diff,
+    )
+
+    docs = _spread(_load(spark, sf_dir, "documents"), spark)
+    url = F.concat(F.lit("https://example.org/page/"), F.col("doc_id"))
+    old = docs.where(F.col("doc_id") % 5 != 1).select(
+        url.alias("url"), F.md5("text").alias("fingerprint")
+    )
+    new = docs.where(F.col("doc_id") % 5 != 2).select(
+        url.alias("url"),
+        F.md5(
+            F.when(
+                F.col("doc_id") % 5 == 3, F.concat(F.col("text"), F.lit("X"))
+            ).otherwise(F.col("text"))
+        ).alias("fingerprint"),
+    )
+    return snapshot_diff(old, new)
+
+
 def q_events_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F12 analogue: structured field extraction from semi-structured
     payloads (JSON props), aggregated per event type."""
@@ -1991,8 +2046,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resume_anti_join": q_resume_anti_join,
         "regex_rename_join": q_regex_rename_join,
         "event_sessionization": q_event_sessionization,
-        "event_majority_vote": q_event_majority_vote,
-        "event_hourly_rollup": q_event_hourly_rollup,
+        "event_windows": q_event_windows,
+        "crawl_snapshot_diff": q_crawl_snapshot_diff,
         "events_json_extraction": q_events_json_extraction,
         "levenshtein_check": q_levenshtein_check,
         "docs_fingerprint_dedup": q_docs_fingerprint_dedup,
@@ -4032,6 +4087,34 @@ def oracle_sql() -> dict[str, str]:
         + sqls["docs_remove_repeated_spans"]
         + ")"
     )
+    # merged event-window entry: wraps the two standalone replicas
+    # verbatim (kept under their own keys for local value-checking)
+    sqls["event_windows"] = (
+        "SELECT 'majority_vote' AS variant, user_id,"
+        " CAST(NULL AS TIMESTAMP) AS hour, top_event AS event_type,"
+        " CAST(n_events AS BIGINT) AS n,"
+        " CAST(NULL AS DOUBLE) AS total_value FROM ("
+        + sqls["event_majority_vote"]
+        + ") UNION ALL SELECT 'hourly_rollup' AS variant,"
+        " CAST(NULL AS BIGINT) AS user_id, hour, event_type,"
+        " CAST(n AS BIGINT) AS n, total_value FROM ("
+        + sqls["event_hourly_rollup"]
+        + ")"
+    )
+    sqls["crawl_snapshot_diff"] = """
+        SELECT 'https://example.org/page/' || CAST(doc_id AS VARCHAR) AS url,
+               CASE WHEN doc_id % 5 = 1 THEN NULL ELSE md5(text) END
+                   AS old_fingerprint,
+               CASE WHEN doc_id % 5 = 2 THEN NULL
+                    WHEN doc_id % 5 = 3 THEN md5(text || 'X')
+                    ELSE md5(text) END AS new_fingerprint,
+               CASE doc_id % 5
+                   WHEN 1 THEN 'added'
+                   WHEN 2 THEN 'removed'
+                   WHEN 3 THEN 'changed'
+                   ELSE 'same' END AS status
+        FROM documents
+    """
     # winnowing joins the fingerprint-family entry as a third variant;
     # its generated replica is wrapped verbatim
     sqls["docs_fingerprint_dedup"] = (

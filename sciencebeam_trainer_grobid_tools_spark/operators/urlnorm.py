@@ -112,3 +112,50 @@ def dedup_by_canonical_url(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def snapshot_diff(
+    old: "DataFrame",
+    new: "DataFrame",
+    key_col: str = "url",
+    fingerprint_col: str = "fingerprint",
+) -> "DataFrame":
+    """Cross-crawl snapshot delta — the recrawl-planning primitive: given
+    two crawl snapshots keyed by URL with a content fingerprint each,
+    classify every URL as ``added`` (new only), ``removed`` (old only),
+    ``changed`` (both, fingerprints differ) or ``same``.
+
+    ONE full-outer sort-merge join on the bare key + a codegen CASE —
+    the join payload is (key, fingerprint) pairs only, never page
+    bodies; at 100 TB both sides pre-bucket by url hash (the flagship's
+    Iceberg layout), which turns the join co-partitioned.  Null-safe on
+    the fingerprints (a NULL fingerprint on both sides compares equal —
+    a missing digest is not a phantom change)."""
+    o = old.select(
+        F.col(key_col).alias("_k"),
+        F.col(fingerprint_col).alias("old_fingerprint"),
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        F.col(key_col).alias("_k"),
+        F.col(fingerprint_col).alias("new_fingerprint"),
+        F.lit(True).alias("_in_new"),
+    )
+    joined = o.join(n, "_k", "full_outer")
+    # presence flags, not fingerprint nullness: a present row with a
+    # missing digest must not read as added/removed
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(
+            F.col("old_fingerprint").eqNullSafe(F.col("new_fingerprint")),
+            F.lit("same"),
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        F.col("_k").alias(key_col),
+        "old_fingerprint",
+        "new_fingerprint",
+        status.alias("status"),
+    )

@@ -131,3 +131,55 @@ class TestDedupByCanonicalUrl:
     def test_invalid_keep_raises(self, spark):
         with pytest.raises(ValueError, match="keep must be"):
             urlnorm.dedup_by_canonical_url(self._docs(spark), keep="newest")
+
+
+class TestSnapshotDiff:
+    def _diff(self, spark, old_rows, new_rows):
+        from sciencebeam_trainer_grobid_tools_spark.operators.urlnorm import (
+            snapshot_diff,
+        )
+
+        old = spark.createDataFrame(old_rows, "url string, fingerprint string")
+        new = spark.createDataFrame(new_rows, "url string, fingerprint string")
+        return {
+            r.url: (r.status, r.old_fingerprint, r.new_fingerprint)
+            for r in snapshot_diff(old, new).collect()
+        }
+
+    def test_all_four_statuses(self, spark):
+        got = self._diff(
+            spark,
+            [("u1", "a"), ("u2", "b"), ("u3", "c")],
+            [("u2", "b"), ("u3", "c2"), ("u4", "d")],
+        )
+        assert got == {
+            "u1": ("removed", "a", None),
+            "u2": ("same", "b", "b"),
+            "u3": ("changed", "c", "c2"),
+            "u4": ("added", None, "d"),
+        }
+
+    def test_null_fingerprint_on_present_row_is_not_added(self, spark):
+        # presence flags, not fingerprint nullness: a present row with a
+        # missing digest must classify by presence, and NULL == NULL
+        # fingerprints read as same (a missing digest is not a change)
+        got = self._diff(
+            spark,
+            [("u1", None), ("u2", None)],
+            [("u1", None), ("u2", "x")],
+        )
+        assert got["u1"][0] == "same"
+        assert got["u2"][0] == "changed"
+
+    def test_single_join_no_cartesian(self, spark):
+        from sciencebeam_trainer_grobid_tools_spark.operators.urlnorm import (
+            snapshot_diff,
+        )
+
+        old = spark.createDataFrame([("u", "a")], "url string, fingerprint string")
+        new = spark.createDataFrame([("u", "a")], "url string, fingerprint string")
+        plan = (
+            snapshot_diff(old, new)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
