@@ -164,3 +164,21 @@ def pagerank(
                 prev.unpersist()
             prev = ranks
     return ranks
+
+
+_SITEMAP_LOC_RE = r"(?is)<loc[^>]*>\s*([^<\s][^<]*?)\s*</loc>"
+_SITEMAP_INDEX_RE = r"(?is)<sitemapindex[\s>]"
+
+
+def sitemap_locs(xml: Column) -> Column:
+    """URL discovery from sitemap.xml documents: every ``<loc>`` value
+    (whitespace-trimmed), for both urlset and sitemapindex files — the
+    crawl-frontier feed that complements outlink extraction.  Pure
+    codegen ``regexp_extract_all``."""
+    return F.regexp_extract_all(xml.cast("string"), F.lit(_SITEMAP_LOC_RE), 1)
+
+
+def is_sitemap_index(xml: Column) -> Column:
+    """True for ``<sitemapindex>`` files (their locs are MORE sitemaps
+    to fetch, not page URLs — the caller routes on this)."""
+    return xml.cast("string").rlike(_SITEMAP_INDEX_RE)

@@ -194,3 +194,39 @@ class TestCrawlPolicy:
             .toString()
         )
         assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+class TestSitemaps:
+    def test_loc_extraction_and_index_routing(self, spark):
+        urlset = (
+            '<?xml version="1.0"?><urlset>'
+            "<url><loc> https://a.com/1 </loc></url>"
+            "<url><loc>https://a.com/2</loc></url></urlset>"
+        )
+        index = (
+            "<sitemapindex><sitemap><loc>https://a.com/sitemap1.xml</loc>"
+            "</sitemap></sitemapindex>"
+        )
+        df = spark.createDataFrame(
+            [(0, urlset), (1, index)], "i long, xml string"
+        )
+        got = {
+            r.i: (r.locs, r.idx)
+            for r in df.select(
+                "i",
+                linkgraph.sitemap_locs(F.col("xml")).alias("locs"),
+                linkgraph.is_sitemap_index(F.col("xml")).alias("idx"),
+            ).collect()
+        }
+        assert got[0] == (["https://a.com/1", "https://a.com/2"], False)
+        assert got[1] == (["https://a.com/sitemap1.xml"], True)
+
+    def test_sitemap_ops_pure_codegen(self, spark):
+        df = spark.createDataFrame([("<urlset/>",)], "xml string")
+        plan = (
+            df.select(linkgraph.sitemap_locs(F.col("xml")))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
