@@ -57,8 +57,11 @@ def bloom_build(
     positions = F.array(
         *[_position(F.col(col), i, m_bits) for i in range(k)]
     )
+    # NULL keys carry no membership information and would otherwise
+    # surface as a NULL word-index row that breaks the driver-side fold
     rows = (
-        df.select(F.explode(positions).alias("p"))
+        df.filter(F.col(col).isNotNull())
+        .select(F.explode(positions).alias("p"))
         .select(
             (F.col("p") / WORD_BITS).cast("long").alias("w"),
             (F.col("p") % WORD_BITS).cast("int").alias("b"),

@@ -163,6 +163,14 @@ def pagerank(
             if prev is not None:
                 prev.unpersist()
             prev = ranks
+    if persist_each:
+        # the final ranks table is already materialized (counted above),
+        # so the iteration-support caches release here instead of leaking
+        # in long-lived sessions; the returned ranks stays persisted and
+        # the CALLER owns its unpersist (same contract as
+        # minhash_candidate_pairs(persist_intermediate=...))
+        edges_w.unpersist()
+        nodes.unpersist()
     return ranks
 
 

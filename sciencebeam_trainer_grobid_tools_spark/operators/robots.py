@@ -129,12 +129,15 @@ def robots_blocked(
     never shuffled or exploded."""
     from .urlfilter import url_host
 
+    # the rule table's join column rides under a private alias: a plain
+    # drop("host") would also drop a caller-supplied 'host' column from
+    # the URL table (drop-by-name removes EVERY column with that name)
     per_host = rules.groupBy("host").agg(
         F.collect_list(F.struct("allow", "prefix")).alias("_rules")
-    )
+    ).withColumnRenamed("host", "_r_host")
     joined = urls.withColumn("_host", url_host(F.col(url_col))).join(
-        F.broadcast(per_host), F.col("_host") == per_host["host"], "left"
-    ).drop("host")
+        F.broadcast(per_host), F.col("_host") == F.col("_r_host"), "left"
+    ).drop("_r_host")
     path = _url_path(F.col(url_col))
     # fold: acc = (best match length, best is-allow); start below any
     # real match so "no match" stays (-1, true) = allowed

@@ -134,10 +134,18 @@ def _parse_blob(blob: Union[bytes, str]) -> List[dict]:
     idx = 0
     while pos < len(data):
         if not data[pos:].startswith(marker):
-            # resynchronize: everything up to the next marker is damage
+            # resynchronize: everything up to the next marker is damage.
+            # Mid-blob the damage attributes to the PREVIOUS record; a
+            # blob that starts mid-record has no previous record, so the
+            # skipped leading bytes surface as a well_formed=False
+            # placeholder instead of silently vanishing (the 'malformed
+            # framing degrades per-record' contract).
             nxt = data.find(marker, pos)
             if out:
                 out[-1]["well_formed"] = False
+            else:
+                out.append(_record(idx, {}, b"", False))
+                idx += 1
             if nxt < 0:
                 break
             pos = nxt

@@ -97,3 +97,11 @@ class TestBloom:
         df = spark.createDataFrame([("x",)], "url string")
         with pytest.raises(ValueError):
             bloom.bloom_build(df, m_bits=100)
+
+
+class TestNullKeys:
+    def test_null_keys_ignored_in_build(self, spark):
+        df = spark.createDataFrame(
+            [(u,) for u in SEEN] + [(None,), (None,)], "url string"
+        )
+        assert bloom.bloom_build(df, m_bits=4096, k=3) == ref_build(SEEN, 4096, 3)

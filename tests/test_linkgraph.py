@@ -230,3 +230,19 @@ class TestSitemaps:
             .toString()
         )
         assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+class TestPersistLifecycle:
+    def test_persist_each_releases_support_caches(self, spark):
+        jsc = spark.sparkContext._jsc
+        base = jsc.getPersistentRDDs().size()
+        ranks = linkgraph.pagerank(
+            spark.createDataFrame(GRAPHS["star"], "src string, dst string"),
+            iters=2,
+            persist_each=True,
+        )
+        # only the returned (caller-owned) ranks table remains cached;
+        # the degree-weighted edge list and node spine released in-op
+        assert jsc.getPersistentRDDs().size() == base + 1
+        ranks.unpersist()
+        assert jsc.getPersistentRDDs().size() == base

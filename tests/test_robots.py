@@ -136,3 +136,18 @@ class TestBlocked:
         assert "BroadcastHashJoin" in plan
         assert "Generate" not in plan  # no explode of the URL side
         assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+class TestCallerColumns:
+    def test_caller_host_column_survives(self, spark):
+        # the rule table's join column rides a private alias — a caller's
+        # own 'host' column must come through the policy join untouched
+        rules_df = spark.createDataFrame(
+            [("a.com", 0, False, "/tmp/")], robots.RULE_SCHEMA
+        )
+        urls_df = spark.createDataFrame(
+            [("https://a.com/tmp/x", "keep-me")], "url string, host string"
+        )
+        out = robots.robots_blocked(urls_df, rules_df).collect()
+        assert out[0].host == "keep-me"
+        assert out[0].robots_blocked is True

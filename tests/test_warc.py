@@ -182,3 +182,24 @@ class TestCodegenParser:
         df = _blob_df(spark, [["a"]])
         plan = self._parse_expr(df)._jdf.queryExecution().executedPlan().toString()
         assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+class TestLeadingDamage:
+    def test_blob_starting_mid_record_surfaces_placeholder(self, spark):
+        # a blob that begins mid-record (e.g. a range read landing inside a
+        # record) must NOT pretend everything parsed clean: the skipped
+        # leading bytes surface as a well_formed=False placeholder record
+        good = warc.build_warc_record("u2", DATE, "second")
+        blob = "trailing half of some earlier record\r\n\r\n" + good
+        df = spark.createDataFrame([(0, blob)], "doc_id long, warc string")
+        rows = warc.parse_warc_stream(df).orderBy("rec_index").collect()
+        assert [r.well_formed for r in rows] == [False, True]
+        assert rows[0].payload == "" and rows[0].warc_type == ""
+        assert rows[1].payload == "second"
+
+    def test_all_damage_blob_yields_one_placeholder(self, spark):
+        df = spark.createDataFrame(
+            [(0, "no markers anywhere")], "doc_id long, warc string"
+        )
+        rows = warc.parse_warc_stream(df).collect()
+        assert len(rows) == 1 and not rows[0].well_formed
