@@ -817,31 +817,55 @@ def trigram_lang_features_table(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """The TABLE path for production-sized profiles: explode each
-    document into its character trigrams JVM-side (sequence + transform
-    over substring — no Python), count per (doc, trigram) with map-side
-    partials (the ONE corpus-wide shuffle, carrying (id, 3-char, count)
-    rows only), inner-join the ``broadcast()`` profile table, and sum
-    weight*count per (doc, lang).  Returns one row per document with a
-    score column per language (docs with no profile hit keep score 0 via
-    the left join back to the id spine) — same normalization as the
+    document into (position, trigram) pairs JVM-side (sequence +
+    transform over substring — no Python), keep only PROFILE trigrams
+    via a pre-shuffle broadcast semi join (the corpus-wide shuffle then
+    carries profile hits only, not every window of every document),
+    reduce each (doc, trigram) position set to its greedy left-to-right
+    NON-OVERLAPPING count with a codegen ``aggregate`` fold — the exact
+    semantics of the expression path's replace-length idiom, including
+    on self-overlapping trigrams like ``' y '`` — inner-join the
+    ``broadcast()`` profile table, and sum weight*count per (doc, lang).
+    Returns one row per document with a score column per language (docs
+    with no profile hit keep score 0 via the left join back to the id
+    spine) — same normalization and same counting semantics as the
     expression path, so the two paths agree exactly (differential
-    pytest)."""
+    pytest covers self-overlapping inputs)."""
+    from pyspark.sql.functions import broadcast
+
     padded = _padded_lower(F.col(text_col))
-    tris = df.select(
+    pairs = df.select(
         F.col(id_col),
         F.length(padded).alias("_plen"),
         F.explode(
             F.transform(
                 F.sequence(F.lit(1), F.greatest(F.length(padded) - 2, F.lit(0))),
-                lambda i: padded.substr(i, F.lit(3)),
+                lambda i: F.struct(
+                    i.alias("pos"), padded.substr(i, F.lit(3)).alias("tri")
+                ),
             )
-        ).alias("tri"),
+        ).alias("pt"),
+    ).select(
+        id_col, "_plen", F.col("pt.pos").alias("pos"), F.col("pt.tri").alias("tri")
     )
-    counts = tris.groupBy(id_col, "_plen", "tri").agg(
-        F.count(F.lit(1)).alias("c")
+    hits = pairs.join(broadcast(profiles.select("tri").distinct()), "tri")
+    # greedy left-to-right selection over the sorted match positions —
+    # exactly what a single-pass replace() counts: take a match at p only
+    # when it starts at/after the end of the previously taken match
+    zero = F.struct(F.lit(0).alias("cnt"), F.lit(0).alias("nxt"))
+    greedy = F.aggregate(
+        F.sort_array(F.col("_ps")),
+        zero,
+        lambda acc, p: F.when(
+            p >= acc["nxt"],
+            F.struct((acc["cnt"] + 1).alias("cnt"), (p + 3).alias("nxt")),
+        ).otherwise(acc),
+    )["cnt"]
+    counts = (
+        hits.groupBy(id_col, "_plen", "tri")
+        .agg(F.collect_list("pos").alias("_ps"))
+        .select(id_col, "_plen", "tri", greedy.alias("c"))
     )
-    from pyspark.sql.functions import broadcast
-
     scored = (
         counts.join(broadcast(profiles), "tri")
         .groupBy(id_col, "_plen")

@@ -24,6 +24,11 @@ SAMPLES = [
     (3, "El perro y el gato que viven en la casa de los abuelos y hablan."),
     (4, ""),
     (5, "zzz qqq vvv"),
+    # self-overlapping profile trigram (' y ' in 'y y y'): overlapping
+    # window occurrences MUST collapse to the non-overlapping count the
+    # expression path's replace-length idiom produces
+    (6, "casa y y del perro"),
+    (7, "la cosa y y y y del toro"),
 ]
 
 
@@ -53,7 +58,10 @@ class TestTrigramLangId:
             .select("doc_id", ts.trigram_lang_id(F.col("text")).alias("lang"))
             .collect()
         }
-        assert got == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "unknown", 5: "unknown"}
+        assert {k: got[k] for k in range(6)} == {
+            0: "en", 1: "de", 2: "fr", 3: "es", 4: "unknown", 5: "unknown"
+        }
+        assert got[6] == "es" and got[7] == "es"
 
     def test_beats_marker_heuristic_on_short_text(self, spark):
         # no full marker WORD present, but trigram evidence abounds
