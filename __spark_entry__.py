@@ -1212,8 +1212,13 @@ def q_hosts_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``extract_outlinks`` -> ``host_edges`` (explode in the scan stage,
     ONE distinct shuffle of bare host pairs) -> 3 damped PageRank
     iterations over the 40-host graph in the fully-lazy configuration.
-    DuckDB rebuilds the closed-form edge list and unrolls the same three
-    iterations; ranks compare at ROUND(., 6)."""
+    The markup is ADVERSARIAL by doc_id % 3: style 0 is canonical
+    lowercase double-quoted, style 1 uppercase tags with single-quoted
+    attributes and an uppercase ``REL='NOFOLLOW'`` on the first anchor
+    (which must still count — host_edges follows all links), style 2
+    unquoted attribute values; every style must extract the SAME two
+    edges, which is what the closed-form DuckDB edge list pins.  Ranks
+    compare at ROUND(., 6)."""
     from sciencebeam_trainer_grobid_tools_spark.operators import linkgraph
 
     docs = _spread(_load(spark, sf_dir, "documents").select("doc_id"), spark)
@@ -1221,18 +1226,40 @@ def q_hosts_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     def host(expr):
         return F.concat(F.lit("h"), expr.cast("string"), F.lit(".com"))
 
+    h1 = host((F.col("doc_id") * 3 + 1) % 40)
+    h2 = host((F.col("doc_id") * 7 + 2) % 40)
+    style = F.col("doc_id") % 3
+    html = (
+        F.when(
+            style == 0,
+            F.concat(
+                F.lit('<html><a href="https://'), h1,
+                F.lit('/x">a</a> <a href="https://'), h2,
+                F.lit('/y#frag">b</a></html>'),
+            ),
+        )
+        .when(
+            style == 1,
+            F.concat(
+                F.lit("<HTML><A HREF='https://"), h1,
+                F.lit("/x' REL='NOFOLLOW'>a</A> <A HREF='https://"), h2,
+                F.lit("/y#frag'>b</A></HTML>"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("<html><a href=https://"), h1,
+                F.lit("/x>a</a> <a href=https://"), h2,
+                F.lit("/y#frag>b</a></html>"),
+            )
+        )
+    )
     pages = docs.select(
         F.concat(
             F.lit("https://"), host(F.col("doc_id") % 40), F.lit("/p/"),
             F.col("doc_id"),
         ).alias("url"),
-        F.concat(
-            F.lit('<html><a href="https://'),
-            host((F.col("doc_id") * 3 + 1) % 40),
-            F.lit('/x">a</a> <a href="https://'),
-            host((F.col("doc_id") * 7 + 2) % 40),
-            F.lit('/y#frag">b</a></html>'),
-        ).alias("html"),
+        html.alias("html"),
     )
     edges = linkgraph.host_edges(pages)
     ranks = linkgraph.pagerank(edges, iters=3, persist_each=False)

@@ -19,29 +19,55 @@ mobile/AMP/session variants the URL normalizer alone cannot see.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, functions as F
 
-_LINK_TAG_RE = r"<link\s[^>]*>"
-_META_TAG_RE = r"<meta\s[^>]*>"
+# All matchers are case-insensitive and robust to double-quoted,
+# single-quoted and unquoted attribute values — real web markup mixes
+# all three freely (the same hardening as linkgraph's href/rel regexes).
+_LINK_TAG_RE = r"(?i)<link\s[^>]*>"
+_META_TAG_RE = r"(?i)<meta\s[^>]*>"
 _TITLE_RE = r"(?is)<title[^>]*>([^<]*)</title>"
-_HREF_RE = r'href\s*=\s*"([^"]*)'
-_CONTENT_RE = r'content\s*=\s*"([^"]*)'
 
 
-def _tag_attr(html: Column, tag_re: str, marker: str, attr_re: str) -> Column:
-    """First tag matching ``tag_re`` whose body contains ``marker``
-    (case-insensitive) -> its ``attr_re`` capture ('' when absent)."""
-    tags = F.regexp_extract_all(html.cast("string"), F.lit(tag_re), 0)
-    hits = F.filter(tags, lambda t: F.lower(t).contains(marker))
-    first = F.get(hits, 0)
-    return F.coalesce(
-        F.regexp_extract(first, attr_re, 1), F.lit("")
+def _attr_contains_re(attr: str, value_substr: str) -> str:
+    """Regex matching ``attr=<value containing value_substr>`` under any
+    case/quoting (for filtering candidate tags)."""
+    v = re.escape(value_substr)
+    return r"(?i)%s\s*=\s*(\"[^\"]*%s|'[^']*%s|[^\"'\s>]*%s)" % (
+        attr, v, v, v,
     )
 
 
+def _extract_attr(tag: Column, attr: str) -> Column:
+    """Value of ``attr`` in a tag string, trying double-quoted,
+    single-quoted then unquoted forms ('' when absent)."""
+    forms = [
+        r'(?i)%s\s*=\s*"([^"]*)"' % attr,
+        r"(?i)%s\s*=\s*'([^']*)'" % attr,
+        r"(?i)%s\s*=\s*([^\"'\s>]+)" % attr,
+    ]
+    return F.coalesce(
+        *[F.nullif(F.regexp_extract(tag, rx, 1), F.lit("")) for rx in forms],
+        F.lit(""),
+    )
+
+
+def _tag_attr(html: Column, tag_re: str, marker_re: str, attr: str) -> Column:
+    """First tag matching ``tag_re`` whose body matches ``marker_re``
+    -> its ``attr`` value ('' when absent)."""
+    tags = F.regexp_extract_all(html.cast("string"), F.lit(tag_re), 0)
+    hits = F.filter(tags, lambda t: t.rlike(marker_re))
+    return _extract_attr(F.get(hits, 0), attr)
+
+
 def canonical_hint(html: Column) -> Column:
-    """href of the first ``<link rel="canonical" ...>`` ('' if none)."""
-    return _tag_attr(html, _LINK_TAG_RE, 'rel="canonical"', _HREF_RE)
+    """href of the first ``<link rel=canonical ...>`` in any
+    case/quoting ('' if none)."""
+    return _tag_attr(
+        html, _LINK_TAG_RE, _attr_contains_re("rel", "canonical"), "href"
+    )
 
 
 def page_title(html: Column) -> Column:
@@ -50,12 +76,17 @@ def page_title(html: Column) -> Column:
 
 
 def og_property(html: Column, prop: str) -> Column:
-    """content of the first ``<meta property="og:<prop>">`` ('' if none)."""
+    """content of the first ``<meta property=og:<prop>>`` ('' if none)."""
     return _tag_attr(
-        html, _META_TAG_RE, 'property="og:%s"' % prop.lower(), _CONTENT_RE
+        html,
+        _META_TAG_RE,
+        _attr_contains_re("property", "og:%s" % prop.lower()),
+        "content",
     )
 
 
 def meta_description(html: Column) -> Column:
-    """content of the first ``<meta name="description">`` ('' if none)."""
-    return _tag_attr(html, _META_TAG_RE, 'name="description"', _CONTENT_RE)
+    """content of the first ``<meta name=description>`` ('' if none)."""
+    return _tag_attr(
+        html, _META_TAG_RE, _attr_contains_re("name", "description"), "content"
+    )

@@ -45,40 +45,64 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from .urlfilter import url_host
 
-_HREF_RE = r'href\s*=\s*"([^"#]+)'
-_ANCHOR_RE = r"<a\s[^>]*>"
-_NOFOLLOW_RE = r'rel\s*=\s*"[^"]*nofollow'
-_NOINDEX_RE = (
-    r'(?i)<meta[^>]*name\s*=\s*"robots"[^>]*content\s*=\s*"[^"]*noindex'
+# Real web markup mixes tag/attribute case and all three HTML quoting
+# styles (double, single, unquoted) — every matcher below is (?i) and
+# quote-agnostic.  The value capture keeps surrounding quotes (Java
+# regex has no branch reset, so one group must cover all three
+# alternatives); _clean_href strips them after extraction.
+_HREF_VAL_RE = r"(?i)href\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s\"'>]+)"
+_ANCHOR_RE = r"(?i)<a\s[^>]*>"
+_NOFOLLOW_RE = (
+    r"(?i)rel\s*=\s*(\"[^\"]*nofollow|'[^']*nofollow|[^\"'\s>]*nofollow)"
+)
+_META_TAG_RE = r"(?i)<meta\s[^>]*>"
+_NAME_ROBOTS_RE = r"(?i)name\s*=\s*(\"robots\"|'robots'|robots(?=[\s/>]))"
+_CONTENT_NOINDEX_RE = (
+    r"(?i)content\s*=\s*(\"[^\"]*noindex|'[^']*noindex|[^\"'\s>]*noindex)"
 )
 
 
-def extract_outlinks(html: Column, skip_nofollow: bool = False) -> Column:
-    """``href`` targets (fragment part stripped) of the page's anchors.
+def _clean_href(v: Column) -> Column:
+    """Strip surrounding quotes (kept by the single-group capture) and
+    the fragment part from an href value."""
+    return F.regexp_replace(
+        F.regexp_replace(v, r"^[\"']|[\"']$", ""), r"#.*$", ""
+    )
 
-    ``skip_nofollow=True`` honors ``rel="nofollow"`` — the crawl-policy
-    signal PageRank-family systems are expected to respect (nofollow
-    exists precisely to keep a link out of ranking computations):
-    anchor tags are extracted whole, nofollow ones filtered, then hrefs
-    pulled per surviving tag.  Still pure Catalyst (regexp + filter +
-    transform), zero Python."""
+
+def extract_outlinks(html: Column, skip_nofollow: bool = False) -> Column:
+    """``href`` targets (fragment part stripped) of the page's anchors —
+    case-insensitive and robust to double-quoted, single-quoted and
+    unquoted attribute values.
+
+    ``skip_nofollow=True`` honors ``rel=nofollow`` in any case/quoting —
+    the crawl-policy signal PageRank-family systems are expected to
+    respect (nofollow exists precisely to keep a link out of ranking
+    computations): anchor tags are extracted whole, nofollow ones
+    filtered, then hrefs pulled per surviving tag.  Still pure Catalyst
+    (regexp + filter + transform), zero Python."""
     text = html.cast("string")
     if not skip_nofollow:
-        return F.regexp_extract_all(text, F.lit(_HREF_RE), 1)
-    tags = F.regexp_extract_all(text, F.lit(_ANCHOR_RE), 0)
-    followed = F.filter(tags, lambda t: ~t.rlike(_NOFOLLOW_RE))
-    hrefs = F.transform(
-        followed, lambda t: F.regexp_extract(t, _HREF_RE, 1)
-    )
-    return F.filter(hrefs, lambda h: h != "")
+        raw = F.regexp_extract_all(text, F.lit(_HREF_VAL_RE), 1)
+    else:
+        tags = F.regexp_extract_all(text, F.lit(_ANCHOR_RE), 0)
+        followed = F.filter(tags, lambda t: ~t.rlike(_NOFOLLOW_RE))
+        raw = F.transform(
+            followed, lambda t: F.regexp_extract(t, _HREF_VAL_RE, 1)
+        )
+    return F.filter(F.transform(raw, _clean_href), lambda h: h != "")
 
 
 def meta_robots_noindex(html: Column) -> Column:
-    """True when the page carries ``<meta name="robots"
-    content="...noindex...">`` — the page-level crawl-policy flag a
-    compliant corpus pipeline drops before indexing/training.  Pure
-    codegen ``rlike``."""
-    return html.cast("string").rlike(_NOINDEX_RE)
+    """True when the page carries ``<meta name=robots
+    content=...noindex...>`` in any attribute ORDER, case or quoting —
+    the page-level crawl-policy flag a compliant corpus pipeline drops
+    before indexing/training.  Pure codegen (regexp + exists)."""
+    tags = F.regexp_extract_all(html.cast("string"), F.lit(_META_TAG_RE), 0)
+    return F.exists(
+        tags,
+        lambda t: t.rlike(_NAME_ROBOTS_RE) & t.rlike(_CONTENT_NOINDEX_RE),
+    )
 
 
 def host_edges(

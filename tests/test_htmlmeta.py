@@ -105,3 +105,46 @@ class TestExtraction:
         )
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+class TestAdversarialMarkup:
+    def test_case_and_quote_variants(self, spark):
+        page = (
+            "<HTML><HEAD>"
+            "<LINK REL='canonical' HREF='https://e.com/canon'>"
+            "<META PROPERTY='og:title' CONTENT='Single OG'>"
+            "<meta name=description content=bareword>"
+            "</HEAD></HTML>"
+        )
+        row = (
+            _df(spark, [page])
+            .select(
+                htmlmeta.canonical_hint(F.col("html")).alias("canon"),
+                htmlmeta.og_property(F.col("html"), "title").alias("og"),
+                htmlmeta.meta_description(F.col("html")).alias("desc"),
+            )
+            .collect()[0]
+        )
+        assert row.canon == "https://e.com/canon"
+        assert row.og == "Single OG"
+        assert row.desc == "bareword"
+
+    def test_unquoted_canonical_href(self, spark):
+        page = "<link rel=canonical href=https://e.com/c>"
+        got = (
+            _df(spark, [page])
+            .select(htmlmeta.canonical_hint(F.col("html")).alias("c"))
+            .collect()[0].c
+        )
+        assert got == "https://e.com/c"
+
+    def test_double_quoted_still_first_priority(self, spark):
+        # a double-quoted value containing an apostrophe must not be
+        # misread by the single-quote form
+        page = '<meta name="description" content="it\'s fine">'
+        got = (
+            _df(spark, [page])
+            .select(htmlmeta.meta_description(F.col("html")).alias("d"))
+            .collect()[0].d
+        )
+        assert got == "it's fine"

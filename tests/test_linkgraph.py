@@ -246,3 +246,78 @@ class TestPersistLifecycle:
         assert jsc.getPersistentRDDs().size() == base + 1
         ranks.unpersist()
         assert jsc.getPersistentRDDs().size() == base
+
+
+class TestAdversarialMarkup:
+    CASES = [
+        '<A HREF="https://up.com/x">caps</A>',
+        "<a href='https://single.com/x'>single-quoted</a>",
+        "<a href=https://bare.com/x>unquoted</a>",
+        '<a HREF = "https://spaced.com/x" >spaced</a>',
+    ]
+
+    def test_case_and_quote_variants_extract(self, spark):
+        df = spark.createDataFrame([( "".join(self.CASES),)], "html string")
+        got = df.select(
+            linkgraph.extract_outlinks(F.col("html")).alias("l")
+        ).collect()[0].l
+        assert got == [
+            "https://up.com/x",
+            "https://single.com/x",
+            "https://bare.com/x",
+            "https://spaced.com/x",
+        ]
+
+    def test_unquoted_fragment_strips(self, spark):
+        df = spark.createDataFrame(
+            [("<a href=https://a.com/p#frag>x</a>",)], "html string"
+        )
+        got = df.select(
+            linkgraph.extract_outlinks(F.col("html")).alias("l")
+        ).collect()[0].l
+        assert got == ["https://a.com/p"]
+
+    def test_nofollow_any_case_and_quoting(self, spark):
+        html = (
+            '<a href="https://ok.com/x">ok</a>'
+            "<A HREF='https://paid.com/y' REL='NOFOLLOW'>ad</A>"
+            "<a href=https://ugc.com/z rel=nofollow>ugc</a>"
+            '<a href="https://mixed.com/w" Rel="UGC NoFollow">m</a>'
+        )
+        df = spark.createDataFrame([(html,)], "html string")
+        followed = df.select(
+            linkgraph.extract_outlinks(F.col("html"), skip_nofollow=True).alias("l")
+        ).collect()[0].l
+        assert followed == ["https://ok.com/x"]
+
+    def test_meta_robots_order_case_quoting(self, spark):
+        cases = [
+            ('<meta content="noindex" name="robots">', True),   # reversed order
+            ("<META NAME='robots' CONTENT='NOINDEX,nofollow'>", True),
+            ("<meta name=robots content=noindex>", True),
+            ("<meta name=robotsy content=noindex>", False),     # name must be robots
+            ('<meta name="robots" content="all">', False),
+        ]
+        df = spark.createDataFrame(
+            [(i, h) for i, (h, _) in enumerate(cases)], "i long, html string"
+        )
+        got = {
+            r.i: r.f
+            for r in df.select(
+                "i", linkgraph.meta_robots_noindex(F.col("html")).alias("f")
+            ).collect()
+        }
+        assert got == {i: exp for i, (_, exp) in enumerate(cases)}
+
+    def test_adversarial_paths_stay_codegen(self, spark):
+        df = spark.createDataFrame([("<a href=https://a.com/>",)], "html string")
+        for col in (
+            linkgraph.extract_outlinks(F.col("html")),
+            linkgraph.extract_outlinks(F.col("html"), skip_nofollow=True),
+            linkgraph.meta_robots_noindex(F.col("html")),
+        ):
+            plan = (
+                df.select(col.alias("c"))
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
