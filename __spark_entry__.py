@@ -657,13 +657,15 @@ def q_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt crawl policy end to end (operators/robots.py),
     value-checked both halves: each of the 40 synthetic hosts publishes
     a robots.txt with a megabot-only group (must be IGNORED for ua=*),
-    a wildcard rule (must be SKIPPED, documented simplification) and
-    three prefix rules parameterized by the host index; `rule` variant
-    rows are the honest parser's output (DuckDB rebuilds the expected
-    rules closed-form — group selection and the skip are therefore
-    value-pinned), and `decision` variant rows run the RFC 9309
-    longest-match/allow-tie fold over one synthetic URL per document
-    (five path cases cycling by doc_id; DuckDB knows which cases block).
+    three prefix rules parameterized by the host index, and two RFC
+    9309 §2.2.3 PATTERN rules (``/wild*card`` and the anchored
+    ``/*.pdf$``); `rule` variant rows are the honest parser's output
+    (DuckDB rebuilds the expected rules closed-form — group selection
+    and pattern passthrough are therefore value-pinned), and `decision`
+    variant rows run the RFC 9309 longest-pattern/allow-tie fold over
+    one synthetic URL per document (eight path cases cycling by doc_id,
+    including wildcard hits, a ``$``-anchored block and the
+    ``$``-must-not-match counter-case; DuckDB knows which cases block).
     The URL side is never shuffled or exploded — rules broadcast as one
     array row per host and a codegen aggregate picks the winner."""
     from sciencebeam_trainer_grobid_tools_spark.operators import robots
@@ -678,15 +680,20 @@ def q_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k"),
         F.lit("/\nAllow: /d"),
         F.col("k"),
-        F.lit("/pub/\nDisallow: /q\nDisallow: /wild*card\n"),
+        F.lit("/pub/\nDisallow: /q\nDisallow: /wild*card\n"
+              "Disallow: /*.pdf$\n"),
     )
     rules = robots.parse_robots(hosts.select("host", rtxt.alias("robots_txt")))
+    m = F.col("doc_id") % 8
     path = (
-        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("/d"), k, F.lit("/x")))
-        .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("/d"), k, F.lit("/pub/x")))
-        .when(F.col("doc_id") % 5 == 2, F.lit("/q?y=1"))
-        .when(F.col("doc_id") % 5 == 3, F.lit("/open"))
-        .otherwise(F.lit(""))
+        F.when(m == 0, F.concat(F.lit("/d"), k, F.lit("/x")))
+        .when(m == 1, F.concat(F.lit("/d"), k, F.lit("/pub/x")))
+        .when(m == 2, F.lit("/q?y=1"))
+        .when(m == 3, F.lit("/open"))
+        .when(m == 4, F.lit(""))
+        .when(m == 5, F.lit("/wildAAAcard"))
+        .when(m == 6, F.lit("/file.pdf"))
+        .otherwise(F.lit("/file.pdfx"))
     )
     urls = docs.select(
         "doc_id", F.concat(F.lit("https://"), host, path).alias("url")
@@ -4207,6 +4214,14 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'h' || CAST(k AS VARCHAR) || '.com', 2, FALSE, '/q'
             FROM ks
+            UNION ALL
+            SELECT 'h' || CAST(k AS VARCHAR) || '.com', 3, FALSE,
+                   '/wild*card'
+            FROM ks
+            UNION ALL
+            SELECT 'h' || CAST(k AS VARCHAR) || '.com', 4, FALSE,
+                   '/*.pdf$'
+            FROM ks
         )
         SELECT 'rule' AS variant, host, seq, allow, prefix,
                CAST(NULL AS BIGINT) AS doc_id,
@@ -4220,13 +4235,18 @@ def oracle_sql() -> dict[str, str]:
                CAST(NULL AS VARCHAR),
                doc_id,
                'https://h' || CAST(doc_id % 40 AS VARCHAR) || '.com'
-                   || CASE doc_id % 5
+                   || CASE doc_id % 8
                       WHEN 0 THEN '/d' || CAST(doc_id % 40 AS VARCHAR) || '/x'
                       WHEN 1 THEN '/d' || CAST(doc_id % 40 AS VARCHAR) || '/pub/x'
                       WHEN 2 THEN '/q?y=1'
                       WHEN 3 THEN '/open'
-                      ELSE '' END,
-               (doc_id % 5) IN (0, 2)
+                      WHEN 4 THEN ''
+                      WHEN 5 THEN '/wildAAAcard'
+                      WHEN 6 THEN '/file.pdf'
+                      ELSE '/file.pdfx' END,
+               -- blocked: /d{k}/x (prefix), /q?y=1 (prefix), /wildAAAcard
+               -- (the /wild*card pattern), /file.pdf (the anchored /*.pdf$)
+               (doc_id % 8) IN (0, 2, 5, 6)
         FROM documents
     """
     return sqls

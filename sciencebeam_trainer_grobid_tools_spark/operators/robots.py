@@ -10,13 +10,21 @@ Two operators:
   rule rows for one user-agent.  Group selection is ORDER-DEPENDENT
   per-file state (User-agent lines open groups; the most specific
   matching group wins, RFC 9309 §2.2.1), so parsing is the honest
-  one-Arrow-stage case — same class as the TEI/DOM parsers.  Only
-  path-prefix rules are modeled (the overwhelming majority in the
-  wild); ``*``/``$`` pattern rules are out of scope and skipped
-  (documented simplification).
+  one-Arrow-stage case — same class as the TEI/DOM parsers.  The
+  ``prefix`` column carries the rule pattern AS WRITTEN, including RFC
+  9309 §2.2.3 special characters: ``*`` (matches any character
+  sequence) and a trailing ``$`` (anchors at end of path).
 - :func:`robots_blocked` — URL table x rule table -> blocked flag under
-  RFC 9309 matching: the LONGEST matching prefix wins, allow wins
-  length ties, no match means allowed.
+  RFC 9309 matching: the most specific matching rule wins, specificity
+  = LENGTH OF THE RULE PATTERN as written (the google/robotstxt
+  reference matcher's convention for "most octets", §2.2.2 — we count
+  characters, identical on ASCII rules; a matched-span metric would
+  instead let a bare ``Disallow: /*`` dominate every longer Allow,
+  which no deployed matcher does), allow wins length ties, no match
+  means allowed.  Plain prefix rules match via ``startswith``
+  (codegen-cheap, the overwhelming majority in the wild); pattern
+  rules compile to an anchored regex evaluated per rule — bounded by
+  the host's rule count, never by corpus size.
 
 Scale design (the 100 TB test): rules aggregate to ONE array row per
 host (robots files are per-host and small — the rule table is
@@ -60,8 +68,6 @@ def _parse_one(host: str, text: str, user_agent: str) -> list:
             open_group = True
             if not value and key == "disallow":
                 continue  # empty Disallow == allow all: no rule
-            if "*" in value or value.endswith("$"):
-                continue  # pattern rules out of scope (documented)
             rules.append((key == "allow", value))
     if agents or rules:
         groups.append((agents, rules))
@@ -123,31 +129,61 @@ def robots_blocked(
 
     Rules collapse to one ``array<struct>`` row per host (small — one
     robots.txt per host), broadcast-join the URL table on its parsed
-    host, and a codegen ``aggregate`` fold picks the winning rule:
-    longest matching prefix, allow beats disallow at equal length, no
-    match (or no rules for the host) -> allowed.  The URL corpus is
-    never shuffled or exploded."""
+    host, and a codegen ``aggregate`` fold picks the winning rule: the
+    matching rule with the LONGEST PATTERN wins (see module docstring),
+    allow beats disallow at equal length, no match (or no rules for the
+    host) -> allowed.  ``*``/``$`` pattern rules (§2.2.3) compile to an
+    anchored regex ONCE per rule row (JVM-side string expressions — the
+    rule table is host-sized); plain prefix rules stay on the cheap
+    ``startswith`` path.  The URL corpus is never shuffled or
+    exploded."""
     from .urlfilter import url_host
 
+    # compile §2.2.3 pattern rules to anchored Java regexes up front:
+    # escape every metacharacter except '*', turn '*' into '.*', honor a
+    # trailing '$' as an end anchor.  _rx stays NULL for plain prefixes.
+    has_dollar = F.col("prefix").endswith("$")
+    is_pattern = F.col("prefix").contains("*") | has_dollar
+    body = F.when(
+        has_dollar,
+        F.expr("substring(prefix, 1, length(prefix) - 1)"),
+    ).otherwise(F.col("prefix"))
+    escaped = F.regexp_replace(body, r"([\\.^$+?()\[\]{}|-])", r"\\$1")
+    rx = F.concat(
+        F.lit("^"),
+        F.replace(escaped, F.lit("*"), F.lit(".*")),
+        F.when(has_dollar, F.lit("$")).otherwise(F.lit("")),
+    )
+    compiled = rules.select(
+        "host",
+        F.struct(
+            F.col("allow").alias("allow"),
+            F.col("prefix").alias("prefix"),
+            F.length("prefix").alias("plen"),
+            F.when(is_pattern, rx).alias("rx"),
+        ).alias("_rule"),
+    )
     # the rule table's join column rides under a private alias: a plain
     # drop("host") would also drop a caller-supplied 'host' column from
     # the URL table (drop-by-name removes EVERY column with that name)
-    per_host = rules.groupBy("host").agg(
-        F.collect_list(F.struct("allow", "prefix")).alias("_rules")
+    per_host = compiled.groupBy("host").agg(
+        F.collect_list("_rule").alias("_rules")
     ).withColumnRenamed("host", "_r_host")
     joined = urls.withColumn("_host", url_host(F.col(url_col))).join(
         F.broadcast(per_host), F.col("_host") == F.col("_r_host"), "left"
     ).drop("_r_host")
     path = _url_path(F.col(url_col))
-    # fold: acc = (best match length, best is-allow); start below any
+    # fold: acc = (best pattern length, best is-allow); start below any
     # real match so "no match" stays (-1, true) = allowed
     zero = F.struct(
         F.lit(-1).alias("len"), F.lit(True).alias("allow")
     )
 
     def step(acc: Column, rule: Column) -> Column:
-        matches = path.startswith(rule["prefix"])
-        plen = F.length(rule["prefix"])
+        matches = F.when(
+            rule["rx"].isNull(), path.startswith(rule["prefix"])
+        ).otherwise(F.rlike(path, rule["rx"]))
+        plen = rule["plen"]
         better = matches & (
             (plen > acc["len"])
             | ((plen == acc["len"]) & rule["allow"] & ~acc["allow"])

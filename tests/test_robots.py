@@ -43,11 +43,14 @@ class TestParse:
             (r.seq, r.allow, r.prefix)
             for r in _rules(spark).orderBy("seq").collect()
         ]
-        # pattern rules and the empty Disallow are skipped (documented)
+        # pattern rules emit as written (matching compiles them later);
+        # only the empty Disallow (allow-all) drops
         assert got == [
             (0, False, "/tmp/"),
             (1, False, "/account"),
             (2, True, "/tmp/public/"),
+            (3, False, "/wild*card"),
+            (4, False, "/anchored$"),
         ]
 
     def test_specific_agent_beats_star(self, spark):
@@ -67,10 +70,19 @@ class TestParse:
 
 
 def ref_blocked(path, rules):
+    """Python reference: RFC 9309 matching incl. *$ pattern rules;
+    specificity = pattern length as written (google/robotstxt
+    convention), allow wins ties."""
+    import re
+
     best = (-1, True)
-    for allow, prefix in rules:
-        if path.startswith(prefix):
-            plen = len(prefix)
+    for allow, pat in rules:
+        body = pat[:-1] if pat.endswith("$") else pat
+        rx = ".*".join(re.escape(part) for part in body.split("*"))
+        if pat.endswith("$"):
+            rx += "$"
+        if re.match(rx, path):
+            plen = len(pat)
             if plen > best[0] or (plen == best[0] and allow and not best[1]):
                 best = (plen, allow)
     return not best[1]
@@ -151,3 +163,88 @@ class TestCallerColumns:
         out = robots.robots_blocked(urls_df, rules_df).collect()
         assert out[0].host == "keep-me"
         assert out[0].robots_blocked is True
+
+
+class TestPatternRules:
+    WILD_RULES = [
+        (False, "/*?"),            # block any path with a query string
+        (False, "/*.pdf$"),        # block pdfs, anchored
+        (False, "/wild*card"),
+        (True, "/downloads/*.pdf$"),  # longer allow beats the pdf block
+        (False, "/a"),
+        (True, "/a$"),             # exactly /a is allowed ($ outranks /a)
+    ]
+    PATHS = [
+        "/plain",
+        "/plain?q=1",              # blocked: /*?
+        "/doc/file.pdf",           # blocked: /*.pdf$
+        "/doc/file.pdfx",          # allowed: $ anchor must not match
+        "/wildANYTHINGcard",       # blocked: /wild*card
+        "/wildcard",               # blocked: * matches empty too
+        "/downloads/file.pdf",     # allowed: longer allow pattern wins
+        "/a",                      # allowed: /a$ (len 3) beats /a (len 2)
+        "/ab",                     # blocked: /a matches, /a$ does not
+    ]
+
+    def _decide(self, spark, paths, rules, host="a.com"):
+        rules_df = spark.createDataFrame(
+            [(host, i, a, p) for i, (a, p) in enumerate(rules)],
+            robots.RULE_SCHEMA,
+        )
+        urls = ["https://%s%s" % (host, p) for p in paths]
+        urls_df = spark.createDataFrame([(u,) for u in urls], "url string")
+        got = {
+            r.url: r.robots_blocked
+            for r in robots.robots_blocked(urls_df, rules_df).collect()
+        }
+        return {p: got["https://%s%s" % (host, p)] for p in paths}
+
+    def test_wildcards_match_python_reference(self, spark):
+        got = self._decide(spark, self.PATHS, self.WILD_RULES)
+        for p in self.PATHS:
+            assert got[p] == ref_blocked(p, self.WILD_RULES), p
+
+    def test_expected_decisions(self, spark):
+        got = self._decide(spark, self.PATHS, self.WILD_RULES)
+        assert got == {
+            "/plain": False,
+            "/plain?q=1": True,
+            "/doc/file.pdf": True,
+            "/doc/file.pdfx": False,
+            "/wildANYTHINGcard": True,
+            "/wildcard": True,
+            "/downloads/file.pdf": False,
+            "/a": False,
+            "/ab": True,
+        }
+
+    def test_regex_metachars_in_rules_are_literal(self, spark):
+        # a rule containing regex metachars must match literally
+        rules = [(False, "/x(1)+.y$"), (False, "/q[2]")]
+        got = self._decide(
+            spark, ["/x(1)+.y", "/x11y", "/q[2]/z", "/q2"], rules
+        )
+        assert got == {
+            "/x(1)+.y": True,
+            "/x11y": False,
+            "/q[2]/z": True,
+            "/q2": False,
+        }
+
+    def test_full_file_end_to_end_with_patterns(self, spark):
+        rules = robots.parse_robots(
+            spark.createDataFrame(
+                [("a.com", "User-agent: *\nDisallow: /*?\nAllow: /ok*?")],
+                "host string, robots_txt string",
+            )
+        )
+        urls_df = spark.createDataFrame(
+            [("https://a.com/x?b=1",), ("https://a.com/okpage?b=1",)],
+            "url string",
+        )
+        got = {
+            r.url: r.robots_blocked
+            for r in robots.robots_blocked(urls_df, rules).collect()
+        }
+        assert got["https://a.com/x?b=1"] is True
+        assert got["https://a.com/okpage?b=1"] is False
