@@ -1262,6 +1262,7 @@ def q_hosts_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pages = docs.select(
+        F.col("doc_id"),
         F.concat(
             F.lit("https://"), host(F.col("doc_id") % 40), F.lit("/p/"),
             F.col("doc_id"),
@@ -1269,8 +1270,25 @@ def q_hosts_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         html.alias("html"),
     )
     edges = linkgraph.host_edges(pages)
-    ranks = linkgraph.pagerank(edges, iters=3, persist_each=False)
-    return ranks.select("host", F.round("rank", 6).alias("rank"))
+    std = linkgraph.pagerank(edges, iters=3, persist_each=False).select(
+        F.lit("standard").alias("variant"),
+        "host",
+        F.round("rank", 6).alias("rank"),
+    )
+    # `redistribute` variant: pages on hosts h30..h39 emit no outlinks
+    # (their docs are filtered out of the edge-source set), so those
+    # hosts become DANGLING receivers and the published dangling-mass
+    # redistribution (Page et al. 1999) actually changes the numbers —
+    # DuckDB unrolls the same three redistributed iterations
+    edges_d = linkgraph.host_edges(pages.filter(F.col("doc_id") % 40 < 30))
+    red = linkgraph.pagerank(
+        edges_d, iters=3, persist_each=False, dangling="redistribute"
+    ).select(
+        F.lit("redistribute").alias("variant"),
+        "host",
+        F.round("rank", 6).alias("rank"),
+    )
+    return std.unionByName(red)
 
 
 def q_align_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3920,8 +3938,77 @@ def oracle_sql() -> dict[str, str]:
                     JOIN outdeg od ON od.host = e.src
                     GROUP BY e.dst
                 ) s ON nd.host = s.host
+            ),
+            -- redistribute variant: edge sources restricted to hosts
+            -- h0..h29 (docs with doc_id % 40 >= 30 emit no outlinks), so
+            -- h30..h39 dangle; each iteration adds d * dangling-mass / N
+            raw_d AS (
+                SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) || '.com' AS src,
+                       'h' || CAST((doc_id * 3 + 1) % 40 AS VARCHAR) || '.com' AS dst
+                FROM documents WHERE doc_id % 40 < 30
+                UNION ALL
+                SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) || '.com',
+                       'h' || CAST((doc_id * 7 + 2) % 40 AS VARCHAR) || '.com'
+                FROM documents WHERE doc_id % 40 < 30
+            ),
+            edges_d AS (SELECT DISTINCT src, dst FROM raw_d WHERE src <> dst),
+            nodes_d AS (SELECT src AS host FROM edges_d
+                        UNION SELECT dst FROM edges_d),
+            nn_d AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes_d),
+            outdeg_d AS (SELECT src AS host, CAST(COUNT(*) AS DOUBLE) AS deg
+                         FROM edges_d GROUP BY src),
+            dang_d AS (SELECT host FROM nodes_d
+                       WHERE host NOT IN (SELECT host FROM outdeg_d)),
+            d0 AS (SELECT host, 1.0 / (SELECT n FROM nn_d) AS rank
+                   FROM nodes_d),
+            d1 AS (
+                SELECT nd.host,
+                       0.15 / (SELECT n FROM nn_d)
+                           + 0.85 * (COALESCE(s.c, 0)
+                               + (SELECT COALESCE(SUM(r.rank), 0)
+                                  FROM d0 r JOIN dang_d g ON r.host = g.host)
+                                 / (SELECT n FROM nn_d)) AS rank
+                FROM nodes_d nd LEFT JOIN (
+                    SELECT e.dst AS host, SUM(r.rank / od.deg) AS c
+                    FROM edges_d e
+                    JOIN d0 r ON e.src = r.host
+                    JOIN outdeg_d od ON od.host = e.src
+                    GROUP BY e.dst
+                ) s ON nd.host = s.host
+            ),
+            d2 AS (
+                SELECT nd.host,
+                       0.15 / (SELECT n FROM nn_d)
+                           + 0.85 * (COALESCE(s.c, 0)
+                               + (SELECT COALESCE(SUM(r.rank), 0)
+                                  FROM d1 r JOIN dang_d g ON r.host = g.host)
+                                 / (SELECT n FROM nn_d)) AS rank
+                FROM nodes_d nd LEFT JOIN (
+                    SELECT e.dst AS host, SUM(r.rank / od.deg) AS c
+                    FROM edges_d e
+                    JOIN d1 r ON e.src = r.host
+                    JOIN outdeg_d od ON od.host = e.src
+                    GROUP BY e.dst
+                ) s ON nd.host = s.host
+            ),
+            d3 AS (
+                SELECT nd.host,
+                       0.15 / (SELECT n FROM nn_d)
+                           + 0.85 * (COALESCE(s.c, 0)
+                               + (SELECT COALESCE(SUM(r.rank), 0)
+                                  FROM d2 r JOIN dang_d g ON r.host = g.host)
+                                 / (SELECT n FROM nn_d)) AS rank
+                FROM nodes_d nd LEFT JOIN (
+                    SELECT e.dst AS host, SUM(r.rank / od.deg) AS c
+                    FROM edges_d e
+                    JOIN d2 r ON e.src = r.host
+                    JOIN outdeg_d od ON od.host = e.src
+                    GROUP BY e.dst
+                ) s ON nd.host = s.host
             )
-            SELECT host, ROUND(rank, 6) AS rank FROM r3
+            SELECT 'standard' AS variant, host, ROUND(rank, 6) AS rank FROM r3
+            UNION ALL
+            SELECT 'redistribute', host, ROUND(rank, 6) FROM d3
         """,
         "flagship_extract_align": """
             -- closed-form replica of the flagship kernel's summary columns on

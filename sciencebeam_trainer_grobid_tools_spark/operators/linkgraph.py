@@ -21,10 +21,11 @@ PageRank semantics (matched exactly by the gate's unrolled DuckDB
 replica): nodes = all hosts appearing as src or dst; rank_0 = 1/N;
 rank_{t+1}(v) = (1-d)/N + d * sum over in-edges (u,v) of
 rank_t(u)/outdeg(u).  Dangling hosts (no outlinks) keep receiving rank
-but redistribute none — their mass leaves the system, the plain
-Spark-examples convention, so ranks do not sum to 1 (documented; the
-redistribution variant adds one 1-row aggregate per iteration and is
-not needed for ordering).
+but by default redistribute none — their mass leaves the system, the
+plain Spark-examples convention, so ranks do not sum to 1;
+``dangling='redistribute'`` switches to the published formulation
+(each iteration adds d * dangling-mass / N to every node, total rank
+stays 1) at the cost of one 1-row scalar aggregate per iteration.
 
 Scale design (the 100 TB test): the page corpus is touched ONCE (edge
 extraction in the scan stage); everything iterative runs on the HOST
@@ -132,6 +133,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     persist_each: bool = True,
+    dangling: str = "drop",
 ) -> DataFrame:
     """Damped PageRank over a (src, dst) edge list -> (host, rank).
 
@@ -140,9 +142,22 @@ def pagerank(
     lineage one step deep at the cost of one job per iteration;
     ``False`` builds a single fully-lazy plan — right for small
     iteration counts and for value-checking the whole computation as
-    one query (the gate entry's configuration)."""
+    one query (the gate entry's configuration).
+
+    ``dangling='drop'`` (default) keeps the plain Spark-examples
+    convention: dangling hosts redistribute nothing and total rank
+    decays.  ``'redistribute'`` is the published formulation (Page et
+    al. 1999): each iteration adds ``d * (dangling mass)/N`` to every
+    node, so total rank stays 1.  The cost is ONE extra scalar
+    aggregate per iteration (a left-semi sum over the host-sized rank
+    table, broadcast back as a 1-row literal join) — no new shuffle of
+    the edge list."""
     if iters < 1:
         raise ValueError("iters must be >= 1, got %d" % iters)
+    if dangling not in ("drop", "redistribute"):
+        raise ValueError(
+            "dangling must be drop/redistribute, got %r" % dangling
+        )
     edge = (
         edges.select(F.col(src).alias("host"), F.col(dst).alias("dst"))
         .where(F.col("host") != F.col("dst"))
@@ -157,9 +172,14 @@ def pagerank(
     # degree-weighted edges: repartition by src host ONCE so every
     # iteration's rank join co-partitions against a persisted layout
     edges_w = edge.join(outdeg, "host").repartition("host")
+    dang = None
+    if dangling == "redistribute":
+        dang = nodes.join(outdeg, "host", "left_anti")
     if persist_each:
         edges_w = edges_w.persist()
         nodes = nodes.persist()
+        if dang is not None:
+            dang = dang.persist()
     n = nodes.count()
     teleport = (1.0 - damping) / n
     ranks = nodes.select("host", F.lit(1.0 / n).alias("rank"))
@@ -174,12 +194,17 @@ def pagerank(
             .groupBy("host")
             .agg(F.sum("c").alias("c"))
         )
-        ranks = nodes.join(contribs, "host", "left").select(
+        base = nodes.join(contribs, "host", "left")
+        gain = F.coalesce(F.col("c"), F.lit(0.0))
+        if dang is not None:
+            dsum = ranks.join(dang, "host", "left_semi").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dsum")
+            )
+            base = base.crossJoin(F.broadcast(dsum))
+            gain = gain + F.col("_dsum") / F.lit(float(n))
+        ranks = base.select(
             "host",
-            (
-                F.lit(teleport)
-                + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
-            ).alias("rank"),
+            (F.lit(teleport) + F.lit(damping) * gain).alias("rank"),
         )
         if persist_each:
             ranks = ranks.persist()
@@ -195,6 +220,8 @@ def pagerank(
         # minhash_candidate_pairs(persist_intermediate=...))
         edges_w.unpersist()
         nodes.unpersist()
+        if dang is not None:
+            dang.unpersist()
     return ranks
 
 

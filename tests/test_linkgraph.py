@@ -22,7 +22,7 @@ def _pages(spark, rows):
     return spark.createDataFrame(rows, "url string, html string")
 
 
-def ref_pagerank(edges, iters, d=0.85):
+def ref_pagerank(edges, iters, d=0.85, dangling="drop"):
     edges = sorted({(s, t) for s, t in edges if s != t})
     nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
     n = len(nodes)
@@ -32,8 +32,12 @@ def ref_pagerank(edges, iters, d=0.85):
     r = {v: 1.0 / n for v in nodes}
     for _ in range(iters):
         nr = {v: (1 - d) / n for v in nodes}
+        dsum = sum(r[v] for v in nodes if v not in out)
         for s, t in edges:
             nr[t] += d * r[s] / out[s]
+        if dangling == "redistribute":
+            for v in nodes:
+                nr[v] += d * dsum / n
         r = nr
     return r
 
@@ -321,3 +325,52 @@ class TestAdversarialMarkup:
                 ._jdf.queryExecution().executedPlan().toString()
             )
             assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+class TestDanglingRedistribution:
+    @pytest.mark.parametrize("name", sorted(GRAPHS))
+    def test_matches_python_reference(self, spark, name):
+        edges = GRAPHS[name]
+        _close(
+            _spark_pr(
+                spark, edges, iters=4, persist_each=False,
+                dangling="redistribute",
+            ),
+            ref_pagerank(edges, iters=4, dangling="redistribute"),
+        )
+
+    def test_total_rank_is_conserved(self, spark):
+        got = _spark_pr(
+            spark, GRAPHS["chain_dangling"], iters=5, persist_each=False,
+            dangling="redistribute",
+        )
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    def test_persist_mode_agrees_and_releases_caches(self, spark):
+        jsc = spark.sparkContext._jsc
+        base = jsc.getPersistentRDDs().size()
+        edges = GRAPHS["chain_dangling"]
+        lazy = _spark_pr(
+            spark, edges, iters=3, persist_each=False, dangling="redistribute"
+        )
+        df = spark.createDataFrame(list(edges), "src string, dst string")
+        ranks = linkgraph.pagerank(
+            df, iters=3, persist_each=True, dangling="redistribute"
+        )
+        _close({r.host: r.rank for r in ranks.collect()}, lazy)
+        assert jsc.getPersistentRDDs().size() == base + 1
+        ranks.unpersist()
+        assert jsc.getPersistentRDDs().size() == base
+
+    def test_no_dangling_nodes_means_no_change(self, spark):
+        edges = GRAPHS["cycle"]
+        _close(
+            _spark_pr(spark, edges, iters=3, persist_each=False,
+                      dangling="redistribute"),
+            _spark_pr(spark, edges, iters=3, persist_each=False),
+        )
+
+    def test_invalid_dangling_mode(self, spark):
+        df = spark.createDataFrame([("a", "b")], "src string, dst string")
+        with pytest.raises(ValueError):
+            linkgraph.pagerank(df, dangling="teleport")
