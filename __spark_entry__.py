@@ -800,7 +800,15 @@ def q_docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     page (pair key doc_id div 2) — the even member carries a case-variant
     host, a utm_ tracking param and a trailing slash; the odd member a
     gclid param and the newer warc_ts (= doc_id), so canonicalization must
-    merge each pair and keep='latest' must keep the odd member.  PII
+    merge each pair and keep='latest' must keep the odd member.  Pairs
+    with pair % 11 == 4 are AMP plants: their even member lives on a
+    DIFFERENT URL entirely (amp.example{h}.com/item/{pair}/amp — URL
+    normalization alone can NOT fold it) but declares the pair's
+    canonical via a mixed-case, single-quoted, tracking-param-laden
+    ``<LINK REL=canonical HREF='...'>``, so the pair folds ONLY through
+    dedup_key='canonical_hint' (the oracle's closed form assumes every
+    pair folds — a broken hint extraction leaves the AMP even alive and
+    hash-mismatches).  PII
     (email/IP/phone derived from doc_id) is planted into every text, so
     the scrub's placeholder suffix is part of the verified md5.  A
     trailing '.' makes the (single-line) page pass the C4 line rule with
@@ -817,7 +825,14 @@ def q_docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair = F.expr("doc_id div 2")
     host_idx = (pair % 7).cast("string")
     even = F.col("doc_id") % 2 == 0
+    amp_even = even & (pair % 11 == 4)
     url = F.when(
+        amp_even,
+        F.concat(
+            F.lit("http://amp.example"), host_idx, F.lit(".com/item/"),
+            pair.cast("string"), F.lit("/amp"),
+        ),
+    ).when(
         even,
         F.concat(
             F.lit("http://WWW.Example"), host_idx, F.lit(".COM/item/"),
@@ -829,6 +844,18 @@ def q_docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             pair.cast("string"), F.lit("?ref=rss&gclid=abc"),
         )
     )
+    # the AMP page DECLARES its canonical — uppercase tag, unquoted REL,
+    # single-quoted HREF, case-variant host, utm param and trailing slash
+    # all at once, so the fold exercises canonical_hint's hardened
+    # extraction AND canonical_url over the declared value
+    html = F.when(
+        amp_even,
+        F.concat(
+            F.lit("<html><head><LINK REL=canonical HREF='http://WWW.example"),
+            host_idx, F.lit(".com/item/"), pair.cast("string"),
+            F.lit("/?utm_campaign=amp&ref=rss'></head></html>"),
+        ),
+    ).otherwise(F.lit(""))
     base_text = F.concat(
         F.col("text"),
         F.lit(" contact user"),
@@ -841,6 +868,7 @@ def q_docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         url.alias("url"),
+        html.alias("html"),
         F.col("doc_id").alias("warc_ts"),
         F.when(
             F.col("doc_id") % 17 == 3, F.concat(base_text, F.lit(" {"))
@@ -849,6 +877,8 @@ def q_docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     curated = curate_corpus(
         planted,
         url_col="url",
+        dedup_key="canonical_hint",
+        html_col="html",
         ts_col="warc_ts",
         strata=("lang",),
         budget_tokens=1500,
@@ -2949,10 +2979,15 @@ def _lsh_merged_oracle_sql() -> str:
 # DuckDB replica of q_docs_curation_pipeline: replays all nine stages —
 # the domain-blocklist stage's closed form is that the planted host cycle
 # www.example{(doc_id div 2) % 7}.com makes exactly the pair % 7 == 5
-# rows subdomain-match the blocked 'example5.com'; the dedup stage's
+# rows subdomain-match the blocked 'example5.com' (the AMP plant's
+# amp.example5.com subdomain included); the dedup stage's
 # closed form is that each (2k, 2k+1) recrawl pair folds
 # to one canonical URL and keep='latest' keeps the odd member (plus an
-# unpaired trailing even doc, if the table ever ends on one); the C4
+# unpaired trailing even doc, if the table ever ends on one) — for the
+# pair % 11 == 4 AMP plants that fold happens ONLY via the declared
+# <link rel=canonical> (dedup_key='canonical_hint'), so this unchanged
+# closed form is precisely what verifies the hint path: a broken hint
+# extraction leaves the AMP even member alive and the hash diverges; the C4
 # stage's closed form is that on this single-line brace-free corpus with a
 # planted trailing '.' the page survives (with clean == text) iff its
 # brace was not planted (doc_id % 17 <> 3); scrub / quality / Gopher /

@@ -30,6 +30,8 @@ Python.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 _TRACKING_PARAM_RE = r"(?i)(utm_[a-z0-9]+|fbclid|gclid|msclkid)=[^&#]*"
@@ -89,23 +91,46 @@ def with_canonical_url(
     return df.withColumn(out_col, canonical_url(F.col(url_col)))
 
 
+def canonical_dedup_key(url: Column, html: Column) -> Column:
+    """The page-declared dedup key: the canonicalized
+    ``<link rel=canonical>`` hint when the page declares one, else the
+    canonicalized URL — the composition documented in ``htmlmeta`` that
+    folds AMP/mobile/session variants the URL normalizer alone cannot
+    see (the variants live on DIFFERENT URLs but declare the SAME
+    canonical).  The hint itself runs through :func:`canonical_url`
+    (declared canonicals carry tracking params and case-variant hosts
+    just like crawled URLs); an unparseable hint passes through
+    unchanged, matching the normalizer's never-throw contract.  Still a
+    pure Catalyst expression — zero Python, fuses into the scan."""
+    from .htmlmeta import canonical_hint
+
+    return F.coalesce(
+        F.nullif(canonical_url(canonical_hint(html)), F.lit("")),
+        canonical_url(url),
+    )
+
+
 def dedup_by_canonical_url(
     df: DataFrame,
     url_col: str = "url",
     ts_col: str = "warc_ts",
     keep: str = "latest",
+    key: Optional[Column] = None,
 ) -> DataFrame:
     """One row per canonical URL — the CC recrawl/variant dedup.
 
     ``keep='latest'`` keeps the newest ``warc_ts`` (recrawl wins),
     ``'earliest'`` the oldest; ties break on the raw url (deterministic).
     One shuffle, keyed by the canonical string; the window carries the
-    full row only within its own key group.
+    full row only within its own key group.  ``key`` overrides the
+    grouping expression (default ``canonical_url(url_col)``) — pass
+    :func:`canonical_dedup_key` to fold on the page-declared canonical
+    when an html column is available.
     """
     if keep not in ("latest", "earliest"):
         raise ValueError("keep must be latest/earliest, got %r" % keep)
     ts = F.col(ts_col).desc() if keep == "latest" else F.col(ts_col).asc()
-    canon = canonical_url(F.col(url_col))
+    canon = canonical_url(F.col(url_col)) if key is None else key
     w = Window.partitionBy(canon).orderBy(ts, F.col(url_col))
     return (
         df.withColumn("_rn", F.row_number().over(w))

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, functions as F
 from ..operators.dedup import repetition_features, with_common_lines_removed
 from ..operators.pii import scrub_pii
 from ..operators.textstats import quality_features, token_budget_sample
-from ..operators.urlnorm import dedup_by_canonical_url
+from ..operators.urlnorm import canonical_dedup_key, dedup_by_canonical_url
 from ..operators.urlfilter import filter_blocked_domains
 from ..operators.webfilters import c4_filter, gopher_filter, hashed_classifier_score
 
@@ -53,6 +53,8 @@ def curate_corpus(
     url_col: Optional[str] = None,
     ts_col: str = "warc_ts",
     keep: str = "latest",
+    dedup_key: str = "url",
+    html_col: Optional[str] = None,
     strata: Sequence[str] = ("lang",),
     budget_tokens: Optional[int] = None,
     max_dup_ngram_frac: Optional[float] = None,
@@ -70,7 +72,9 @@ def curate_corpus(
     with ``text_col`` scrubbed of PII.  Stages toggle off by omission
     (``blocked_domains=None`` skips the domain blocklist — the published
     pipelines' first cut, applied before any content work,
-    ``url_col=None`` skips dedup, ``min_line_docs=None`` skips
+    ``url_col=None`` skips dedup — ``dedup_key='canonical_hint'`` with an
+    ``html_col`` folds on the page-declared ``<link rel=canonical>``
+    instead, collapsing AMP/mobile variants, ``min_line_docs=None`` skips
     boilerplate line removal, ``c4=None`` / ``gopher=None`` skip those
     rule families (pass ``{}`` for published defaults, keys override),
     ``max_dup_ngram_frac=None`` skips the repetition filter,
@@ -100,7 +104,25 @@ def curate_corpus(
             )
         out = filter_blocked_domains(out, blocked_domains, url_col=url_col)
     if url_col is not None:
-        out = dedup_by_canonical_url(out, url_col=url_col, ts_col=ts_col, keep=keep)
+        # dedup_key='canonical_hint' folds on the page-DECLARED canonical
+        # (falling back to the normalized URL when the page declares none)
+        # so AMP/mobile variants living on different URLs still collapse;
+        # same single shuffle, just a richer codegen key expression
+        if dedup_key == "canonical_hint":
+            if html_col is None:
+                raise ValueError(
+                    "curate_corpus(dedup_key='canonical_hint') requires html_col"
+                )
+            key = canonical_dedup_key(F.col(url_col), F.col(html_col))
+        elif dedup_key == "url":
+            key = None
+        else:
+            raise ValueError(
+                "dedup_key must be url/canonical_hint, got %r" % dedup_key
+            )
+        out = dedup_by_canonical_url(
+            out, url_col=url_col, ts_col=ts_col, keep=keep, key=key
+        )
     if min_line_docs is not None:
         # boilerplate line removal BEFORE scrubbing/quality: chrome lines
         # should not count toward (or against) the quality signals

@@ -58,6 +58,39 @@ class TestCurateCorpus:
         texts = {r["doc_id"]: r["text"] for r in out}
         assert "newer crawl" in texts[1]
 
+    def test_canonical_hint_dedup_folds_amp_variant(self, spark):
+        """An AMP page on a DIFFERENT URL declaring the main page's
+        canonical folds under dedup_key='canonical_hint' (the URL
+        normalizer alone cannot fold it — the negative control keeps
+        both rows)."""
+        rows = [
+            (
+                0,
+                "http://amp.site.com/a/amp",
+                10,
+                "<html><LINK REL=canonical "
+                "HREF='http://WWW.site.com/a/?utm_campaign=amp'></html>",
+                GOOD + " amp variant",
+            ),
+            (1, "http://www.site.com/a", 20, "", GOOD + " main page"),
+            (2, "http://www.site.com/b", 10, "", GOOD + " other page"),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, url string, warc_ts long, html string, text string"
+        ).withColumn("lang", F.lit("en"))
+        hinted = curate_corpus(
+            df, url_col="url", dedup_key="canonical_hint", html_col="html"
+        ).collect()
+        assert {r["doc_id"] for r in hinted} == {1, 2}
+        plain = curate_corpus(df, url_col="url").collect()
+        assert {r["doc_id"] for r in plain} == {0, 1, 2}
+
+    def test_canonical_hint_requires_html_col(self, corpus):
+        with pytest.raises(ValueError, match="requires html_col"):
+            curate_corpus(corpus, url_col="url", dedup_key="canonical_hint")
+        with pytest.raises(ValueError, match="dedup_key"):
+            curate_corpus(corpus, url_col="url", dedup_key="bogus")
+
     def test_pii_is_scrubbed_in_output(self, corpus):
         out = curate_corpus(corpus, url_col="url", max_dup_ngram_frac=0.2).collect()
         texts = {r["doc_id"]: r["text"] for r in out}

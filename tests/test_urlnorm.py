@@ -183,3 +183,47 @@ class TestSnapshotDiff:
         )
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+class TestCanonicalDedupKey:
+    def _keys(self, spark, rows):
+        df = spark.createDataFrame(rows, "url string, html string")
+        return [
+            r["k"]
+            for r in df.select(
+                urlnorm.canonical_dedup_key(
+                    F.col("url"), F.col("html")
+                ).alias("k")
+            ).collect()
+        ]
+
+    def test_declared_canonical_wins_and_is_normalized(self, spark):
+        keys = self._keys(
+            spark,
+            [
+                (
+                    "http://amp.site.com/a/amp",
+                    "<LINK REL=canonical "
+                    "HREF='http://WWW.site.com/a/?utm_campaign=x&q=1'>",
+                ),
+                ("http://WWW.site.com/a/?utm_source=y&q=1", ""),
+            ],
+        )
+        # AMP variant and crawled variant fold to the SAME key
+        assert keys[0] == keys[1] == "http://www.site.com/a?q=1"
+
+    def test_no_hint_falls_back_to_canonical_url(self, spark):
+        keys = self._keys(
+            spark, [("http://Site.com/b#frag", "<html>no link tags</html>")]
+        )
+        assert keys == ["http://site.com/b"]
+
+    def test_pure_codegen(self, spark):
+        df = spark.createDataFrame([("u", "h")], "url string, html string")
+        plan = (
+            df.select(urlnorm.canonical_dedup_key(F.col("url"), F.col("html")))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
