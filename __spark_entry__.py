@@ -234,31 +234,110 @@ def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_crawl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-crawl snapshot delta (operators/urlnorm.snapshot_diff),
-    value-checked over all four statuses: the old snapshot holds every
-    URL except the doc_id%5==1 cohort, the new snapshot every URL except
-    the doc_id%5==2 cohort, and the doc_id%5==3 cohort's content changed
-    between crawls — so added/removed/changed/same each appear closed-
-    form.  ONE full-outer join on the bare URL + a presence-flag CASE;
-    DuckDB replays the cohort logic directly from the table."""
+    """Cross-crawl snapshot delta (operators/urlnorm.snapshot_diff) with
+    the new crawl DISCOVERED through sitemap extraction and enriched
+    with page-declared HTML metadata — three operator families value-
+    checked in one entry:
+
+    - diff statuses: the old snapshot holds every URL except the
+      doc_id%5==1 cohort, the new every URL except doc_id%5==2, and
+      doc_id%5==3 changed content — added/removed/changed/same all
+      appear closed-form;
+    - sitemap ``<loc>`` extraction (linkgraph.sitemap_locs): the new
+      crawl's URL set is NOT built directly — per-group sitemap XML
+      documents (uppercase ``<LOC>``, planted padding whitespace) are
+      synthesized and the membership comes out of the extractor, so a
+      broken regex changes which rows exist and the hash diverges;
+    - HTML metadata (htmlmeta.page_title / canonical_hint /
+      og_property): every new-crawl page plants a ``<TITLE>``, a
+      canonical link cycling double-/single-/unquoted href by
+      doc_id%3, and an og:description; the extracted values are output
+      columns the closed-form oracle pins (NULL on removed rows —
+      no page was fetched).
+
+    Plan: one groupBy building the sitemaps, explode + join back to the
+    page table, ONE full-outer join on the bare URL + a presence-flag
+    CASE, metadata extracted in the scan projection."""
+    from sciencebeam_trainer_grobid_tools_spark.operators.htmlmeta import (
+        canonical_hint,
+        og_property,
+        page_title,
+    )
+    from sciencebeam_trainer_grobid_tools_spark.operators.linkgraph import (
+        sitemap_locs,
+    )
     from sciencebeam_trainer_grobid_tools_spark.operators.urlnorm import (
         snapshot_diff,
     )
 
     docs = _spread(_load(spark, sf_dir, "documents"), spark)
-    url = F.concat(F.lit("https://example.org/page/"), F.col("doc_id"))
-    old = docs.where(F.col("doc_id") % 5 != 1).select(
+    did = F.col("doc_id")
+    url = F.concat(F.lit("https://example.org/page/"), did)
+    old = docs.where(did % 5 != 1).select(
         url.alias("url"), F.md5("text").alias("fingerprint")
     )
-    new = docs.where(F.col("doc_id") % 5 != 2).select(
+    # the new crawl's pages declare their metadata in mixed case/quoting
+    canon_decl = F.concat(F.lit("https://example.org/canon/"), did)
+    link = (
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit('<link rel="canonical" href="'), canon_decl, F.lit('">')
+            ),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(
+                F.lit("<LINK REL='canonical' HREF='"), canon_decl, F.lit("'>")
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("<link rel=canonical href="), canon_decl, F.lit(">"))
+        )
+    )
+    html = F.concat(
+        F.lit("<html><head><TITLE>Doc "),
+        did,
+        F.lit("</TITLE>"),
+        link,
+        F.lit('<meta property="og:description" content="d'),
+        did,
+        F.lit('"></head></html>'),
+    )
+    # new-crawl membership is discovered FROM the synthesized sitemaps
+    members = docs.where(did % 5 != 2)
+    entry_xml = F.concat(
+        F.lit("<url><LOC>  https://example.org/page/"), did, F.lit(" </LOC></url>")
+    )
+    sitemaps = members.groupBy((did % 10).alias("g")).agg(
+        F.concat(
+            F.lit('<?xml version="1.0"?><urlset>'),
+            F.array_join(F.collect_list(entry_xml), ""),
+            F.lit("</urlset>"),
+        ).alias("xml")
+    )
+    discovered = sitemaps.select(
+        F.explode(sitemap_locs(F.col("xml"))).alias("url")
+    )
+    pages = docs.select(
         url.alias("url"),
         F.md5(
-            F.when(
-                F.col("doc_id") % 5 == 3, F.concat(F.col("text"), F.lit("X"))
-            ).otherwise(F.col("text"))
+            F.when(did % 5 == 3, F.concat(F.col("text"), F.lit("X"))).otherwise(
+                F.col("text")
+            )
         ).alias("fingerprint"),
+        html.alias("html"),
     )
-    return snapshot_diff(old, new)
+    new = discovered.join(pages, "url")
+    meta = new.select(
+        "url",
+        page_title(F.col("html")).alias("title"),
+        canonical_hint(F.col("html")).alias("canonical_decl"),
+        og_property(F.col("html"), "description").alias("og_desc"),
+    )
+    return snapshot_diff(old, new.select("url", "fingerprint")).join(
+        meta, "url", "left"
+    )
 
 
 def q_events_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4257,6 +4336,10 @@ def oracle_sql() -> dict[str, str]:
         + sqls["event_hourly_rollup"]
         + ")"
     )
+    # the sitemap-discovery and metadata-extraction legs pin to their
+    # planted closed forms: membership doc_id%5<>2 (what the sitemaps
+    # list), title 'Doc {id}', declared canonical, og:description —
+    # NULL on removed rows (no page fetched in the new crawl)
     sqls["crawl_snapshot_diff"] = """
         SELECT 'https://example.org/page/' || CAST(doc_id AS VARCHAR) AS url,
                CASE WHEN doc_id % 5 = 1 THEN NULL ELSE md5(text) END
@@ -4268,7 +4351,14 @@ def oracle_sql() -> dict[str, str]:
                    WHEN 1 THEN 'added'
                    WHEN 2 THEN 'removed'
                    WHEN 3 THEN 'changed'
-                   ELSE 'same' END AS status
+                   ELSE 'same' END AS status,
+               CASE WHEN doc_id % 5 = 2 THEN NULL
+                    ELSE 'Doc ' || CAST(doc_id AS VARCHAR) END AS title,
+               CASE WHEN doc_id % 5 = 2 THEN NULL
+                    ELSE 'https://example.org/canon/' || CAST(doc_id AS VARCHAR)
+                    END AS canonical_decl,
+               CASE WHEN doc_id % 5 = 2 THEN NULL
+                    ELSE 'd' || CAST(doc_id AS VARCHAR) END AS og_desc
         FROM documents
     """
     # winnowing joins the fingerprint-family entry as a third variant;
