@@ -893,14 +893,41 @@ def q_docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     trailing '.' makes the (single-line) page pass the C4 line rule with
     >= 3 sentence characters from the planted dotted suffix; docs with
     doc_id % 17 == 3 get a planted ' {' (C4 page-rule casualties — the
-    corpus is brace-free, verified per-SF).  Gopher runs with
+    corpus is brace-free, verified per-SF).  robots.txt compliance runs
+    right after the blocklist from parse_robots output: the example3
+    hosts disallow /item/1 with an Allow: /item/15 exception (longest-
+    match prefix semantics — both pair members' paths share the /item/
+    {pair} prefix, so affected pairs vanish entirely), and the example6
+    hosts carry the WILDCARD rule 'Disallow: /item/*?*gclid=' which
+    matches only the odd members' query strings — their even partners
+    then survive the dedup stage alone, flipping the pair-survivor
+    parity for the whole pair % 7 == 6 cohort.  Gopher runs with
     min_stopword_hits=1 / min_words=20 because the synthetic corpus
     carries only 'the' from the stopword list (real thresholds would
     blank it); the classifier threshold 0.5 splits on the md5-derived
     pseudo-weights the webfilters oracle pins."""
+    from sciencebeam_trainer_grobid_tools_spark.operators.robots import (
+        parse_robots,
+    )
     from sciencebeam_trainer_grobid_tools_spark.plans.curation import curate_corpus
 
     docs = _spread(_load(spark, sf_dir, "documents"), spark)
+    robots3 = (
+        "User-agent: evilbot\nDisallow: /\n\n"
+        "User-agent: *\nDisallow: /item/1\nAllow: /item/15\n"
+    )
+    robots6 = "User-agent: *\nDisallow: /item/*?*gclid=\n"
+    robots_rules = parse_robots(
+        spark.createDataFrame(
+            [
+                ("www.example3.com", robots3),
+                ("amp.example3.com", robots3),
+                ("www.example6.com", robots6),
+                ("amp.example6.com", robots6),
+            ],
+            "host string, robots_txt string",
+        )
+    )
     pair = F.expr("doc_id div 2")
     host_idx = (pair % 7).cast("string")
     even = F.col("doc_id") % 2 == 0
@@ -965,6 +992,7 @@ def q_docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         rep_k=2,
         sample_mode="rate",
         blocked_domains=["example5.com"],
+        robots_rules=robots_rules,
         c4={},
         gopher={"min_words": 20, "min_stopword_hits": 1},
         clf_threshold=0.5,
@@ -3055,11 +3083,17 @@ def _lsh_merged_oracle_sql() -> str:
     """ % (_lsh_topk_oracle_sql(), _lsh_prebucketed_oracle_sql())
 
 
-# DuckDB replica of q_docs_curation_pipeline: replays all nine stages —
+# DuckDB replica of q_docs_curation_pipeline: replays all ten stages —
 # the domain-blocklist stage's closed form is that the planted host cycle
 # www.example{(doc_id div 2) % 7}.com makes exactly the pair % 7 == 5
 # rows subdomain-match the blocked 'example5.com' (the AMP plant's
-# amp.example5.com subdomain included); the dedup stage's
+# amp.example5.com subdomain included); the robots stage's closed form:
+# the example3 hosts' 'Disallow: /item/1' + 'Allow: /item/15' kill whole
+# pairs (both members share the path prefix) whose pair number starts
+# with '1' but not '15', and the example6 hosts' wildcard
+# 'Disallow: /item/*?*gclid=' matches only odd members' query strings,
+# so the pair % 7 == 6 cohort's survivor flips to the EVEN member (the
+# odd never reaches dedup); the dedup stage's
 # closed form is that each (2k, 2k+1) recrawl pair folds
 # to one canonical URL and keep='latest' keeps the odd member (plus an
 # unpaired trailing even doc, if the table ever ends on one) — for the
@@ -3089,8 +3123,14 @@ def _curation_pipeline_oracle_sql() -> str:
     survivors AS (
         SELECT * FROM planted
         WHERE (doc_id // 2) %% 7 <> 5
-          AND (doc_id %% 2 = 1
-               OR doc_id + 1 NOT IN (SELECT doc_id FROM documents))
+          AND NOT ((doc_id // 2) %% 7 = 3
+                   AND starts_with(CAST(doc_id // 2 AS VARCHAR), '1')
+                   AND NOT starts_with(CAST(doc_id // 2 AS VARCHAR), '15'))
+          AND CASE WHEN (doc_id // 2) %% 7 = 6
+                   THEN doc_id %% 2 = 0
+                   ELSE (doc_id %% 2 = 1
+                         OR doc_id + 1 NOT IN (SELECT doc_id FROM documents))
+              END
     ),
     c4kept AS (
         SELECT * FROM survivors WHERE doc_id %% 17 <> 3

@@ -2,7 +2,8 @@
 training-data run would execute, chaining the individually-verified
 operators into ONE lazy DataFrame plan:
 
-    domain blocklist             ->  canonical-URL recrawl dedup
+    domain blocklist             ->  robots.txt compliance
+      ->  canonical-URL recrawl dedup
       ->  boilerplate line removal  ->  C4 cleaning  ->  PII scrub
       ->  quality filter         ->  Gopher rules  ->  repetition filter
       ->  hashed classifier      ->  per-stratum token-budget sample
@@ -38,6 +39,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..operators.dedup import repetition_features, with_common_lines_removed
 from ..operators.pii import scrub_pii
+from ..operators.robots import robots_blocked
 from ..operators.textstats import quality_features, token_budget_sample
 from ..operators.urlnorm import canonical_dedup_key, dedup_by_canonical_url
 from ..operators.urlfilter import filter_blocked_domains
@@ -66,6 +68,7 @@ def curate_corpus(
     gopher: Optional[Mapping[str, object]] = None,
     clf_threshold: Optional[float] = None,
     clf_weights: Optional[DataFrame] = None,
+    robots_rules: Optional[DataFrame] = None,
     persist_intermediate: bool = False,
 ) -> DataFrame:
     """The curated corpus: input rows that survive every enabled stage,
@@ -78,6 +81,9 @@ def curate_corpus(
     boilerplate line removal, ``c4=None`` / ``gopher=None`` skip those
     rule families (pass ``{}`` for published defaults, keys override),
     ``max_dup_ngram_frac=None`` skips the repetition filter,
+    ``robots_rules=None`` skips robots.txt compliance (pass a
+    RULE_SCHEMA table — ``parse_robots`` output — to drop disallowed
+    URLs right after the blocklist),
     ``clf_threshold=None`` skips the hashed classifier,
     ``budget_tokens=None`` skips sampling) so the same entry point serves
     partial pipelines; the quality filter and the scrub always run — they
@@ -103,6 +109,19 @@ def curate_corpus(
                 "curate_corpus(blocked_domains=...) requires url_col"
             )
         out = filter_blocked_domains(out, blocked_domains, url_col=url_col)
+    if robots_rules is not None:
+        # robots.txt compliance right after the blocklist — the other
+        # URL-level cut published pipelines apply before content work: a
+        # RULE_SCHEMA table (operators.robots.parse_robots output) rides
+        # the broadcast fold; disallowed URLs drop, the flag column does
+        # not leak downstream
+        if url_col is None:
+            raise ValueError("curate_corpus(robots_rules=...) requires url_col")
+        out = (
+            robots_blocked(out, robots_rules, url_col=url_col)
+            .filter(~F.col("robots_blocked"))
+            .drop("robots_blocked")
+        )
     if url_col is not None:
         # dedup_key='canonical_hint' folds on the page-DECLARED canonical
         # (falling back to the normalized URL when the page declares none)

@@ -85,6 +85,46 @@ class TestCurateCorpus:
         plain = curate_corpus(df, url_col="url").collect()
         assert {r["doc_id"] for r in plain} == {0, 1, 2}
 
+    def test_robots_stage_drops_disallowed_urls(self, spark):
+        """parse_robots output composes as a curation stage: prefix rule
+        with a longer Allow exception plus a wildcard rule, evaluated on
+        the raw URL before dedup."""
+        from sciencebeam_trainer_grobid_tools_spark.operators.robots import (
+            parse_robots,
+        )
+
+        rules = parse_robots(
+            spark.createDataFrame(
+                [
+                    (
+                        "site.com",
+                        "User-agent: *\nDisallow: /private\n"
+                        "Allow: /private/ok\nDisallow: /*?*session=\n",
+                    )
+                ],
+                "host string, robots_txt string",
+            )
+        )
+        rows = [
+            (0, "http://site.com/private/page", 1, GOOD + " private page"),
+            (1, "http://site.com/private/ok/page", 1, GOOD + " allowed page"),
+            (2, "http://site.com/a?x=1&session=abc", 1, GOOD + " wildcard hit"),
+            (3, "http://site.com/a?x=1", 1, GOOD + " public page"),
+            (4, "http://other.com/private/page", 1, GOOD + " no rules host"),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, url string, warc_ts long, text string"
+        ).withColumn("lang", F.lit("en"))
+        out = curate_corpus(df, url_col="url", robots_rules=rules).collect()
+        assert {r["doc_id"] for r in out} == {1, 3, 4}
+
+    def test_robots_rules_require_url_col(self, corpus, spark):
+        rules = spark.createDataFrame(
+            [("h", 0, False, "/")], "host string, seq int, allow boolean, prefix string"
+        )
+        with pytest.raises(ValueError, match="requires url_col"):
+            curate_corpus(corpus, url_col=None, robots_rules=rules)
+
     def test_canonical_hint_requires_html_col(self, corpus):
         with pytest.raises(ValueError, match="requires html_col"):
             curate_corpus(corpus, url_col="url", dedup_key="canonical_hint")
