@@ -20,11 +20,20 @@ Design:
   statistic; the word table stays in Spark, persisted per iteration and
   released as soon as the next materializes (lineage stays one step
   deep).
-- ``bpe_encode`` applies the learned merge list to documents.  Encoding
-  is data-dependent sequential rewriting per token — the honest Pandas
-  UDF case — so it runs as ONE Arrow-batched ``mapInPandas`` with the
-  merge list broadcast in the closure, emitting (doc_id, n_tokens,
-  n_subwords).  No shuffle at all: encode is a map.
+- ``bpe_encode_stats`` applies the learned merge list to documents.
+  Encoding is data-dependent sequential rewriting per token — the
+  honest Pandas UDF case — so it runs as ONE Arrow-batched
+  ``mapInPandas`` with the merge list broadcast in the closure,
+  emitting (doc_id, n_tokens, n_subwords).  No shuffle at all: encode
+  is a map.
+- ``bpe_vocab_table`` materializes the vocabulary ARTIFACT the encoder
+  ships with: id 0 = ``<unk>``, the corpus's seed alphabet in
+  lexicographic order, then one merged symbol per merge in merge order
+  — the standard BPE id layout, reproducible under retraining.
+- ``bpe_encode`` emits the actual training-data payload: (doc_id,
+  token_ids array<int>) under the merge list + vocabulary, one Arrow
+  stage, unknown symbols mapping to ``<unk>``; the id column keeps the
+  input schema's type.
 
 The pure-python reference implementation in the tests is the
 correctness oracle (the iterative construction has no closed SQL form).
@@ -221,6 +230,98 @@ def bpe_train_collected(
     return merges
 
 
+UNK = "<unk>"
+
+
+def _merge_word(syms: list, merge_list: list) -> list:
+    """Apply every merge, in order, left-to-right non-overlapping —
+    the shared sequential core of the encode paths."""
+    for a, b in merge_list:
+        i, nxt = 0, []
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                nxt.append(a + b)
+                i += 2
+            else:
+                nxt.append(syms[i])
+                i += 1
+        syms = nxt
+    return syms
+
+
+def bpe_vocab_table(
+    df: DataFrame,
+    merges: Sequence[Tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """The (token_id, token) vocabulary artifact for ``bpe_encode``:
+    id 0 is ``<unk>``, ids 1..A the corpus's seed alphabet (distinct
+    characters + the end-of-word sentinel) in lexicographic order, then
+    one merged symbol per merge in merge order — deterministic, so
+    retraining on the same corpus reproduces the same ids.
+
+    The alphabet derivation is ONE corpus reduction (the word-count
+    shuffle) + a distinct over single characters; the collect is
+    bounded by the corpus's distinct-CHARACTER count (thousands even
+    for multilingual web text — model-statistic class, same contract
+    as the IVF centroid collect), never by corpus or vocabulary-word
+    count."""
+    alpha_rows = (
+        _word_counts(df, text_col)
+        .select(F.explode(_seed_symbols()).alias("token"))
+        .distinct()
+        .collect()
+    )
+    alphabet = sorted(r["token"] for r in alpha_rows)
+    rows = [(0, UNK)]
+    rows += [(i + 1, tok) for i, tok in enumerate(alphabet)]
+    base = len(rows)
+    rows += [(base + i, a + b) for i, (a, b) in enumerate(merges)]
+    return df.sparkSession.createDataFrame(
+        rows, "token_id int, token string"
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: Sequence[Tuple[str, str]],
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Documents -> (doc_id, token_ids array<int>): the encoded
+    training-data payload under the learned merges and a
+    ``bpe_vocab_table`` artifact.  Symbols absent from the vocabulary
+    (characters unseen at training time) map to ``<unk>`` (id 0).
+
+    ONE Arrow ``mapInPandas`` — encode is a map, no shuffle; the merge
+    list and the vocab dict ride the task closure (vocab-sized, the
+    artifact built for exactly this purpose).  The id field keeps the
+    INPUT id column's type."""
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    merge_list = [tuple(m) for m in merges]
+    tok2id = {r["token"]: r["token_id"] for r in vocab.collect()}
+    unk_id = tok2id.get(UNK, 0)
+
+    def batches(it):
+        for pdf in it:
+            out = []
+            for row in pdf.itertuples(index=False):
+                words = [w for w in row.text.replace("\n", " ").split(" ") if w]
+                ids: list = []
+                for w in words:
+                    for s in _merge_word(list(w) + [END_OF_WORD], merge_list):
+                        ids.append(tok2id.get(s, unk_id))
+                out.append({"doc_id": row.doc_id, "token_ids": ids})
+            yield pd.DataFrame(out, columns=["doc_id", "token_ids"])
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).mapInPandas(batches, "doc_id %s, token_ids array<int>" % id_type)
+
+
 def bpe_encode_stats(
     df: DataFrame,
     merges: Sequence[Tuple[str, str]],
@@ -244,22 +345,9 @@ def bpe_encode_stats(
                 words = [w for w in row.text.replace("\n", " ").split(" ") if w]
                 n_sub = 0
                 for w in words:
-                    syms = list(w) + [END_OF_WORD]
-                    for a, b in merge_list:
-                        i, nxt = 0, []
-                        while i < len(syms):
-                            if (
-                                i + 1 < len(syms)
-                                and syms[i] == a
-                                and syms[i + 1] == b
-                            ):
-                                nxt.append(a + b)
-                                i += 2
-                            else:
-                                nxt.append(syms[i])
-                                i += 1
-                        syms = nxt
-                    n_sub += len(syms)
+                    n_sub += len(
+                        _merge_word(list(w) + [END_OF_WORD], merge_list)
+                    )
                 out.append(
                     {
                         "doc_id": row.doc_id,

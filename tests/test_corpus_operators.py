@@ -593,6 +593,104 @@ class TestBpe:
         merges = bpe.bpe_train(df, n_merges=50)
         assert len(merges) <= 3
 
+    def test_vocab_table_layout(self, spark):
+        from sciencebeam_trainer_grobid_tools_spark.operators import bpe
+
+        df = spark.createDataFrame(
+            [(1, "low lower low"), (2, "new lower")], "doc_id long, text string"
+        )
+        merges = bpe.bpe_train(df, n_merges=3)
+        vocab = {
+            r["token"]: r["token_id"]
+            for r in bpe.bpe_vocab_table(df, merges, "text").collect()
+        }
+        # id 0 is <unk>; alphabet (distinct chars + sentinel) lexicographic
+        # from 1; merged symbols follow in merge order
+        assert vocab["<unk>"] == 0
+        alphabet = sorted(set("lowernew") | {"</w>"})
+        assert [t for t, i in sorted(vocab.items(), key=lambda kv: kv[1])] == [
+            "<unk>"
+        ] + alphabet + [a + b for a, b in merges]
+        # ids are dense 0..N-1
+        assert sorted(vocab.values()) == list(range(len(vocab)))
+
+    def test_encode_ids_differential_vs_reference(self, spark):
+        """Encoded id sequences match the pure-python reference at two
+        merge budgets, and len(token_ids) agrees with encode_stats."""
+        import random
+
+        from sciencebeam_trainer_grobid_tools_spark.operators import bpe
+
+        rng = random.Random(33)
+        pool = ["river", "riverbank", "banker", "rank", "ranker", "ink"]
+        rows = [
+            (i, " ".join(rng.choice(pool) for _ in range(rng.randint(2, 8))))
+            for i in range(15)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        for n_merges in (4, 10):
+            merges = bpe.bpe_train(df, n_merges=n_merges)
+            vocab_df = bpe.bpe_vocab_table(df, merges, "text")
+            tok2id = {r["token"]: r["token_id"] for r in vocab_df.collect()}
+            got = {
+                r["doc_id"]: list(r["token_ids"])
+                for r in bpe.bpe_encode(df, merges, vocab_df).collect()
+            }
+
+            def ref_ids(text):
+                out = []
+                for w in text.split():
+                    syms = list(w) + ["</w>"]
+                    for a, b in merges:
+                        i, nxt = 0, []
+                        while i < len(syms):
+                            if (
+                                i + 1 < len(syms)
+                                and syms[i] == a
+                                and syms[i + 1] == b
+                            ):
+                                nxt.append(a + b)
+                                i += 2
+                            else:
+                                nxt.append(syms[i])
+                                i += 1
+                        syms = nxt
+                    out.extend(tok2id[s] for s in syms)
+                return out
+
+            assert got == {i: ref_ids(t) for i, t in rows}, n_merges
+            stats = {
+                r["doc_id"]: r["n_subwords"]
+                for r in bpe.bpe_encode_stats(df, merges).collect()
+            }
+            assert {i: len(ids) for i, ids in got.items()} == stats
+
+    def test_encode_unseen_chars_map_to_unk(self, spark):
+        from sciencebeam_trainer_grobid_tools_spark.operators import bpe
+
+        train = spark.createDataFrame(
+            [(1, "low low lower")], "doc_id long, text string"
+        )
+        merges = bpe.bpe_train(train, n_merges=2)
+        vocab_df = bpe.bpe_vocab_table(train, merges, "text")
+        # 'z' and 'q' never appeared at training time
+        test = spark.createDataFrame([(9, "zq")], "doc_id long, text string")
+        [row] = bpe.bpe_encode(test, merges, vocab_df).collect()
+        ids = list(row["token_ids"])
+        assert ids[0] == 0 and ids[1] == 0  # z, q -> <unk>
+        assert ids[2] != 0  # </w> is in the alphabet
+
+    def test_encode_preserves_id_type(self, spark):
+        from sciencebeam_trainer_grobid_tools_spark.operators import bpe
+
+        df = spark.createDataFrame(
+            [("urn:a", "low lower low")], "doc_id string, text string"
+        )
+        merges = bpe.bpe_train(df, n_merges=2)
+        out = bpe.bpe_encode(df, merges, bpe.bpe_vocab_table(df, merges))
+        assert out.schema["doc_id"].dataType.simpleString() == "string"
+        assert out.schema["token_ids"].dataType.simpleString() == "array<int>"
+
     @staticmethod
     def _ref_train_batched(word_counts, n_merges, batch, min_pair_count=2):
         # python replica of the batched rule: top-4*batch candidate pool
