@@ -130,6 +130,8 @@ def stream_first_seen(
     key_col: str = "url",
     ts_col: str = "warc_ts",
     watermark: str = "24 hours",
+    observe: bool = True,
+    metrics_prefix: str = "first_seen",
 ) -> DataFrame:
     """Streaming first-seen filter — the crawl-ingest dedup shape: a
     stream of (url, warc_ts, ...) page rows keeps only each key's first
@@ -141,11 +143,31 @@ def stream_first_seen(
     a naive ``dropDuplicates`` on a 10^12-URL stream keeps every key
     forever; here keys age out once the event-time watermark passes
     them, which matches crawl semantics — a recrawl AFTER the horizon
-    is a legitimate new snapshot, and the batch keep-latest recrawl
-    dedup in ``operators/urlnorm.py`` reconciles those downstream).
-    With micro-batches arriving in event-time order the survivor per
-    key is the earliest-timestamp row (pinned by the batch-equivalence
-    test)."""
-    return pages.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-        [key_col]
-    )
+    is a legitimate new snapshot that legitimately RE-ENTERS the
+    stream — pinned by the expiry-readmission test; note eviction runs
+    against the batch-START watermark, so a key re-enters one
+    micro-batch after its horizon passes, not in the same batch — and
+    the batch keep-latest recrawl dedup in ``operators/urlnorm.py``
+    reconciles those downstream).  With micro-batches arriving in event-time order
+    the survivor per key is the earliest-timestamp row (pinned by the
+    batch-equivalence test).
+
+    ``observe=True`` (default) attaches ``Observation`` metrics on both
+    sides of the dedup — ``{prefix}_in.rows_in`` and
+    ``{prefix}_out.rows_out`` land in every micro-batch's
+    ``StreamingQueryProgress.observedMetrics``, so the per-batch
+    dropped-duplicate count is ``rows_in - rows_out`` with zero extra
+    jobs (observations are accumulator-backed).  Give each
+    ``stream_first_seen`` in a multi-dedup query its own
+    ``metrics_prefix`` — observation names must be unique per query."""
+    src = pages.withWatermark(ts_col, watermark)
+    if observe:
+        src = src.observe(
+            "%s_in" % metrics_prefix, F.count(F.lit(1)).alias("rows_in")
+        )
+    out = src.dropDuplicatesWithinWatermark([key_col])
+    if observe:
+        out = out.observe(
+            "%s_out" % metrics_prefix, F.count(F.lit(1)).alias("rows_out")
+        )
+    return out

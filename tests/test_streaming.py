@@ -238,3 +238,107 @@ class TestStreamFirstSeen:
             .collect()
         }
         assert got == expected  # one survivor per url, the earliest row
+
+    def test_first_seen_observed_drop_metrics(self, spark, tmp_path):
+        """rows_in/rows_out observations land in StreamingQueryProgress
+        so dropped-duplicate counts are free per micro-batch: summed
+        across batches, in - out == planted duplicate count."""
+        from sciencebeam_trainer_grobid_tools_spark.streaming.windows import (
+            stream_first_seen,
+        )
+
+        stream, pages = self._pages_stream(spark, tmp_path)
+        q = (
+            stream_first_seen(stream)
+            .writeStream.format("memory")
+            .queryName("first_seen_metrics")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows_in = rows_out = 0
+        for p in q.recentProgress:
+            om = p["observedMetrics"] if "observedMetrics" in p else {}
+            if "first_seen_in" in om:
+                rows_in += om["first_seen_in"]["rows_in"]
+            if "first_seen_out" in om:
+                rows_out += om["first_seen_out"]["rows_out"]
+        n_total = pages.count()
+        n_keys = pages.select("url").distinct().count()
+        assert rows_in == n_total
+        assert rows_out == n_keys
+        assert rows_in - rows_out == n_total - n_keys  # 60 planted dups
+
+    def test_first_seen_readmits_after_watermark_expiry(
+        self, spark, tmp_path
+    ):
+        """A recrawl past the watermark horizon is a legitimate new
+        snapshot and must RE-ENTER: the key's seen-state ages out once
+        the event-time watermark passes it, while a recrawl within the
+        horizon still drops."""
+        import datetime
+
+        from sciencebeam_trainer_grobid_tools_spark.streaming.windows import (
+            stream_first_seen,
+        )
+
+        base = datetime.datetime(2026, 8, 1, 8, 0)
+
+        def chunk(k, rows):
+            df = spark.createDataFrame(
+                rows, "url string, warc_ts timestamp, seq long"
+            )
+            df.coalesce(1).write.mode("overwrite").parquet(
+                str(tmp_path / "readmit" / ("chunk%d" % k))
+            )
+            return df.schema
+
+        u = "https://example.org/u"
+        # batch 0: first sight of u + an in-horizon recrawl (drops)
+        schema = chunk(
+            0,
+            [
+                (u, base, 0),
+                (u, base + datetime.timedelta(minutes=10), 1),
+            ],
+        )
+        # batch 1: filler traffic 4h later advances the watermark past
+        # u's 1h horizon
+        chunk(1, [("https://example.org/f", base + datetime.timedelta(hours=4), 2)])
+        # batch 2: state CLEANUP runs against the batch-START watermark,
+        # which lags one batch behind the data — this batch's start
+        # watermark (11:00) is what evicts u's seen-state
+        chunk(
+            2,
+            [("https://example.org/f2", base + datetime.timedelta(hours=4, minutes=10), 3)],
+        )
+        # batch 3: u recrawled past the horizon -> re-admitted
+        chunk(3, [(u, base + datetime.timedelta(hours=4, minutes=30), 4)])
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(tmp_path / "readmit"))
+        )
+        q = (
+            stream_first_seen(stream, watermark="1 hour")
+            .writeStream.format("memory")
+            .queryName("first_seen_readmit")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            (r["url"], r["seq"])
+            for r in spark.table("first_seen_readmit").collect()
+        )
+        # u emitted twice (seq 0 first sight, seq 4 post-horizon recrawl);
+        # the seq-1 in-horizon recrawl dropped
+        assert got == [
+            ("https://example.org/f", 2),
+            ("https://example.org/f2", 3),
+            (u, 0),
+            (u, 4),
+        ]
