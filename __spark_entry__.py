@@ -1362,7 +1362,12 @@ def q_hosts_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (which must still count — host_edges follows all links), style 2
     unquoted attribute values; every style must extract the SAME two
     edges, which is what the closed-form DuckDB edge list pins.  Ranks
-    compare at ROUND(., 6)."""
+    compare at ROUND(., 6).  The ``anchors`` variant aggregates the same
+    pages' anchor TEXT per destination host (anchor_text_table with its
+    default skip_nofollow=True), so the style-1 uppercase
+    REL='NOFOLLOW' now has a visible effect — its 'a' anchors drop from
+    the counts — pinning inner-text extraction AND the nofollow filter
+    against the closed form."""
     from sciencebeam_trainer_grobid_tools_spark.operators import linkgraph
 
     docs = _spread(_load(spark, sf_dir, "documents").select("doc_id"), spark)
@@ -1411,6 +1416,8 @@ def q_hosts_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("standard").alias("variant"),
         "host",
         F.round("rank", 6).alias("rank"),
+        F.lit(None).cast("string").alias("anchor_text"),
+        F.lit(None).cast("long").alias("n"),
     )
     # `redistribute` variant: pages on hosts h30..h39 emit no outlinks
     # (their docs are filtered out of the edge-source set), so those
@@ -1424,8 +1431,21 @@ def q_hosts_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("redistribute").alias("variant"),
         "host",
         F.round("rank", 6).alias("rank"),
+        F.lit(None).cast("string").alias("anchor_text"),
+        F.lit(None).cast("long").alias("n"),
     )
-    return std.unionByName(red)
+    # `anchors` variant: the aggregated anchor-text corpus over the SAME
+    # adversarial pages — skip_nofollow=True drops style-1 'a' anchors
+    # (uppercase REL='NOFOLLOW'), so the per-style counts pin both the
+    # inner-text extraction and the nofollow filter closed-form
+    anchors = linkgraph.anchor_text_table(pages).select(
+        F.lit("anchors").alias("variant"),
+        F.col("dst_host").alias("host"),
+        F.lit(None).cast("double").alias("rank"),
+        "anchor_text",
+        "n",
+    )
+    return std.unionByName(red).unionByName(anchors)
 
 
 def q_align_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4159,10 +4179,31 @@ def oracle_sql() -> dict[str, str]:
                     JOIN outdeg_d od ON od.host = e.src
                     GROUP BY e.dst
                 ) s ON nd.host = s.host
+            ),
+            -- anchors variant: skip_nofollow drops style-1 (doc_id%3==1)
+            -- 'a' anchors; 'b' anchors always count; texts already lowercase
+            anch AS (
+                SELECT 'h' || CAST((doc_id * 3 + 1) % 40 AS VARCHAR) || '.com'
+                           AS host,
+                       'a' AS anchor_text
+                FROM documents WHERE doc_id % 3 <> 1
+                UNION ALL
+                SELECT 'h' || CAST((doc_id * 7 + 2) % 40 AS VARCHAR) || '.com',
+                       'b'
+                FROM documents
             )
-            SELECT 'standard' AS variant, host, ROUND(rank, 6) AS rank FROM r3
+            SELECT 'standard' AS variant, host, ROUND(rank, 6) AS rank,
+                   CAST(NULL AS VARCHAR) AS anchor_text,
+                   CAST(NULL AS BIGINT) AS n
+            FROM r3
             UNION ALL
-            SELECT 'redistribute', host, ROUND(rank, 6) FROM d3
+            SELECT 'redistribute', host, ROUND(rank, 6),
+                   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+            FROM d3
+            UNION ALL
+            SELECT 'anchors', host, CAST(NULL AS DOUBLE), anchor_text,
+                   CAST(COUNT(*) AS BIGINT)
+            FROM anch GROUP BY host, anchor_text
         """,
         "flagship_extract_align": """
             -- closed-form replica of the flagship kernel's summary columns on

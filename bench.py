@@ -12,6 +12,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -34,10 +35,93 @@ HEADLINE = [
 ]
 
 
+def _cpu_times() -> list:
+    with open("/proc/stat") as fh:
+        return [int(x) for x in fh.readline().split()[1:9]]
+
+
+def _steal_window(seconds: float = 5.0) -> tuple:
+    """(steal%, idle%) over one sampling window — /proc/stat col 8/4.
+    Hypervisor steal is the contention loadavg cannot see (the round-8
+    forensics: 8.5% mean steal voided a whole round's comparisons)."""
+    a = _cpu_times()
+    time.sleep(seconds)
+    b = _cpu_times()
+    d = [y - x for x, y in zip(a, b)]
+    tot = sum(d) or 1
+    return 100.0 * d[7] / tot, 100.0 * d[3] / tot
+
+
+def _gate_quiet(
+    max_load: float = 0.7, max_steal: float = 1.0, timeout: float = 600.0
+) -> dict:
+    """Wait for a quiet host: 1-min loadavg under ``max_load`` AND one
+    5s steal window under ``max_steal``%.  Never blocks forever — on
+    timeout the bench still runs, flagged ``gate_passed: false`` so a
+    round-over-round comparison knows to distrust the numbers."""
+    t0 = time.time()
+    while True:
+        load = os.getloadavg()[0]
+        steal, _ = _steal_window()
+        ok = load <= max_load and steal <= max_steal
+        if ok or time.time() - t0 > timeout:
+            return {
+                "gate_passed": ok,
+                "load": round(load, 2),
+                "steal_pct": round(steal, 2),
+                "waited_sec": round(time.time() - t0, 1),
+                "max_load": max_load,
+                "max_steal_pct": max_steal,
+            }
+        time.sleep(10)
+
+
+class _StealMonitor(threading.Thread):
+    """Continuous 5s-window steal sampler running through the timed
+    section; ``stats()`` summarizes, splitting out 'active' windows
+    (idle < 60% — the bench itself is running) where steal hurts most."""
+
+    def __init__(self) -> None:
+        super().__init__(daemon=True)
+        self.samples: list = []
+        # name must not shadow threading.Thread's internal _stop
+        self._halt = threading.Event()
+
+    def run(self) -> None:
+        while not self._halt.is_set():
+            self.samples.append(_steal_window())
+
+    def stop(self) -> None:
+        self._halt.set()
+
+    def stats(self) -> dict:
+        if not self.samples:
+            return {}
+        steals = [s for s, _ in self.samples]
+        active = [s for s, i in self.samples if i < 60.0]
+        return {
+            "windows": len(self.samples),
+            "steal_pct_mean": round(sum(steals) / len(steals), 2),
+            "steal_pct_max": round(max(steals), 2),
+            "active_windows": len(active),
+            "steal_pct_active_mean": (
+                round(sum(active) / len(active), 2) if active else None
+            ),
+        }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # loadavg+steal gate (disable with SPARK_GRAFT_BENCH_GATE=0): the
+    # same discipline as scripts/quiet_scaling.py, so per-query numbers
+    # stop needing host-contention forensics round over round
+    gate = None
+    if os.environ.get("SPARK_GRAFT_BENCH_GATE", "1") != "0":
+        gate = _gate_quiet()
+    monitor = _StealMonitor()
+    monitor.start()
     spark = build_session("bench", cpus=cpus, shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     # demo_queries holds the rows-only demos kept out of the driver's
@@ -129,6 +213,7 @@ def main() -> None:
             "docs_per_sec": round(big_docs_n / min(big_times), 1),
         }
 
+    monitor.stop()
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline query wall-clock (extraction+alignment flagship + shell)",
@@ -146,11 +231,16 @@ def main() -> None:
     }
     if big is not None:
         result["big_flagship"] = big
+    result["host_conditions"] = {
+        "quiet_gate": gate,
+        "steal_monitor": monitor.stats(),
+    }
     # embed the committed loadavg-gated scaling + skew samples (scripts/
     # quiet_scaling.py, scripts/skew_bench.py) so the round's BENCH json
     # records that evidence without re-measuring under unknown load
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
     for name in (
+        "quiet_scaling_r9.json",
         "quiet_scaling_r8.json",
         "quiet_scaling_r7.json",
         "quiet_scaling_r6.json",

@@ -225,6 +225,83 @@ def pagerank(
     return ranks
 
 
+_ANCHOR_FULL_RE = r"(?is)<a\s[^>]*>.*?</a>"
+_ANCHOR_OPEN_RE = r"(?is)^<a\s[^>]*>"
+_ANCHOR_INNER_RE = r"(?is)<a\s[^>]*>(.*)</a>"
+_TAG_STRIP_RE = r"(?s)<[^>]*>"
+
+
+def extract_anchors(html: Column, skip_nofollow: bool = False) -> Column:
+    """``array<struct<href,text>>``: each anchor's href target (fragment
+    stripped, quote-agnostic) plus its VISIBLE inner text (nested markup
+    stripped, whitespace collapsed) — the (link, anchor-text) pairs
+    web-scale corpora aggregate into anchor-text datasets (anchor text
+    is the classic weak-label/query signal next to the link graph
+    itself).  ``skip_nofollow`` tests ``rel=nofollow`` on the OPENING
+    tag only (inner text saying 'nofollow' must not drop the link).
+    Pure Catalyst: regexp + filter + transform, zero Python."""
+    text = html.cast("string")
+    tags = F.regexp_extract_all(text, F.lit(_ANCHOR_FULL_RE), 0)
+    if skip_nofollow:
+        tags = F.filter(
+            tags,
+            lambda t: ~F.regexp_extract(t, _ANCHOR_OPEN_RE, 0).rlike(
+                _NOFOLLOW_RE
+            ),
+        )
+
+    def to_struct(t: Column) -> Column:
+        href = _clean_href(F.regexp_extract(t, _HREF_VAL_RE, 1))
+        inner = F.regexp_extract(t, _ANCHOR_INNER_RE, 1)
+        txt = F.trim(
+            F.regexp_replace(
+                F.regexp_replace(inner, _TAG_STRIP_RE, " "), r"\s+", " "
+            )
+        )
+        return F.struct(href.alias("href"), txt.alias("text"))
+
+    return F.filter(F.transform(tags, to_struct), lambda s: s["href"] != "")
+
+
+def anchor_text_table(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    skip_nofollow: bool = True,
+    lowercase: bool = True,
+) -> DataFrame:
+    """The aggregated anchor-text corpus: (dst_host, anchor_text, n) —
+    what others' pages CALL a host (Common Crawl publishes exactly this
+    artifact; retrieval corpora mine it for weak query-document pairs).
+
+    Relative links (no parseable host) attribute to the page's own host
+    (on-site nav text is still anchor text — unlike ``host_edges`` we
+    do NOT drop self-references, a navigation label is signal here);
+    empty texts and unparseable page URLs drop.  Scale shape mirrors
+    ``host_edges``: anchors explode IN the scan stage (page bytes never
+    leave it), then ONE partial-aggregated count shuffle keyed by
+    (dst_host, anchor_text) — fine-grained keys, no host-level skew
+    concentration."""
+    src = url_host(F.col(url_col))
+    pairs = df.select(
+        src.alias("src"),
+        F.explode(
+            extract_anchors(F.col(html_col), skip_nofollow=skip_nofollow)
+        ).alias("a"),
+    ).where(F.col("src") != "")
+    dst = url_host(F.col("a")["href"])
+    dst = F.when(dst != "", dst).otherwise(F.col("src"))
+    txt = F.col("a")["text"]
+    if lowercase:
+        txt = F.lower(txt)
+    return (
+        pairs.select(dst.alias("dst_host"), txt.alias("anchor_text"))
+        .where(F.col("anchor_text") != "")
+        .groupBy("dst_host", "anchor_text")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 _SITEMAP_LOC_RE = r"(?is)<loc[^>]*>\s*([^<\s][^<]*?)\s*</loc>"
 _SITEMAP_INDEX_RE = r"(?is)<sitemapindex[\s>]"
 

@@ -374,3 +374,89 @@ class TestDanglingRedistribution:
         df = spark.createDataFrame([("a", "b")], "src string, dst string")
         with pytest.raises(ValueError):
             linkgraph.pagerank(df, dangling="teleport")
+
+
+class TestAnchorText:
+    def test_extract_anchors_href_and_visible_text(self, spark):
+        from sciencebeam_trainer_grobid_tools_spark.operators.linkgraph import (
+            extract_anchors,
+        )
+
+        html = (
+            '<a href="https://a.com/x#frag"><b>Bold</b>  link</a> '
+            "<A HREF='https://b.com/y'>B&nbsp;</A> "
+            "<a href=https://c.com/z>plain</a> "
+            "<a name=noref>no href</a>"
+        )
+        df = _pages(spark, [("https://s.com/p", html)])
+        rows = (
+            df.select(F.explode(extract_anchors(F.col("html"))).alias("a"))
+            .select("a.href", "a.text")
+            .collect()
+        )
+        got = [(r["href"], r["text"]) for r in rows]
+        assert got == [
+            ("https://a.com/x", "Bold link"),
+            ("https://b.com/y", "B&nbsp;"),
+            ("https://c.com/z", "plain"),
+        ]
+
+    def test_skip_nofollow_tests_opening_tag_only(self, spark):
+        from sciencebeam_trainer_grobid_tools_spark.operators.linkgraph import (
+            extract_anchors,
+        )
+
+        html = (
+            "<a href='https://a.com/' rel='nofollow'>drop me</a>"
+            '<a href="https://b.com/">mentions nofollow in text</a>'
+        )
+        df = _pages(spark, [("https://s.com/p", html)])
+        rows = (
+            df.select(
+                F.explode(
+                    extract_anchors(F.col("html"), skip_nofollow=True)
+                ).alias("a")
+            )
+            .select("a.href")
+            .collect()
+        )
+        assert [r["href"] for r in rows] == ["https://b.com/"]
+
+    def test_anchor_text_table_aggregates_and_attributes_relative(
+        self, spark
+    ):
+        from sciencebeam_trainer_grobid_tools_spark.operators.linkgraph import (
+            anchor_text_table,
+        )
+
+        rows = [
+            (
+                "https://s.com/1",
+                '<a href="https://T.com/a">News</a>'
+                '<a href="/local">About Us</a>',
+            ),
+            ("https://s.com/2", '<a href="https://t.com/b">news  </a>'),
+        ]
+        got = {
+            (r["dst_host"], r["anchor_text"]): r["n"]
+            for r in anchor_text_table(_pages(spark, rows)).collect()
+        }
+        # cross-page aggregation case-folds text AND host; the relative
+        # link attributes to the page's own host
+        assert got == {
+            ("t.com", "news"): 2,
+            ("s.com", "about us"): 1,
+        }
+
+    def test_anchor_text_table_pure_codegen(self, spark):
+        from sciencebeam_trainer_grobid_tools_spark.operators.linkgraph import (
+            anchor_text_table,
+        )
+
+        plan = (
+            anchor_text_table(_pages(spark, [("https://s.com/p", "<a href=x>t</a>")]))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
