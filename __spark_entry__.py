@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from sciencebeam_trainer_grobid_tools_spark.operators import (
     dedup,
+    packing,
     similarity,
     textstats,
     webfilters,
@@ -1091,16 +1092,70 @@ def q_docs_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
       stratum-total via a deterministic md5-uniform draw per id — no
       window, no per-stratum sort;
     - ``exact`` (small strata only — documented single-task sort per
-      stratum): md5-ordered window cumsum, keep while cum <= budget."""
+      stratum): md5-ordered window cumsum, keep while cum <= budget.
+
+    The ``pack`` variant rides the same token-domain entry: GPT-style
+    concat-and-chunk sequence packing (operators/packing.py — the
+    distributed prefix sum + chunk-keyed assembly) over a closed-form
+    tokenization both engines share (``\\w+`` word tokens, id = token
+    length, eod sentinel 999, seq_len 512).  Each packed window is
+    pinned by scalar summaries — n_tokens, n_docs, first/last doc,
+    token-id sum, first/last token — so boundary slicing, fragment
+    ordering AND the eod insertion are all value-checked; DuckDB
+    replays the pack closed-form with list functions over the same
+    window cumsum."""
     docs = _spread(_load(spark, sf_dir, "documents"), spark)
+
+    nulls = [
+        F.lit(None).cast("int").alias("n_tokens"),
+        F.lit(None).cast("int").alias("n_docs"),
+        F.lit(None).cast("long").alias("first_doc"),
+        F.lit(None).cast("long").alias("last_doc"),
+        F.lit(None).cast("long").alias("tok_sum"),
+        F.lit(None).cast("int").alias("first_token"),
+        F.lit(None).cast("int").alias("last_token"),
+    ]
 
     def kept(mode: str) -> DataFrame:
         return (
             textstats.token_budget_sample(docs, 2000, strata=("lang",), mode=mode)
-            .select(F.lit(mode).alias("mode"), "doc_id", "lang")
+            .select(F.lit(mode).alias("mode"), "doc_id", "lang", *nulls)
         )
 
-    return kept("rate").unionByName(kept("exact")).orderBy("mode", "doc_id")
+    tok_ids = F.transform(
+        F.coalesce(
+            F.regexp_extract_all(F.col("text"), F.lit(r"\w+"), 0),
+            F.array().cast("array<string>"),
+        ),
+        lambda t: F.length(t).cast("int"),
+    )
+    packed = packing.pack_sequences(
+        docs.select("doc_id", tok_ids.alias("token_ids")),
+        seq_len=512,
+        eod_id=999,
+    )
+    pack = packed.select(
+        F.lit("pack").alias("mode"),
+        F.col("seq_id").alias("doc_id"),
+        F.lit(None).cast("string").alias("lang"),
+        "n_tokens",
+        "n_docs",
+        F.element_at("doc_spans", 1)["doc"].alias("first_doc"),
+        F.element_at("doc_spans", -1)["doc"].alias("last_doc"),
+        F.aggregate(
+            "token_ids",
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        ).alias("tok_sum"),
+        F.element_at("token_ids", 1).alias("first_token"),
+        F.element_at("token_ids", -1).alias("last_token"),
+    )
+    return (
+        kept("rate")
+        .unionByName(kept("exact"))
+        .unionByName(pack)
+        .orderBy("mode", "doc_id")
+    )
 
 
 def q_docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2929,12 +2984,78 @@ _DOCS_TOKEN_BUDGET_EXACT_ORACLE_SQL = """
 
 # merged gate entry: both sampling modes, labeled; each mode's kept row
 # set value-checks independently under the mode column
+_DOCS_TOKEN_BUDGET_PACK_ORACLE_SQL = """
+    WITH tk AS (
+        SELECT doc_id,
+               list_concat(
+                   CASE WHEN text IS NULL THEN CAST([] AS INTEGER[])
+                        ELSE list_transform(
+                            regexp_extract_all(text, '\\w+'),
+                            t -> CAST(length(t) AS INTEGER))
+                   END,
+                   [CAST(999 AS INTEGER)]) AS toks
+        FROM documents
+    ),
+    lens AS (
+        SELECT doc_id, toks, len(toks) AS ln,
+               CAST(COALESCE(SUM(len(toks)) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS off
+        FROM tk
+    ),
+    frags AS (
+        SELECT doc_id, toks, ln, off,
+               unnest(generate_series(off // 512, (off + ln - 1) // 512))
+                   AS seq_id
+        FROM lens WHERE ln > 0
+    ),
+    sl AS (
+        SELECT seq_id, doc_id,
+               GREATEST(off, seq_id * 512) AS gs,
+               list_slice(toks,
+                   CAST(GREATEST(off, seq_id * 512) - off + 1 AS BIGINT),
+                   CAST(LEAST(off + ln, (seq_id + 1) * 512) - off AS BIGINT)
+               ) AS piece
+        FROM frags
+    )
+    SELECT seq_id,
+           CAST(SUM(len(piece)) AS INT) AS n_tokens,
+           CAST(COUNT(*) AS INT) AS n_docs,
+           arg_min(doc_id, gs) AS first_doc,
+           arg_max(doc_id, gs) AS last_doc,
+           CAST(SUM(list_aggregate(piece, 'sum')) AS BIGINT) AS tok_sum,
+           arg_min(piece[1], gs) AS first_token,
+           arg_max(piece[len(piece)], gs) AS last_token
+    FROM sl GROUP BY seq_id
+"""
+
 _DOCS_TOKEN_BUDGET_ORACLE_SQL = """
-    SELECT 'rate' AS mode, doc_id, lang FROM (%s)
+    SELECT 'rate' AS mode, doc_id, lang,
+           CAST(NULL AS INT) AS n_tokens, CAST(NULL AS INT) AS n_docs,
+           CAST(NULL AS BIGINT) AS first_doc,
+           CAST(NULL AS BIGINT) AS last_doc,
+           CAST(NULL AS BIGINT) AS tok_sum,
+           CAST(NULL AS INT) AS first_token,
+           CAST(NULL AS INT) AS last_token
+    FROM (%s)
     UNION ALL
-    SELECT 'exact' AS mode, doc_id, lang FROM (%s)
+    SELECT 'exact', doc_id, lang,
+           CAST(NULL AS INT), CAST(NULL AS INT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS INT), CAST(NULL AS INT)
+    FROM (%s)
+    UNION ALL
+    SELECT 'pack', seq_id, CAST(NULL AS VARCHAR),
+           n_tokens, n_docs, first_doc, last_doc, tok_sum,
+           first_token, last_token
+    FROM (%s)
     ORDER BY mode, doc_id
-""" % (_DOCS_TOKEN_BUDGET_RATE_ORACLE_SQL, _DOCS_TOKEN_BUDGET_EXACT_ORACLE_SQL)
+""" % (
+    _DOCS_TOKEN_BUDGET_RATE_ORACLE_SQL,
+    _DOCS_TOKEN_BUDGET_EXACT_ORACLE_SQL,
+    _DOCS_TOKEN_BUDGET_PACK_ORACLE_SQL,
+)
 
 
 # DuckDB replica of q_docs_unigram_logprob: same tokenization, same

@@ -1,0 +1,258 @@
+"""Fixed-length sequence packing — the tokenize -> pack -> shard step
+of an LM training-data pipeline (GPT-style "concatenate and chunk":
+documents are laid out in a deterministic order as one virtual token
+stream, an end-of-document sentinel optionally separating them, and the
+stream is sliced into consecutive ``seq_len`` windows; Brown et al.
+2020 §2.3 describe exactly this packing, with the document-boundary
+spans kept so the trainer can mask cross-document attention).
+
+Spark-first shape — the interesting problem is the GLOBAL token offset
+of every document (a prefix sum over a total order), which must not
+become a single-partition window:
+
+- bucket boundaries over the order key come from ``approxQuantile`` on
+  a slim (order, length) projection and become DRIVER LITERALS, so the
+  bucketing is deterministic under re-evaluation — nothing needs to be
+  persisted to pin it (``repartitionByRange`` would re-SAMPLE per
+  evaluation, which is why it is not used here);
+- per-bucket totals collect to the driver (one row per bucket —
+  bounded by the bucket count, never by the corpus) and come back as
+  broadcast base offsets: the classic two-pass distributed prefix sum,
+  the running sum a window WITHIN each bucket, all buckets in
+  parallel;
+- offsets join back to the token arrays (token bytes cross the wire
+  once), each document explodes into ``ceil``-bounded (chunk, slice)
+  fragments in the scan stage, and ONE shuffle keyed by chunk id
+  assembles the output — chunk keys are fine-grained (a chunk never
+  exceeds ``seq_len`` tokens), so a giant document spreads across many
+  keys instead of concentrating on one.
+
+Everything below is built-in array functions (``sequence`` / ``slice``
+/ ``flatten`` / ``array_sort`` / ``aggregate``) — zero Python in the
+row path, no ``mapInPandas``.
+
+At 10^12-document scale a single global stream is usually packed per
+shard (per date bucket, per language, ...) — run this operator per
+group; the global order is then the order WITHIN the group, which is
+what trainers actually require (determinism, not one world-wide
+stream).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["pack_sequences", "write_training_shards"]
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    tokens_col: str = "token_ids",
+    order_col: str = "doc_id",
+    eod_id: Optional[int] = None,
+    pad_id: Optional[int] = None,
+    drop_incomplete: bool = False,
+    buckets: Optional[int] = None,
+) -> DataFrame:
+    """Pack per-document token arrays into consecutive ``seq_len``
+    windows of the concatenated stream (documents ordered by
+    ``order_col``, which must be a unique NUMERIC key — offsets join
+    back on it, and the prefix-sum buckets quantile over it).
+
+    Returns one row per window::
+
+        seq_id     long          0-based window index
+        token_ids  array<T>      the window's tokens (element type
+                                 preserved from the input column)
+        n_tokens   int           real tokens (pre-padding)
+        n_docs     int           documents contributing >= 1 token
+        doc_spans  array<struct<doc,start,n>>  per-document boundary
+                                 spans inside the window, in order —
+                                 what attention masking consumes
+
+    ``eod_id`` appends a sentinel token after every document (a
+    zero-token document still contributes its sentinel; with no
+    sentinel it vanishes from the stream).  The final window is
+    usually partial: kept as-is by default, padded to ``seq_len`` with
+    ``pad_id`` if given (``n_tokens`` still reports real tokens), or
+    dropped with ``drop_incomplete=True``.
+
+    ``buckets`` sizes the prefix-sum fan-out (default: the session's
+    ``spark.sql.shuffle.partitions``); it affects balance only, never
+    values.
+
+    The input plan is evaluated more than once (quantile pass over the
+    order column — column-pruned, so token bytes are not read — then
+    a length pass, then the token join).  If ``tokens_col`` comes from
+    an EXPENSIVE upstream (e.g. an Arrow-stage BPE encode), persist
+    that DataFrame before packing; for plain column reads the extra
+    passes are column-pruned scans.
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive, got %d" % seq_len)
+    if pad_id is not None and drop_incomplete:
+        raise ValueError("pad_id and drop_incomplete are mutually exclusive")
+
+    elem_type = df.schema[tokens_col].dataType.elementType
+    toks = F.coalesce(
+        F.col(tokens_col),
+        F.array().cast("array<%s>" % elem_type.simpleString()),
+    )
+    if eod_id is not None:
+        toks = F.concat(toks, F.array(F.lit(eod_id).cast(elem_type)))
+
+    ordered = df.select(F.col(order_col).alias("_ord"), toks.alias("_toks"))
+    spark = df.sparkSession
+
+    # --- two-pass distributed prefix sum over the slim (order, len) table
+    lens = ordered.select("_ord", F.size("_toks").alias("_len"))
+    n_buckets = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cuts = []
+    if n_buckets > 1:
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        cuts = sorted(set(lens.stat.approxQuantile("_ord", qs, 0.001)))
+    # bucket id = how many cut literals the key exceeds — deterministic
+    # under re-evaluation (the cuts are driver literals), monotone in
+    # the order key, so bucket i's keys all precede bucket i+1's
+    pid = sum(
+        (F.col("_ord") > F.lit(c)).cast("int") for c in cuts
+    ) if cuts else F.lit(0)
+    lens = lens.withColumn("_pid", pid)
+    totals = {
+        r["_pid"]: r["_t"]
+        for r in lens.groupBy("_pid").agg(F.sum("_len").alias("_t")).collect()
+    }
+    base, bases = 0, []
+    for b in sorted(totals):
+        bases.append((b, base))
+        base += totals[b]
+    base_df = spark.createDataFrame(bases or [(0, 0)], "_pid int, _base long")
+    running = (
+        F.sum("_len")
+        .over(
+            Window.partitionBy("_pid")
+            .orderBy("_ord")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        .cast("long")
+    )
+    offsets = lens.join(F.broadcast(base_df), "_pid").select(
+        "_ord",
+        "_len",
+        (F.col("_base") + F.coalesce(running, F.lit(0))).alias("_off"),
+    )
+
+    # --- fragment explosion: each doc covers chunks c0..c1 of the stream
+    L = F.lit(seq_len).cast("long")
+    joined = ordered.join(offsets, "_ord").where(F.col("_len") > 0)
+    c0 = F.floor(F.col("_off") / L)
+    c1 = F.floor((F.col("_off") + F.col("_len") - 1) / L)
+    frags = joined.select(
+        "_ord",
+        "_toks",
+        "_off",
+        F.explode(F.sequence(c0, c1)).alias("seq_id"),
+    )
+    gstart = F.greatest(F.col("_off"), F.col("seq_id") * L)
+    gend = F.least(
+        F.col("_off") + F.size("_toks"), (F.col("seq_id") + 1) * L
+    )
+    frags = frags.select(
+        "seq_id",
+        F.struct(
+            (gstart - F.col("seq_id") * L).cast("int").alias("start"),
+            F.col("_ord").alias("doc"),
+            F.slice(
+                "_toks",
+                (gstart - F.col("_off") + 1).cast("int"),
+                (gend - gstart).cast("int"),
+            ).alias("toks"),
+        ).alias("_frag"),
+    )
+
+    # --- ONE chunk-keyed shuffle; fragments are disjoint, sort by start
+    packed = frags.groupBy("seq_id").agg(
+        F.array_sort(F.collect_list("_frag")).alias("_fr")
+    )
+    token_ids = F.flatten(F.transform("_fr", lambda s: s["toks"]))
+    doc_spans = F.transform(
+        "_fr",
+        lambda s: F.struct(
+            s["doc"].alias("doc"),
+            s["start"].alias("start"),
+            F.size(s["toks"]).alias("n"),
+        ),
+    )
+    packed = packed.select(
+        "seq_id",
+        token_ids.alias("token_ids"),
+        F.size(token_ids).alias("n_tokens"),
+        F.size("_fr").alias("n_docs"),
+        doc_spans.alias("doc_spans"),
+    )
+    if drop_incomplete:
+        packed = packed.where(F.col("n_tokens") == seq_len)
+    elif pad_id is not None:
+        packed = packed.withColumn(
+            "token_ids",
+            F.when(
+                F.col("n_tokens") < seq_len,
+                F.concat(
+                    F.col("token_ids"),
+                    F.array_repeat(
+                        F.lit(pad_id).cast(elem_type),
+                        F.lit(seq_len) - F.col("n_tokens"),
+                    ),
+                ),
+            ).otherwise(F.col("token_ids")),
+        )
+    return packed
+
+
+def write_training_shards(
+    packed: DataFrame,
+    path: str,
+    seqs_per_shard: int = 1024,
+    mode: str = "error",
+) -> DataFrame:
+    """The shard step of tokenize -> pack -> shard: write the output of
+    :func:`pack_sequences` as deterministic fixed-size training shards
+    (``shard = seq_id // seqs_per_shard``) — trainers stream shards in
+    order, so membership must be a pure function of ``seq_id``, never
+    of task layout.
+
+    One parquet file per shard: ``repartition("shard")`` co-locates
+    each shard's rows, ``partitionBy("shard")`` splits the directory —
+    a trainer reads ``shard=N/`` without touching the rest (partition
+    pruning), and a resumed writer job reproduces identical shard
+    membership.  Returns the manifest (shard, n_seqs, n_tokens,
+    seq_min, seq_max) read back FROM the written files — it reports
+    what landed on disk, not what the plan intended.
+    """
+    if seqs_per_shard <= 0:
+        raise ValueError(
+            "seqs_per_shard must be positive, got %d" % seqs_per_shard
+        )
+    (
+        packed.withColumn(
+            "shard", F.floor(F.col("seq_id") / seqs_per_shard).cast("long")
+        )
+        .repartition("shard")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    written = packed.sparkSession.read.parquet(path)
+    return (
+        written.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("seq_id").alias("seq_min"),
+            F.max("seq_id").alias("seq_max"),
+        )
+        .orderBy("shard")
+    )

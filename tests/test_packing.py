@@ -1,0 +1,219 @@
+"""Sequence packing (operators/packing.py): pure-python differential
+over the GPT-style concat-and-chunk semantics, eod/pad/drop modes,
+multi-chunk giant documents, bucket-count invariance (the distributed
+prefix sum must not depend on the fan-out), element-type preservation
+and plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sciencebeam_trainer_grobid_tools_spark.operators.packing import (
+    pack_sequences,
+    write_training_shards,
+)
+from sciencebeam_trainer_grobid_tools_spark.plans.session import build_session
+
+
+@pytest.fixture(scope="module")
+def spark():
+    session = build_session("packing-tests", cpus=4, shuffle_partitions=8)
+    session.sparkContext.setLogLevel("ERROR")
+    yield session
+    session.stop()
+
+
+def ref_pack(docs, seq_len, eod_id=None, pad_id=None, drop_incomplete=False):
+    """Reference packer: concatenate in order, slice, track doc spans."""
+    stream, bounds = [], []  # bounds: (doc, global_start, n)
+    for doc_id, toks in sorted(docs):
+        toks = list(toks or [])
+        if eod_id is not None:
+            toks = toks + [eod_id]
+        if toks:
+            bounds.append((doc_id, len(stream), len(toks)))
+            stream.extend(toks)
+    out = []
+    for seq_id in range(0, (len(stream) + seq_len - 1) // seq_len):
+        lo, hi = seq_id * seq_len, min((seq_id + 1) * seq_len, len(stream))
+        toks = stream[lo:hi]
+        spans = []
+        for doc_id, start, n in bounds:
+            s, e = max(start, lo), min(start + n, hi)
+            if e > s:
+                spans.append((doc_id, s - lo, e - s))
+        n_tokens = len(toks)
+        if drop_incomplete and n_tokens < seq_len:
+            continue
+        if pad_id is not None and n_tokens < seq_len:
+            toks = toks + [pad_id] * (seq_len - n_tokens)
+        out.append((seq_id, toks, n_tokens, len(spans), spans))
+    return out
+
+
+def as_rows(result_df):
+    rows = result_df.orderBy("seq_id").collect()
+    return [
+        (
+            r["seq_id"],
+            list(r["token_ids"]),
+            r["n_tokens"],
+            r["n_docs"],
+            [(s["doc"], s["start"], s["n"]) for s in r["doc_spans"]],
+        )
+        for r in rows
+    ]
+
+
+def make_df(spark, docs):
+    return spark.createDataFrame(
+        [(d, list(t) if t is not None else None) for d, t in docs],
+        "doc_id long, token_ids array<int>",
+    )
+
+
+DOCS = [
+    (1, [10, 11, 12]),
+    (2, [20]),
+    (3, [30, 31, 32, 33, 34, 35, 36]),  # spans a chunk boundary at L=4
+    (4, []),
+    (5, [50, 51]),
+]
+
+
+class TestDifferential:
+    @pytest.mark.parametrize("seq_len", [3, 4, 8, 100])
+    @pytest.mark.parametrize("eod_id", [None, 99])
+    def test_matches_reference(self, spark, seq_len, eod_id):
+        got = as_rows(
+            pack_sequences(make_df(spark, DOCS), seq_len, eod_id=eod_id)
+        )
+        assert got == ref_pack(DOCS, seq_len, eod_id=eod_id)
+
+    def test_giant_doc_spans_many_chunks(self, spark):
+        docs = [(1, [1, 2]), (2, list(range(100, 131))), (3, [3])]
+        got = as_rows(pack_sequences(make_df(spark, docs), 5))
+        assert got == ref_pack(docs, 5)
+        # the giant doc contributes one fragment to each covered chunk
+        covered = [r for r in got if any(d == 2 for d, _, _ in r[4])]
+        assert len(covered) == 7
+
+    def test_null_token_array_treated_as_empty(self, spark):
+        docs = [(1, [1, 2, 3]), (2, None), (3, [4, 5])]
+        got = as_rows(pack_sequences(make_df(spark, docs), 4, eod_id=9))
+        assert got == ref_pack([(1, [1, 2, 3]), (2, []), (3, [4, 5])], 4, eod_id=9)
+
+
+class TestModes:
+    def test_pad_fills_final_chunk_only(self, spark):
+        got = as_rows(pack_sequences(make_df(spark, DOCS), 4, pad_id=0))
+        ref = ref_pack(DOCS, 4, pad_id=0)
+        assert got == ref
+        assert all(len(r[1]) == 4 for r in got)
+        assert got[-1][2] < 4  # n_tokens reports REAL tokens
+
+    def test_drop_incomplete(self, spark):
+        got = as_rows(
+            pack_sequences(make_df(spark, DOCS), 4, drop_incomplete=True)
+        )
+        assert got == ref_pack(DOCS, 4, drop_incomplete=True)
+        assert all(r[2] == 4 for r in got)
+
+    def test_pad_and_drop_mutually_exclusive(self, spark):
+        with pytest.raises(ValueError):
+            pack_sequences(make_df(spark, DOCS), 4, pad_id=0, drop_incomplete=True)
+
+    def test_seq_len_validated(self, spark):
+        with pytest.raises(ValueError):
+            pack_sequences(make_df(spark, DOCS), 0)
+
+
+class TestDistribution:
+    def test_bucket_count_invariance(self, spark):
+        """The prefix sum's fan-out must never change values — the
+        distributed-correctness pin for the two-pass design."""
+        docs = [(i, list(range(i % 7))) for i in range(200)]
+        df = make_df(spark, docs).repartition(8)
+        expected = ref_pack(docs, 16, eod_id=99)
+        for buckets in (1, 3, 16):
+            got = as_rows(
+                pack_sequences(df, 16, eod_id=99, buckets=buckets)
+            )
+            assert got == expected
+
+    def test_unsorted_input_partitions(self, spark):
+        """Order comes from order_col, not from input layout."""
+        docs = [(i, [i] * (1 + i % 4)) for i in range(50)]
+        df = make_df(spark, list(reversed(docs))).repartition(7)
+        assert as_rows(pack_sequences(df, 8)) == ref_pack(docs, 8)
+
+
+class TestSchema:
+    def test_element_type_preserved(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1000000000000, 2]), (2, [3])],
+            "doc_id long, token_ids array<long>",
+        )
+        out = pack_sequences(df, 4, eod_id=7, pad_id=0)
+        assert dict(out.dtypes)["token_ids"] == "array<bigint>"
+        assert as_rows(out) == ref_pack(
+            [(1, [1000000000000, 2]), (2, [3])], 4, eod_id=7, pad_id=0
+        )
+
+    def test_empty_input(self, spark):
+        df = make_df(spark, []).limit(0)
+        assert pack_sequences(df, 4).count() == 0
+
+    def test_no_python_in_row_path(self, spark):
+        plan = (
+            pack_sequences(make_df(spark, DOCS), 4)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+class TestShards:
+    def test_shard_membership_and_manifest(self, spark, tmp_path):
+        docs = [(i, [i % 5] * (1 + i % 3)) for i in range(100)]
+        packed = pack_sequences(make_df(spark, docs), 8)
+        out = str(tmp_path / "shards")
+        manifest = write_training_shards(packed, out, seqs_per_shard=4)
+        rows = manifest.collect()
+        n_seqs = packed.count()
+        assert sum(r["n_seqs"] for r in rows) == n_seqs
+        for r in rows:
+            # membership is seq_id // 4, shards dense and bounded
+            assert r["seq_min"] // 4 == r["shard"]
+            assert r["seq_max"] // 4 == r["shard"]
+            assert r["n_seqs"] <= 4
+        # one parquet data file per shard directory
+        import glob as globmod
+
+        for d in globmod.glob(out + "/shard=*"):
+            files = [
+                f
+                for f in globmod.glob(d + "/*")
+                if f.endswith(".parquet") or "part-" in f
+            ]
+            assert len([f for f in files if "part-" in f]) == 1
+        # written bytes roundtrip: same sequences come back
+        back = spark.read.parquet(out)
+        assert back.count() == n_seqs
+        got = {
+            r["seq_id"]: list(r["token_ids"])
+            for r in back.select("seq_id", "token_ids").collect()
+        }
+        want = {
+            r["seq_id"]: list(r["token_ids"])
+            for r in packed.select("seq_id", "token_ids").collect()
+        }
+        assert got == want
+
+    def test_seqs_per_shard_validated(self, spark, tmp_path):
+        with pytest.raises(ValueError):
+            write_training_shards(
+                pack_sequences(make_df(spark, DOCS), 4),
+                str(tmp_path / "x"),
+                seqs_per_shard=0,
+            )
