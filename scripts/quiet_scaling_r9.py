@@ -194,5 +194,37 @@ def main() -> None:
                       "gate": gate}))
 
 
+def kernel_forensic() -> None:
+    """Append a SPARK-FREE control to the round file: the raw C
+    alignment kernel under plain multiprocessing at the same two
+    protocol widths (bench_dp_nt.contention — no JVM, no shuffle, no
+    Python rows).  If the bare kernel cannot scale 4x at 24 workers on
+    this box today, no engine can; the delta between the Spark batches
+    and this control is the engine's own scaling loss."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import bench_dp_nt as dp
+
+    gate = _gate_quiet(timeout=900.0)
+    section = {"gate": gate, "needle_len": 1000, "nt_kernel": True}
+    for lo, hi in ((4, 16), (6, 24)):
+        low = dp.contention(True, lo, 1000)
+        high = dp.contention(True, hi, 1000)
+        section["%dw_to_%dw" % (lo, hi)] = {
+            "agg_low_calls_s": round(low, 1),
+            "agg_high_calls_s": round(high, 1),
+            "scaling_eff": round(high / low / 4.0, 3),
+        }
+    with open(OUT_PATH) as fh:
+        result = json.load(fh)
+    result.setdefault("sparkfree_kernel_control", []).append(section)
+    with open(OUT_PATH, "w") as fh:
+        json.dump(result, fh, indent=2)
+        fh.write("\n")
+    print(json.dumps(section))
+
+
 if __name__ == "__main__":
-    main()
+    if "--kernel-forensic" in sys.argv:
+        kernel_forensic()
+    else:
+        main()
