@@ -1422,7 +1422,10 @@ def q_hosts_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     default skip_nofollow=True), so the style-1 uppercase
     REL='NOFOLLOW' now has a visible effect — its 'a' anchors drop from
     the counts — pinning inner-text extraction AND the nofollow filter
-    against the closed form."""
+    against the closed form.  The ``split`` variant runs
+    urlfilter.host_split over the same pages: per-host page counts under
+    the leakage-safe train/val assignment, the md5-uniform draw replayed
+    verbatim by DuckDB (exact membership, not just proportions)."""
     from sciencebeam_trainer_grobid_tools_spark.operators import linkgraph
 
     docs = _spread(_load(spark, sf_dir, "documents").select("doc_id"), spark)
@@ -1471,7 +1474,7 @@ def q_hosts_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("standard").alias("variant"),
         "host",
         F.round("rank", 6).alias("rank"),
-        F.lit(None).cast("string").alias("anchor_text"),
+        F.lit(None).cast("string").alias("label"),
         F.lit(None).cast("long").alias("n"),
     )
     # `redistribute` variant: pages on hosts h30..h39 emit no outlinks
@@ -1486,7 +1489,7 @@ def q_hosts_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("redistribute").alias("variant"),
         "host",
         F.round("rank", 6).alias("rank"),
-        F.lit(None).cast("string").alias("anchor_text"),
+        F.lit(None).cast("string").alias("label"),
         F.lit(None).cast("long").alias("n"),
     )
     # `anchors` variant: the aggregated anchor-text corpus over the SAME
@@ -1497,10 +1500,34 @@ def q_hosts_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("anchors").alias("variant"),
         F.col("dst_host").alias("host"),
         F.lit(None).cast("double").alias("rank"),
-        "anchor_text",
+        F.col("anchor_text").alias("label"),
         "n",
     )
-    return std.unionByName(red).unionByName(anchors)
+    # `split` variant: leakage-safe host-level train/val assignment
+    # (urlfilter.host_split) over the SAME pages — every host's page
+    # count lands under exactly one split label, and the md5-uniform
+    # draw is replayed verbatim by DuckDB, pinning both co-location and
+    # the exact membership closed-form
+    from sciencebeam_trainer_grobid_tools_spark.operators import urlfilter
+
+    split_rows = (
+        urlfilter.host_split(pages, [("train", 0.8), ("val", 0.2)])
+        .groupBy(
+            urlfilter.url_host(F.col("url")).alias("host"),
+            F.col("split").alias("label"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("split").alias("variant"),
+            "host",
+            F.lit(None).cast("double").alias("rank"),
+            "label",
+            "n",
+        )
+    )
+    return (
+        std.unionByName(red).unionByName(anchors).unionByName(split_rows)
+    )
 
 
 def q_align_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4312,9 +4339,23 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'h' || CAST((doc_id * 7 + 2) % 40 AS VARCHAR) || '.com',
                        'b'
                 FROM documents
+            ),
+            -- split variant: the SAME md5-uniform draw host_split uses
+            spl AS (
+                SELECT host,
+                       CASE WHEN CAST('0x' || substr(
+                                md5('split:' || host), 1, 8) AS BIGINT)
+                                / 4294967296.0 < 0.8
+                            THEN 'train' ELSE 'val' END AS label,
+                       COUNT(*) AS n
+                FROM (
+                    SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) || '.com'
+                               AS host
+                    FROM documents
+                ) GROUP BY host
             )
             SELECT 'standard' AS variant, host, ROUND(rank, 6) AS rank,
-                   CAST(NULL AS VARCHAR) AS anchor_text,
+                   CAST(NULL AS VARCHAR) AS label,
                    CAST(NULL AS BIGINT) AS n
             FROM r3
             UNION ALL
@@ -4325,6 +4366,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'anchors', host, CAST(NULL AS DOUBLE), anchor_text,
                    CAST(COUNT(*) AS BIGINT)
             FROM anch GROUP BY host, anchor_text
+            UNION ALL
+            SELECT 'split', host, CAST(NULL AS DOUBLE), label,
+                   CAST(n AS BIGINT)
+            FROM spl
         """,
         "flagship_extract_align": """
             -- closed-form replica of the flagship kernel's summary columns on

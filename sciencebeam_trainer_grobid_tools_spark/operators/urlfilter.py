@@ -117,3 +117,60 @@ def url_badword_score(url: Column, terms: Sequence[str]) -> Column:
     return sum(
         F.contains(low, F.lit(str(t).lower())).cast("int") for t in terms
     )
+
+
+def host_split(
+    df: DataFrame,
+    fractions: Sequence,
+    url_col: str = "url",
+    host_col: str = None,
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/validation split: every document of a HOST
+    lands in the same split (near-duplicates cluster by site — shared
+    boilerplate, templated pages, mirrored articles — so a per-document
+    split leaks validation content into training; splitting on the host
+    key is the standard guard, the same reason eval decontamination
+    runs at n-gram level).
+
+    ``fractions`` is an ordered sequence of ``(name, fraction)`` pairs
+    (or a dict, insertion-ordered) summing to 1.  Assignment is a
+    DETERMINISTIC md5-uniform draw on ``salt:host`` against the
+    cumulative fractions — the repo's portable hashing pattern, so a
+    DuckDB oracle reproduces the exact membership, re-runs are stable,
+    and changing ``salt`` re-deals the split without touching data.
+
+    Scale: pure per-row codegen — no shuffle, no join, no state; the
+    split of a 10^12-document corpus is a free column in the scan
+    stage.  Unparseable URLs ('' host) hash as one deterministic group
+    (they co-locate in a single split rather than scattering).
+    """
+    pairs = list(fractions.items()) if hasattr(fractions, "items") else [
+        tuple(p) for p in fractions
+    ]
+    if not pairs or any(f < 0 for _, f in pairs):
+        raise ValueError("fractions must be non-negative and non-empty")
+    total = sum(f for _, f in pairs)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError("fractions must sum to 1, got %r" % total)
+    host = F.col(host_col) if host_col else url_host(F.col(url_col))
+    # NULL urls/hosts coalesce to '' so they draw deterministically too
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.coalesce(host, F.lit("")))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("double") / F.lit(float(16 ** 8))
+    expr = F.lit(pairs[-1][0])  # the last split absorbs rounding
+    cum = 0.0
+    branches = []
+    for name, frac in pairs[:-1]:
+        cum += frac
+        branches.append((name, cum))
+    for name, cum in reversed(branches):
+        expr = F.when(u < cum, F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)

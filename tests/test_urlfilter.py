@@ -125,3 +125,96 @@ class TestUrlBadwordScore:
         assert df.select(
             urlfilter.url_badword_score(F.col("url"), []).alias("s")
         ).collect()[0]["s"] == 0
+
+
+class TestHostSplit:
+    def test_host_colocation_and_determinism(self, spark):
+        urls = [
+            "https://%s/p/%d" % (h, i)
+            for h in ("a.com", "b.com", "c.com", "d.com")
+            for i in range(5)
+        ]
+        df = urlfilter.host_split(
+            _urls(spark, urls), [("train", 0.8), ("val", 0.2)]
+        )
+        rows = df.select(urlfilter.url_host(F.col("url")).alias("h"), "split").collect()
+        by_host = {}
+        for r in rows:
+            by_host.setdefault(r["h"], set()).add(r["split"])
+        # every host lands wholly in ONE split
+        assert all(len(s) == 1 for s in by_host.values())
+        again = {
+            (r["doc_id"], r["split"])
+            for r in urlfilter.host_split(
+                _urls(spark, urls), [("train", 0.8), ("val", 0.2)]
+            ).collect()
+        }
+        assert again == {(r2["doc_id"], r2["split"]) for r2 in df.collect()}
+
+    def test_duckdb_differential_and_salt_redeal(self, spark):
+        import duckdb
+
+        urls = ["https://h%d.com/x" % i for i in range(200)]
+        df = urlfilter.host_split(
+            _urls(spark, urls),
+            {"train": 0.7, "val": 0.2, "test": 0.1},
+            salt="s1",
+        )
+        got = {r["doc_id"]: r["split"] for r in df.collect()}
+        want = {
+            i: duckdb.sql(
+                """SELECT CASE
+                       WHEN u < 0.7 THEN 'train'
+                       WHEN u < 0.9 THEN 'val'
+                       ELSE 'test' END
+                   FROM (SELECT CAST('0x' || substr(md5('s1:' || 'h%d.com'), 1, 8)
+                                 AS BIGINT) / 4294967296.0 AS u)""" % i
+            ).fetchone()[0]
+            for i in range(200)
+        }
+        assert got == want
+        sizes = {}
+        for s in got.values():
+            sizes[s] = sizes.get(s, 0) + 1
+        assert sizes["train"] > sizes["val"] > sizes["test"] > 0
+        redeal = {
+            r["doc_id"]: r["split"]
+            for r in urlfilter.host_split(
+                _urls(spark, urls),
+                {"train": 0.7, "val": 0.2, "test": 0.1},
+                salt="s2",
+            ).collect()
+        }
+        assert redeal != got  # a new salt re-deals membership
+
+    def test_null_and_unparseable_urls_deterministic(self, spark):
+        df = spark.createDataFrame(
+            [(0, None), (1, "not a url"), (2, "also-not")],
+            "doc_id long, url string",
+        )
+        rows = urlfilter.host_split(
+            df, [("train", 0.5), ("val", 0.5)]
+        ).collect()
+        splits = {r["split"] for r in rows}
+        assert len(splits) == 1  # all hash the '' host -> one group
+
+    def test_fraction_validation(self, spark):
+        df = _urls(spark, ["https://a.com/"])
+        with pytest.raises(ValueError):
+            urlfilter.host_split(df, [("train", 0.5), ("val", 0.4)])
+        with pytest.raises(ValueError):
+            urlfilter.host_split(df, [])
+        with pytest.raises(ValueError):
+            urlfilter.host_split(df, [("a", 1.5), ("b", -0.5)])
+
+    def test_pure_codegen_no_shuffle(self, spark):
+        plan = (
+            urlfilter.host_split(
+                _urls(spark, ["https://a.com/"]), [("t", 0.9), ("v", 0.1)]
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
