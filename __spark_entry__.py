@@ -775,8 +775,12 @@ def q_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(m == 6, F.lit("/file.pdf"))
         .otherwise(F.lit("/file.pdfx"))
     )
+    # adversarial: the m==6 case ships an UPPERCASE scheme — RFC says
+    # scheme is case-insensitive, so /file.pdf must still be blocked by
+    # /*.pdf$ (a lowercase-only scheme parser fails open here)
+    scheme = F.when(m == 6, F.lit("HTTPS://")).otherwise(F.lit("https://"))
     urls = docs.select(
-        "doc_id", F.concat(F.lit("https://"), host, path).alias("url")
+        "doc_id", F.concat(scheme, host, path).alias("url")
     )
     decisions = robots.robots_blocked(urls, rules)
     rule_rows = rules.select(
@@ -1442,7 +1446,10 @@ def q_hosts_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(
                 F.lit('<html><a href="https://'), h1,
                 F.lit('/x">a</a> <a href="https://'), h2,
-                F.lit('/y#frag">b</a></html>'),
+                # the mailto anchor must NOT ride the relative-link
+                # fallback into the page's own anchor-text counts
+                F.lit('/y#frag">b</a> <a href="mailto:c@'), h1,
+                F.lit('">contact</a></html>'),
             ),
         )
         .when(
@@ -1457,7 +1464,9 @@ def q_hosts_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(
                 F.lit("<html><a href=https://"), h1,
                 F.lit("/x>a</a> <a href=https://"), h2,
-                F.lit("/y#frag>b</a></html>"),
+                # the RELATIVE link must still attribute to the page's
+                # own host — on-site nav text is anchor-text signal
+                F.lit("/y#frag>b</a> <a href=/local>nav</a></html>"),
             )
         )
     )
@@ -4329,7 +4338,12 @@ def oracle_sql() -> dict[str, str]:
                 ) s ON nd.host = s.host
             ),
             -- anchors variant: skip_nofollow drops style-1 (doc_id%3==1)
-            -- 'a' anchors; 'b' anchors always count; texts already lowercase
+            -- 'a' anchors; 'b' anchors always count; texts already
+            -- lowercase.  Style-0 pages also carry a mailto: anchor
+            -- ('contact') which must NOT appear anywhere (non-http
+            -- scheme, dropped before the relative-link fallback);
+            -- style-2 pages carry a RELATIVE '/local' anchor ('nav')
+            -- which attributes to the page's OWN host
             anch AS (
                 SELECT 'h' || CAST((doc_id * 3 + 1) % 40 AS VARCHAR) || '.com'
                            AS host,
@@ -4339,6 +4353,10 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'h' || CAST((doc_id * 7 + 2) % 40 AS VARCHAR) || '.com',
                        'b'
                 FROM documents
+                UNION ALL
+                SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) || '.com',
+                       'nav'
+                FROM documents WHERE doc_id % 3 = 2
             ),
             -- split variant: the SAME md5-uniform draw host_split uses
             spl AS (
@@ -4693,7 +4711,8 @@ def oracle_sql() -> dict[str, str]:
                CAST(NULL AS INT), CAST(NULL AS BOOLEAN),
                CAST(NULL AS VARCHAR),
                doc_id,
-               'https://h' || CAST(doc_id % 40 AS VARCHAR) || '.com'
+               CASE WHEN doc_id % 8 = 6 THEN 'HTTPS://' ELSE 'https://' END
+                   || 'h' || CAST(doc_id % 40 AS VARCHAR) || '.com'
                    || CASE doc_id % 8
                       WHEN 0 THEN '/d' || CAST(doc_id % 40 AS VARCHAR) || '/x'
                       WHEN 1 THEN '/d' || CAST(doc_id % 40 AS VARCHAR) || '/pub/x'
@@ -4704,7 +4723,9 @@ def oracle_sql() -> dict[str, str]:
                       WHEN 6 THEN '/file.pdf'
                       ELSE '/file.pdfx' END,
                -- blocked: /d{k}/x (prefix), /q?y=1 (prefix), /wildAAAcard
-               -- (the /wild*card pattern), /file.pdf (the anchored /*.pdf$)
+               -- (the /wild*card pattern), /file.pdf (the anchored /*.pdf$
+               -- — served with an UPPERCASE scheme: case-insensitive
+               -- scheme parsing must not fail open)
                (doc_id % 8) IN (0, 2, 5, 6)
         FROM documents
     """

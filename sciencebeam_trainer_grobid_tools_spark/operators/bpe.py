@@ -273,10 +273,14 @@ def bpe_vocab_table(
         .collect()
     )
     alphabet = sorted(r["token"] for r in alpha_rows)
-    rows = [(0, UNK)]
-    rows += [(i + 1, tok) for i, tok in enumerate(alphabet)]
-    base = len(rows)
-    rows += [(base + i, a + b) for i, (a, b) in enumerate(merges)]
+    # Distinct merges can collide on surface form (('a','bc') and
+    # ('ab','c') both yield 'abc'); keep the FIRST occurrence so every
+    # token appears exactly once and encode's tok2id round-trips with
+    # this artifact.
+    ordered = [UNK] + alphabet + [a + b for a, b in merges]
+    seen: set = set()
+    tokens = [t for t in ordered if not (t in seen or seen.add(t))]
+    rows = list(enumerate(tokens))
     return df.sparkSession.createDataFrame(
         rows, "token_id int, token string"
     )
@@ -309,7 +313,8 @@ def bpe_encode(
         for pdf in it:
             out = []
             for row in pdf.itertuples(index=False):
-                words = [w for w in row.text.replace("\n", " ").split(" ") if w]
+                text = row.text or ""
+                words = [w for w in text.replace("\n", " ").split(" ") if w]
                 ids: list = []
                 for w in words:
                     for s in _merge_word(list(w) + [END_OF_WORD], merge_list):
@@ -342,7 +347,8 @@ def bpe_encode_stats(
         for pdf in it:
             out = []
             for row in pdf.itertuples(index=False):
-                words = [w for w in row.text.replace("\n", " ").split(" ") if w]
+                text = row.text or ""
+                words = [w for w in text.replace("\n", " ").split(" ") if w]
                 n_sub = 0
                 for w in words:
                     n_sub += len(
@@ -359,4 +365,58 @@ def bpe_encode_stats(
 
     return df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")).mapInPandas(
         batches, "doc_id %s, n_tokens int, n_subwords int" % id_type
+    )
+
+
+def bpe_unk_stats(
+    df: DataFrame,
+    merges: Sequence[Tuple[str, str]],
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Held-out-corpus encoder health check: per document,
+    (doc_id, n_subwords, n_unk, unk_rate) under the learned merges +
+    vocabulary artifact.  A held-out document whose characters were all
+    seen at training time has ``unk_rate = 0.0``; unseen scripts show up
+    here BEFORE the token-id stream silently fills with ``<unk>``.
+
+    Same plan shape as ``bpe_encode``: ONE Arrow ``mapInPandas``, vocab
+    and merges ride the closure, no shuffle.  NULL text encodes to the
+    empty document (0 subwords, rate 0.0)."""
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    merge_list = [tuple(m) for m in merges]
+    known = {r["token"] for r in vocab.collect()} - {UNK}
+
+    def batches(it):
+        for pdf in it:
+            out = []
+            for row in pdf.itertuples(index=False):
+                text = row.text or ""
+                words = [w for w in text.replace("\n", " ").split(" ") if w]
+                n_sub = n_unk = 0
+                for w in words:
+                    for s in _merge_word(list(w) + [END_OF_WORD], merge_list):
+                        n_sub += 1
+                        if s not in known:
+                            n_unk += 1
+                out.append(
+                    {
+                        "doc_id": row.doc_id,
+                        "n_subwords": n_sub,
+                        "n_unk": n_unk,
+                        "unk_rate": (n_unk / n_sub) if n_sub else 0.0,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_subwords", "n_unk", "unk_rate"]
+            )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).mapInPandas(
+        batches,
+        "doc_id %s, n_subwords int, n_unk int, unk_rate double" % id_type,
     )

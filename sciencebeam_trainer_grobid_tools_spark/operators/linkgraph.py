@@ -289,7 +289,14 @@ def anchor_text_table(
             extract_anchors(F.col(html_col), skip_nofollow=skip_nofollow)
         ).alias("a"),
     ).where(F.col("src") != "")
-    dst = url_host(F.col("a")["href"])
+    # non-navigational schemes (mailto:, javascript:, tel:, ...) must
+    # not ride the relative-link fallback into the page's own counts —
+    # only scheme-less (relative) and http(s) hrefs attribute anywhere
+    href = F.col("a")["href"]
+    has_scheme = href.rlike(r"(?i)^[a-z][a-z0-9+.-]*:")
+    is_http = href.rlike(r"(?i)^https?://")
+    pairs = pairs.where(is_http | ~has_scheme)
+    dst = url_host(href)
     dst = F.when(dst != "", dst).otherwise(F.col("src"))
     txt = F.col("a")["text"]
     if lowercase:

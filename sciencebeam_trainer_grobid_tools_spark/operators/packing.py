@@ -47,6 +47,16 @@ from pyspark.sql import DataFrame, Window, functions as F
 __all__ = ["pack_sequences", "write_training_shards"]
 
 
+def _default_buckets(spark) -> int:
+    """The session's shuffle fan-out, tolerating non-numeric values
+    ('auto' under AQE-managed platforms) by falling back to the
+    cluster's default parallelism."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:
+        return spark.sparkContext.defaultParallelism
+
+
 def pack_sequences(
     df: DataFrame,
     seq_len: int,
@@ -59,8 +69,15 @@ def pack_sequences(
 ) -> DataFrame:
     """Pack per-document token arrays into consecutive ``seq_len``
     windows of the concatenated stream (documents ordered by
-    ``order_col``, which must be a unique NUMERIC key — offsets join
-    back on it, and the prefix-sum buckets quantile over it).
+    ``order_col``, which must be a unique non-null key — numeric or
+    string; offsets join back on it).  Numeric keys quantile directly
+    for the prefix-sum buckets; string keys (the north-star corpus is
+    ``url``-keyed) bucket via a byte-prefix surrogate — the first 7
+    UTF-8 bytes read as a right-padded big-endian integer, which is
+    monotone in Spark's (byte-wise) string ordering, so bucket i's
+    keys still all precede bucket i+1's.  Surrogate ties only affect
+    bucket BALANCE (they land in the same bucket), never values: the
+    within-bucket running sum orders by the exact key.
 
     Returns one row per window::
 
@@ -109,18 +126,36 @@ def pack_sequences(
 
     # --- two-pass distributed prefix sum over the slim (order, len) table
     lens = ordered.select("_ord", F.size("_toks").alias("_len"))
-    n_buckets = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_buckets = buckets or _default_buckets(spark)
+    from pyspark.sql.types import NumericType
+
+    if isinstance(df.schema[order_col].dataType, NumericType):
+        qk = F.col("_ord").cast("double")
+    else:
+        # first 7 UTF-8 bytes, hex right-padded to 14 chars, read base-16:
+        # a left-aligned fixed-width integer IS byte-order comparison
+        qk = F.conv(
+            F.rpad(
+                F.substring(F.hex(F.encode(F.col("_ord").cast("string"), "UTF-8")), 1, 14),
+                14,
+                "0",
+            ),
+            16,
+            10,
+        ).cast("long").cast("double")
+    lens = lens.withColumn("_qk", qk)
     cuts = []
     if n_buckets > 1:
         qs = [i / n_buckets for i in range(1, n_buckets)]
-        cuts = sorted(set(lens.stat.approxQuantile("_ord", qs, 0.001)))
-    # bucket id = how many cut literals the key exceeds — deterministic
-    # under re-evaluation (the cuts are driver literals), monotone in
-    # the order key, so bucket i's keys all precede bucket i+1's
+        cuts = sorted(set(lens.stat.approxQuantile("_qk", qs, 0.001)))
+    # bucket id = how many cut literals the surrogate exceeds —
+    # deterministic under re-evaluation (the cuts are driver literals),
+    # monotone in the order key, so bucket i's keys all precede bucket
+    # i+1's
     pid = sum(
-        (F.col("_ord") > F.lit(c)).cast("int") for c in cuts
+        (F.col("_qk") > F.lit(c)).cast("int") for c in cuts
     ) if cuts else F.lit(0)
-    lens = lens.withColumn("_pid", pid)
+    lens = lens.withColumn("_pid", pid).drop("_qk")
     totals = {
         r["_pid"]: r["_t"]
         for r in lens.groupBy("_pid").agg(F.sum("_len").alias("_t")).collect()

@@ -115,8 +115,11 @@ def parse_robots(
 
 def _url_path(url: Column) -> Column:
     """Path component ('/' when absent), query string included per RFC
-    9309 (rules match against path + '?' + query)."""
-    path = F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://[^/?#]+([^#]*)", 1)
+    9309 (rules match against path + '?' + query).  The scheme/authority
+    match is case-insensitive (``HTTP://host/Private`` must not fail
+    open on path rules); the captured path itself is returned verbatim —
+    path case is significant and preserved."""
+    path = F.regexp_extract(url, r"(?i)^[a-z][a-z0-9+.-]*://[^/?#]+([^#]*)", 1)
     return F.when(path == "", F.lit("/")).otherwise(path)
 
 

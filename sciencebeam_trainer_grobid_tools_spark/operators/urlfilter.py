@@ -38,8 +38,10 @@ from typing import Sequence, Union
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-# scheme://[user[:pass]@]HOST[:port][/...]; host = chars up to :/?#
-_HOST_RE = r"^[a-z][a-z0-9+.-]*://(?:[^/@?#]*@)?([^:/?#]+)"
+# scheme://[user[:pass]@]HOST[:port][/...]; host = chars up to :/?#.
+# (?i) so the scheme parses regardless of case even when a caller skips
+# the pre-lowering — unified with robots._url_path's scheme handling.
+_HOST_RE = r"(?i)^[a-z][a-z0-9+.-]*://(?:[^/@?#]*@)?([^:/?#]+)"
 
 _HOST = "_uf_host"
 _SUFFIX = "_uf_suffix"

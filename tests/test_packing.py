@@ -146,6 +146,55 @@ class TestDistribution:
         df = make_df(spark, list(reversed(docs))).repartition(7)
         assert as_rows(pack_sequences(df, 8)) == ref_pack(docs, 8)
 
+    def test_string_order_key_matches_reference(self, spark):
+        """url-keyed packing (the north-star table's key is a string):
+        stream order follows the string key's byte order; the byte-prefix
+        bucket surrogate is balance-only.  Keys share a >7-byte prefix on
+        purpose, so the surrogate TIES across most documents and the
+        exact within-bucket ordering has to do the work."""
+        docs = [
+            ("https://example.org/p/%04d" % i, [i % 6] * (1 + i % 5))
+            for i in range(120)
+        ]
+        df = spark.createDataFrame(
+            list(reversed(docs)), "doc_id string, token_ids array<int>"
+        ).repartition(6)
+        expected = ref_pack(docs, 16, eod_id=99)
+        for buckets in (1, 4, 16):
+            got = as_rows(pack_sequences(df, 16, eod_id=99, buckets=buckets))
+            assert got == expected, buckets
+        # doc spans carry the string key through
+        first = pack_sequences(df, 16, eod_id=99).orderBy("seq_id").first()
+        assert first["doc_spans"][0]["doc"] == docs[0][0]
+
+    def test_string_keys_divergent_prefixes(self, spark):
+        """Hosts differing in the first byte land in surrogate order;
+        mixes short and long keys (the rpad path)."""
+        keys = ["a", "ab", "b", "aa/long/suffix", "z" * 20, "m.example"]
+        docs = [(k, [len(k)] * 3) for k in keys]
+        df = spark.createDataFrame(docs, "doc_id string, token_ids array<int>")
+        assert as_rows(pack_sequences(df, 5, buckets=4)) == ref_pack(docs, 5)
+
+    def test_default_buckets_tolerates_non_numeric_conf(self):
+        """'auto' under AQE-managed platforms must fall back to the
+        cluster's default parallelism, not crash."""
+        from sciencebeam_trainer_grobid_tools_spark.operators.packing import (
+            _default_buckets,
+        )
+
+        class FakeConf:
+            def get(self, key):
+                return "auto"
+
+        class FakeSC:
+            defaultParallelism = 12
+
+        class FakeSpark:
+            conf = FakeConf()
+            sparkContext = FakeSC()
+
+        assert _default_buckets(FakeSpark()) == 12
+
 
 class TestSchema:
     def test_element_type_preserved(self, spark):
