@@ -97,6 +97,61 @@ def run_worker(cpus: int, shard: int, n_shards: int, runs: int) -> dict:
     return {"docs": n_docs, "runs_sec": [round(t, 2) for t in times]}
 
 
+def _pids_of(pattern: str) -> list:
+    out = subprocess.run(
+        ["pgrep", "-f", pattern], capture_output=True, text=True
+    ).stdout
+    return sorted(int(p) for p in out.split())
+
+
+def _proc_cpu(pid: int) -> float:
+    """utime+stime of one process in seconds (0.0 if it exited)."""
+    try:
+        with open("/proc/%d/stat" % pid) as fh:
+            f = fh.read().rsplit(")", 1)[1].split()
+        return (int(f[11]) + int(f[12])) / os.sysconf("SC_CLK_TCK")
+    except (OSError, IndexError, ValueError):
+        return 0.0
+
+
+def _proc_threads(pid: int) -> int:
+    try:
+        with open("/proc/%d/status" % pid) as fh:
+            for line in fh:
+                if line.startswith("Threads:"):
+                    return int(line.split()[1])
+    except OSError:
+        pass
+    return 0
+
+
+def _cpu_snapshot(roles: dict) -> dict:
+    return {role: sum(_proc_cpu(p) for p in pids) for role, pids in roles.items()}
+
+
+def _fetch_executor_metrics(ui_url: str, app_id: str) -> list:
+    """Per-executor GC/task-time from the Spark REST API (the UI's
+    /api/v1); empty list when the UI is off or the fetch fails."""
+    import urllib.request
+
+    try:
+        with urllib.request.urlopen(
+            "%s/api/v1/applications/%s/executors" % (ui_url, app_id), timeout=10
+        ) as resp:
+            data = json.load(resp)
+        return [
+            {
+                "id": e.get("id"),
+                "totalGCTime_ms": e.get("totalGCTime"),
+                "totalDuration_ms": e.get("totalDuration"),
+                "totalTasks": e.get("totalTasks"),
+            }
+            for e in data
+        ]
+    except Exception:
+        return []
+
+
 def run_cluster_worker(n_executors: int, runs: int) -> dict:
     """One leg of the REAL multi-JVM scaling sample: the flagship job on a
     ``local-cluster[n, c, mem]`` master — Spark standalone master + n worker
@@ -105,14 +160,29 @@ def run_cluster_worker(n_executors: int, runs: int) -> dict:
     --py-files zip (the north_rule's deployment shape).  Unlike the
     hand-rolled executor emulation (run_executor_emulation), Spark does the
     scheduling/sharding itself; the result includes evidence that the
-    executors really are separate JVM processes."""
+    executors really are separate JVM processes.
+
+    Co-location fidelity (round 10): on a real cluster every executor JVM
+    sits on its OWN c-core node, so ``Runtime.availableProcessors`` — which
+    sizes the JVM's GC worker, JIT compiler, and ForkJoin pools — reads c.
+    Under taskset on one box it reads the WHOLE pinned span (26 cores on
+    the 4N leg), so four co-located executors each spawn ~full-host GC/JIT
+    thread pools that contend.  ``-XX:ActiveProcessorCount=c`` restores the
+    real-node value (exactly what cgroup-aware container deployments get
+    automatically); SCALING_BENCH_ACP=0 disables it for A/B forensics.
+    Each leg also records per-role /proc CPU-seconds over the timed runs
+    (executors / worker daemons / python workers / driver) plus the REST
+    API's per-executor GC time, so a scaling loss decomposes into named
+    components instead of a bare ratio."""
     from pyspark.sql import SparkSession, functions as F
 
     from scripts.build_pyfiles_zip import build
 
     archive = build()
     c = CORES_PER_EXECUTOR
-    spark = (
+    use_acp = os.environ.get("SCALING_BENCH_ACP", "1") != "0"
+    exec_java = "-XX:ActiveProcessorCount=%d" % c if use_acp else ""
+    builder = (
         SparkSession.builder.master(
             "local-cluster[%d,%d,4096]" % (n_executors, c)
         )
@@ -124,9 +194,14 @@ def run_cluster_worker(n_executors: int, runs: int) -> dict:
         .config("spark.sql.shuffle.partitions", str(n_executors * c * 2))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
+        # UI on: the /api/v1 REST endpoint is the only per-executor GC
+        # clock; equal overhead on both legs
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", "0")
     )
+    if exec_java:
+        builder = builder.config("spark.executor.extraJavaOptions", exec_java)
+    spark = builder.getOrCreate()
     sc = spark.sparkContext
     sc.setLogLevel("ERROR")
     sc.addPyFile(archive)
@@ -142,28 +217,78 @@ def run_cluster_worker(n_executors: int, runs: int) -> dict:
     annotate_documents(docs, repartition=n_executors * c * 4).agg(
         F.count(F.lit(1))
     ).collect()
+    roles = {
+        "executors": _pids_of("CoarseGrainedExecutorBackend"),
+        "worker_daemons": _pids_of("deploy.worker.Worker"),
+        "python_workers": _pids_of("pyspark.daemon"),
+        "driver_jvm": _pids_of("SparkSubmit"),
+    }
+    gc_before = _fetch_executor_metrics(sc.uiWebUrl, sc.applicationId)
+    cpu_before = _cpu_snapshot(roles)
     times = []
+    t_loop0 = time.time()
     for _ in range(runs):
         t0 = time.time()
         annotate_documents(docs, repartition=n_executors * c * 4).agg(
             F.count(F.lit(1)).alias("docs")
         ).collect()
         times.append(time.time() - t0)
+    loop_wall = time.time() - t_loop0
+    # python workers fork lazily; re-enumerate so late arrivals count
+    roles["python_workers"] = _pids_of("pyspark.daemon")
+    cpu_after = _cpu_snapshot(roles)
+    gc_after = _fetch_executor_metrics(sc.uiWebUrl, sc.applicationId)
+    gc_b = {e["id"]: e for e in gc_before}
+    gc_delta = [
+        {
+            "id": e["id"],
+            "gc_ms": (e["totalGCTime_ms"] or 0)
+            - (gc_b.get(e["id"], {}).get("totalGCTime_ms") or 0),
+            "task_ms": (e["totalDuration_ms"] or 0)
+            - (gc_b.get(e["id"], {}).get("totalDuration_ms") or 0),
+        }
+        for e in gc_after
+        if e["id"] != "driver"
+    ]
+    cpu_sec = {
+        role: round(cpu_after[role] - cpu_before.get(role, 0.0), 1)
+        for role in cpu_after
+    }
+    exec_threads = {p: _proc_threads(p) for p in roles["executors"]}
     # separate-JVM evidence: Spark's own executor registry (minus the
     # driver's block manager) + the executor backend OS processes
     reported = sc._jsc.sc().getExecutorMemoryStatus().size() - 1
-    pgrep = subprocess.run(
-        ["pgrep", "-f", "CoarseGrainedExecutorBackend"],
-        capture_output=True,
-        text=True,
-    )
-    pids = sorted(int(p) for p in pgrep.stdout.split())
+    pids = roles["executors"]
     spark.stop()
     return {
         "docs": n_docs,
         "runs_sec": [round(t, 2) for t in times],
         "executor_jvms_reported": reported,
         "executor_jvm_pids": pids,
+        "active_processor_count": c if use_acp else None,
+        "forensics": {
+            "loop_wall_sec": round(loop_wall, 2),
+            "task_core_budget": n_executors * c,
+            "pids_by_role": {r: len(p) for r, p in roles.items()},
+            "cpu_sec_by_role": cpu_sec,
+            "executor_cpu_utilization": round(
+                cpu_sec.get("executors", 0.0)
+                / (loop_wall * n_executors * c),
+                3,
+            ),
+            "python_cpu_utilization": round(
+                cpu_sec.get("python_workers", 0.0)
+                / (loop_wall * n_executors * c),
+                3,
+            ),
+            "executor_gc": gc_delta,
+            "gc_share_of_task_time": round(
+                sum(e["gc_ms"] for e in gc_delta)
+                / max(1, sum(e["task_ms"] for e in gc_delta)),
+                4,
+            ),
+            "executor_jvm_threads": exec_threads,
+        },
     }
 
 
@@ -218,6 +343,9 @@ def run_local_cluster() -> None:
             "executor_jvms_n_leg": n_res["executor_jvms_reported"],
             "executor_jvms_4n_leg": big_res["executor_jvms_reported"],
             "executor_jvm_pids_4n_leg": big_res["executor_jvm_pids"],
+            "active_processor_count": big_res.get("active_processor_count"),
+            "forensics_n_leg": n_res.get("forensics"),
+            "forensics_4n_leg": big_res.get("forensics"),
         }
         samples.append(sample)
         print(json.dumps(sample))
