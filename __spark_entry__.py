@@ -910,11 +910,30 @@ def q_docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     min_stopword_hits=1 / min_words=20 because the synthetic corpus
     carries only 'the' from the stopword list (real thresholds would
     blank it); the classifier threshold 0.5 splits on the md5-derived
-    pseudo-weights the webfilters oracle pins."""
+    pseudo-weights the webfilters oracle pins.
+
+    ``variant='training_prep'`` rows value-check the COMPOSED
+    training-prep plan (plans/training_prep.py) over the SAME planted
+    corpus: curate -> host_split (0.8/0.2, md5 host draw) -> BPE
+    vocabulary from the TRAIN split (n_merges=0, the character
+    tokenizer — its token counts have a closed SQL form: per word,
+    len+1 subwords, plus the <eod> sentinel packing appends) ->
+    bpe_encode per split -> URL-ORDERED pack_sequences (seq_len=64,
+    the string-order-key path with the LCP-stripped surrogate — every
+    planted url shares the 'http://' prefix).  One output row per
+    (split, doc), aggregated FROM the packed windows' doc_spans:
+    first/last window id, window count, token total, and the doc's
+    start offset inside its first window — so the oracle's independent
+    prefix-sum over the curated+split corpus pins every document's
+    exact placement in the packed stream (a wrong offset, a missing
+    window, a split leak, or a broken span all hash-mismatch)."""
     from sciencebeam_trainer_grobid_tools_spark.operators.robots import (
         parse_robots,
     )
     from sciencebeam_trainer_grobid_tools_spark.plans.curation import curate_corpus
+    from sciencebeam_trainer_grobid_tools_spark.plans.training_prep import (
+        prepare_training_data,
+    )
 
     docs = _spread(_load(spark, sf_dir, "documents"), spark)
     robots3 = (
@@ -985,8 +1004,7 @@ def q_docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id") % 17 == 3, F.concat(base_text, F.lit(" {"))
         ).otherwise(base_text).alias("text"),
     )
-    curated = curate_corpus(
-        planted,
+    stage_kwargs = dict(
         url_col="url",
         dedup_key="canonical_hint",
         html_col="html",
@@ -1002,12 +1020,62 @@ def q_docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         gopher={"min_words": 20, "min_stopword_hits": 1},
         clf_threshold=0.5,
     )
-    return curated.select(
+    curated = curate_corpus(planted, **stage_kwargs)
+    null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("long")
+    curated_rows = curated.select(
+        F.lit("curated").alias("variant"),
         "doc_id",
         "lang",
         textstats.whitespace_token_count(F.col("text")).alias("n_tokens"),
         F.md5("text").alias("curated_md5"),
-    ).orderBy("doc_id")
+        null_s.alias("split"),
+        null_s.alias("url"),
+        null_l.alias("first_seq"),
+        null_l.alias("last_seq"),
+        null_l.alias("n_windows"),
+        null_l.alias("n_toks"),
+        null_l.alias("start_in_first"),
+    )
+    # the composed training-prep plan over the same planted corpus; the
+    # gate leaves the per-split encoded tables persisted (sf-0.01-sized;
+    # the ContextCleaner reclaims them when the DataFrames drop)
+    prep = prepare_training_data(
+        planted,
+        seq_len=64,
+        curation=stage_kwargs,
+        splits=[("train", 0.8), ("val", 0.2)],
+        n_merges=0,
+    )
+    prep_rows = None
+    for name in ("train", "val"):
+        spans = prep.packed[name].select(
+            "seq_id", F.explode("doc_spans").alias("sp")
+        )
+        agg = spans.groupBy(F.col("sp.doc").alias("url")).agg(
+            F.min("seq_id").alias("first_seq"),
+            F.max("seq_id").alias("last_seq"),
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum("sp.n").cast("long").alias("n_toks"),
+            F.sum("sp.start").cast("long").alias("start_in_first"),
+        ).select(
+            F.lit("training_prep").alias("variant"),
+            null_l.alias("doc_id"),
+            null_s.alias("lang"),
+            F.lit(None).cast("int").alias("n_tokens"),
+            null_s.alias("curated_md5"),
+            F.lit(name).alias("split"),
+            "url",
+            "first_seq",
+            "last_seq",
+            "n_windows",
+            "n_toks",
+            "start_in_first",
+        )
+        prep_rows = agg if prep_rows is None else prep_rows.unionByName(agg)
+    return curated_rows.unionByName(prep_rows).orderBy(
+        "variant", "doc_id", "split", "url"
+    )
 
 
 def q_docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3418,11 +3486,77 @@ def _curation_pipeline_oracle_sql() -> str:
         WHERE CAST('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8)
                    AS BIGINT) / 4294967296.0
               < LEAST(1.0, 1500.0 / tot.st)
+    ),
+    -- training_prep variant: reconstruct each survivor's url/host from
+    -- its doc_id (the planted construction's closed form), replay the
+    -- host_split md5 draw, then an independent per-split prefix sum over
+    -- url order gives every document's exact placement in the packed
+    -- stream.  Token count under the n_merges=0 tokenizer: per word
+    -- len+1 (chars + </w>), plus the <eod> sentinel packing appends.
+    prep AS (
+        SELECT text,
+               CASE WHEN doc_id %% 2 = 1
+                    THEN 'http://www.example' || h || '.com/item/' || p
+                         || '?ref=rss&gclid=abc'
+                    WHEN (doc_id // 2) %% 11 = 4
+                    THEN 'http://amp.example' || h || '.com/item/' || p
+                         || '/amp'
+                    ELSE 'http://WWW.Example' || h || '.COM/item/' || p
+                         || '/?utm_source=feed&ref=rss'
+               END AS url,
+               CASE WHEN doc_id %% 2 = 0 AND (doc_id // 2) %% 11 = 4
+                    THEN 'amp.example' || h || '.com'
+                    ELSE 'www.example' || h || '.com'
+               END AS host
+        FROM (SELECT doc_id, text,
+                     CAST((doc_id // 2) %% 7 AS VARCHAR) AS h,
+                     CAST(doc_id // 2 AS VARCHAR) AS p
+              FROM sampled)
+    ),
+    spl2 AS (
+        SELECT text, url,
+               CASE WHEN CAST('0x' || substr(md5('split:' || host), 1, 8)
+                         AS BIGINT) / 4294967296.0 < 0.8
+                    THEN 'train' ELSE 'val' END AS split
+        FROM prep
+    ),
+    plens AS (
+        SELECT split, url,
+               CAST(COALESCE(list_sum(list_transform(pwords, w -> LENGTH(w))), 0)
+                    + LEN(pwords) + 1 AS BIGINT) AS len
+        FROM (SELECT split, url,
+                     list_filter(string_split(REPLACE(text, chr(10), ' '), ' '),
+                                 w -> w <> '') AS pwords
+              FROM spl2)
+    ),
+    poff AS (
+        SELECT split, url, len,
+               COALESCE(SUM(len) OVER (PARTITION BY split ORDER BY url
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS off
+        FROM plens
     )
-    SELECT doc_id, lang,
+    SELECT 'curated' AS variant, doc_id, lang,
            CAST(LEN(string_split(text, ' ')) AS INT) AS n_tokens,
-           md5(text) AS curated_md5
-    FROM sampled ORDER BY doc_id
+           md5(text) AS curated_md5,
+           CAST(NULL AS VARCHAR) AS split, CAST(NULL AS VARCHAR) AS url,
+           CAST(NULL AS BIGINT) AS first_seq,
+           CAST(NULL AS BIGINT) AS last_seq,
+           CAST(NULL AS BIGINT) AS n_windows,
+           CAST(NULL AS BIGINT) AS n_toks,
+           CAST(NULL AS BIGINT) AS start_in_first
+    FROM sampled
+    UNION ALL
+    SELECT 'training_prep', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(NULL AS INT), CAST(NULL AS VARCHAR),
+           split, url,
+           CAST(off // 64 AS BIGINT),
+           CAST((off + len - 1) // 64 AS BIGINT),
+           CAST((off + len - 1) // 64 - off // 64 + 1 AS BIGINT),
+           len,
+           CAST(off %% 64 AS BIGINT)
+    FROM poff
+    ORDER BY variant, doc_id, split, url
     """ % {
         "email": pii.EMAIL_PATTERN,
         "ip": pii.IPV4_PATTERN,

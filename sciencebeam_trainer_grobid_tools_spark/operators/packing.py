@@ -72,12 +72,18 @@ def pack_sequences(
     ``order_col``, which must be a unique non-null key — numeric or
     string; offsets join back on it).  Numeric keys quantile directly
     for the prefix-sum buckets; string keys (the north-star corpus is
-    ``url``-keyed) bucket via a byte-prefix surrogate — the first 7
-    UTF-8 bytes read as a right-padded big-endian integer, which is
-    monotone in Spark's (byte-wise) string ordering, so bucket i's
-    keys still all precede bucket i+1's.  Surrogate ties only affect
-    bucket BALANCE (they land in the same bucket), never values: the
-    within-bucket running sum orders by the exact key.
+    ``url``-keyed) bucket via a byte-prefix surrogate — 7 UTF-8 bytes
+    read as a right-padded big-endian integer, which is monotone in
+    Spark's (byte-wise) string ordering, so bucket i's keys still all
+    precede bucket i+1's.  The surrogate bytes are taken AFTER the
+    corpus's longest common key prefix (one extra column-pruned
+    min/max aggregate — the lexicographic min and max bound every key,
+    so their shared prefix is shared by all keys): url keys share a
+    scheme prefix (``https://www.``) that would otherwise collapse
+    every surrogate to one value and the prefix sum into a single
+    bucket.  Surrogate ties only affect bucket BALANCE (they land in
+    the same bucket), never values: the within-bucket running sum
+    orders by the exact key.
 
     Returns one row per window::
 
@@ -129,23 +135,44 @@ def pack_sequences(
     n_buckets = buckets or _default_buckets(spark)
     from pyspark.sql.types import NumericType
 
-    if isinstance(df.schema[order_col].dataType, NumericType):
-        qk = F.col("_ord").cast("double")
-    else:
-        # first 7 UTF-8 bytes, hex right-padded to 14 chars, read base-16:
-        # a left-aligned fixed-width integer IS byte-order comparison
-        qk = F.conv(
-            F.rpad(
-                F.substring(F.hex(F.encode(F.col("_ord").cast("string"), "UTF-8")), 1, 14),
-                14,
-                "0",
-            ),
-            16,
-            10,
-        ).cast("long").cast("double")
-    lens = lens.withColumn("_qk", qk)
     cuts = []
     if n_buckets > 1:
+        if isinstance(df.schema[order_col].dataType, NumericType):
+            qk = F.col("_ord").cast("double")
+        else:
+            # strip the longest common prefix shared by ALL keys (the
+            # byte-wise lexicographic min/max bound every key, so their
+            # common prefix is everyone's common prefix — url corpora
+            # share "https://" and would otherwise all surrogate to the
+            # same value, collapsing the prefix sum into one bucket),
+            # then read 7 suffix bytes hex right-padded to 14 chars,
+            # base-16: a left-aligned fixed-width integer IS byte-order
+            # comparison of the suffixes, hence of the keys
+            mm = lens.agg(
+                F.min(F.col("_ord").cast("string")).alias("lo"),
+                F.max(F.col("_ord").cast("string")).alias("hi"),
+            ).first()
+            lo = (mm["lo"] or "").encode("utf-8")
+            hi = (mm["hi"] or "").encode("utf-8")
+            lcp = 0
+            for x, y in zip(lo, hi):
+                if x != y:
+                    break
+                lcp += 1
+            qk = F.conv(
+                F.rpad(
+                    F.substring(
+                        F.hex(F.encode(F.col("_ord").cast("string"), "UTF-8")),
+                        2 * lcp + 1,
+                        14,
+                    ),
+                    14,
+                    "0",
+                ),
+                16,
+                10,
+            ).cast("long").cast("double")
+        lens = lens.withColumn("_qk", qk)
         qs = [i / n_buckets for i in range(1, n_buckets)]
         cuts = sorted(set(lens.stat.approxQuantile("_qk", qs, 0.001)))
     # bucket id = how many cut literals the surrogate exceeds —
@@ -271,16 +298,19 @@ def write_training_shards(
         raise ValueError(
             "seqs_per_shard must be positive, got %d" % seqs_per_shard
         )
+    sharded = packed.withColumn(
+        "shard", F.floor(F.col("seq_id") / seqs_per_shard).cast("long")
+    )
     (
-        packed.withColumn(
-            "shard", F.floor(F.col("seq_id") / seqs_per_shard).cast("long")
-        )
-        .repartition("shard")
+        sharded.repartition("shard")
         .write.mode(mode)
         .partitionBy("shard")
         .parquet(path)
     )
-    written = packed.sparkSession.read.parquet(path)
+    # explicit schema on the read-back: an EMPTY split writes no data
+    # files (just _SUCCESS) and inference would fail — and at scale the
+    # known schema skips the footer-sampling job entirely
+    written = packed.sparkSession.read.schema(sharded.schema).parquet(path)
     return (
         written.groupBy("shard")
         .agg(

@@ -2155,3 +2155,102 @@ class TestWinnowing:
         for r in dedup.winnowing_fingerprints(docs).collect():
             fps.setdefault(r["doc_id"], set()).add(r["fingerprint"])
         assert not (fps[0] & fps[1])
+
+
+class TestBpeHeldOut:
+    """Held-out encoder health (bpe_unk_stats) + vocabulary stability
+    under retraining — the artifact contract a training run depends on."""
+
+    def _model(self, spark, rows, n_merges=3):
+        from sciencebeam_trainer_grobid_tools_spark.operators import bpe
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        merges = bpe.bpe_train(df, n_merges=n_merges)
+        return df, merges, bpe.bpe_vocab_table(df, merges)
+
+    def test_unk_stats_differential(self, spark):
+        from sciencebeam_trainer_grobid_tools_spark.operators import bpe
+
+        train_rows = [(1, "low lower low"), (2, "new lower low")]
+        _, merges, vocab_df = self._model(spark, train_rows)
+        known = {r["token"] for r in vocab_df.collect()} - {"<unk>"}
+        held_rows = [
+            (10, "low lower"),        # fully known
+            (11, "zq low"),           # two unseen chars
+            (12, "zzzz"),             # all unseen but </w>
+            (13, None),               # NULL -> empty doc, rate 0.0
+        ]
+        held = spark.createDataFrame(held_rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_subwords"], r["n_unk"], r["unk_rate"])
+            for r in bpe.bpe_unk_stats(held, merges, vocab_df).collect()
+        }
+
+        def ref(text):
+            n_sub = n_unk = 0
+            for w in (text or "").replace("\n", " ").split(" "):
+                if not w:
+                    continue
+                syms = list(w) + ["</w>"]
+                for a, b in merges:
+                    i, nxt = 0, []
+                    while i < len(syms):
+                        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                            nxt.append(a + b)
+                            i += 2
+                        else:
+                            nxt.append(syms[i])
+                            i += 1
+                    syms = nxt
+                n_sub += len(syms)
+                n_unk += sum(1 for s in syms if s not in known)
+            return (n_sub, n_unk, (n_unk / n_sub) if n_sub else 0.0)
+
+        assert got == {i: ref(t) for i, t in held_rows}
+        assert got[10][2] == 0.0  # fully-known doc: zero unk rate
+        assert got[11][1] == 2 and got[12][2] > 0.5
+        assert got[13] == (0, 0, 0.0)
+
+    def test_vocab_stable_under_exact_retraining(self, spark):
+        rows = [(1, "low lower low"), (2, "new lower wide")]
+        _, m1, v1 = self._model(spark, rows, n_merges=4)
+        _, m2, v2 = self._model(spark, rows, n_merges=4)
+        assert m1 == m2
+        assert sorted(map(tuple, v1.collect())) == sorted(map(tuple, v2.collect()))
+
+    def test_vocab_stable_under_count_scaling(self, spark):
+        """Duplicating every document scales all pair counts uniformly,
+        so the learned merges AND the vocabulary ids are identical —
+        retraining on a bigger crawl of the same distribution reproduces
+        the artifact."""
+        rows = [(1, "low lower low"), (2, "new lower wide")]
+        doubled = rows + [(i + 100, t) for i, t in rows]
+        _, m1, v1 = self._model(spark, rows, n_merges=4)
+        _, m2, v2 = self._model(spark, doubled, n_merges=4)
+        assert m1 == m2
+        assert sorted(map(tuple, v1.collect())) == sorted(map(tuple, v2.collect()))
+
+    def test_vocab_layout_invariant_under_extension(self, spark):
+        """Extending the corpus with NEW characters shifts ids (the
+        alphabet block grows) but the layout contract holds: id 0 =
+        <unk>, dense ids, sorted alphabet block, merges appended in
+        merge order — and encode round-trips against the NEW artifact."""
+        from sciencebeam_trainer_grobid_tools_spark.operators import bpe
+
+        rows = [(1, "low lower low"), (2, "new lower wide")]
+        extended = rows + [(3, "grüße zürich")]
+        df = spark.createDataFrame(extended, "doc_id long, text string")
+        merges = bpe.bpe_train(df, n_merges=4)
+        vocab = {
+            r["token"]: r["token_id"]
+            for r in bpe.bpe_vocab_table(df, merges).collect()
+        }
+        assert vocab["<unk>"] == 0
+        assert sorted(vocab.values()) == list(range(len(vocab)))
+        alpha = sorted(set("lowernewwidegrüßezürich") | {"</w>"})
+        ordered = [t for t, i in sorted(vocab.items(), key=lambda kv: kv[1])]
+        assert ordered[1:1 + len(alpha)] == alpha
+        # round-trip: every emitted id maps back to a vocab token
+        enc = bpe.bpe_encode(df, merges, bpe.bpe_vocab_table(df, merges))
+        ids = {i for r in enc.collect() for i in r["token_ids"]}
+        assert ids <= set(vocab.values())

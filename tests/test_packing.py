@@ -150,8 +150,9 @@ class TestDistribution:
         """url-keyed packing (the north-star table's key is a string):
         stream order follows the string key's byte order; the byte-prefix
         bucket surrogate is balance-only.  Keys share a >7-byte prefix on
-        purpose, so the surrogate TIES across most documents and the
-        exact within-bucket ordering has to do the work."""
+        purpose — the LCP-stripping surrogate must still spread them
+        (all keys would otherwise collapse into ONE bucket), and the
+        exact within-bucket ordering does the correctness work."""
         docs = [
             ("https://example.org/p/%04d" % i, [i % 6] * (1 + i % 5))
             for i in range(120)
@@ -174,6 +175,25 @@ class TestDistribution:
         docs = [(k, [len(k)] * 3) for k in keys]
         df = spark.createDataFrame(docs, "doc_id string, token_ids array<int>")
         assert as_rows(pack_sequences(df, 5, buckets=4)) == ref_pack(docs, 5)
+
+    def test_string_keys_surrogate_ties_after_lcp(self, spark):
+        """Surrogate ties survive LCP stripping when min/max keys do not
+        share the group prefix (a shared-prefix cluster + an outlier):
+        the whole cluster ties into one bucket and the exact key order
+        still decides — values must be identical at every bucket count.
+        The second key set makes one key EXACTLY the common prefix
+        (empty suffix -> surrogate 0)."""
+        tie_keys = ["a/xxxxxxxxx%d" % i for i in range(9)] + ["b", "a/"]
+        prefix_is_key = ["a/"] + ["a/x%d" % i for i in range(9)]
+        for keys in (tie_keys, prefix_is_key):
+            docs = sorted((k, [1, 2, 3]) for k in keys)
+            df = spark.createDataFrame(
+                list(reversed(docs)), "doc_id string, token_ids array<int>"
+            ).repartition(3)
+            expected = ref_pack(docs, 7, eod_id=9)
+            for buckets in (1, 3, 8):
+                got = as_rows(pack_sequences(df, 7, eod_id=9, buckets=buckets))
+                assert got == expected, (keys[0], buckets)
 
     def test_default_buckets_tolerates_non_numeric_conf(self):
         """'auto' under AQE-managed platforms must fall back to the

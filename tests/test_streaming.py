@@ -342,3 +342,98 @@ class TestStreamFirstSeen:
             (u, 0),
             (u, 4),
         ]
+
+
+class TestStreamingCurationComposition:
+    """stream_first_seen survivors driven through curate_corpus stages
+    via foreachBatch — the streaming ingest front-end composed with the
+    batch curation stack, pinned equivalent to the all-batch path
+    (first-seen dedup -> hygiene floor).  The curation config here is
+    per-row (scrub + quality; the cross-doc stages are off), so
+    per-micro-batch application must equal whole-corpus application —
+    any survivor drift means the composition broke."""
+
+    GOOD = (
+        "This is a perfectly ordinary paragraph of running prose that "
+        "keeps going for long enough to clear the length floor and reads "
+        "like ordinary everyday text written by a person. "
+    )
+
+    def test_streamed_curation_matches_batch(self, spark, tmp_path):
+        import datetime
+
+        import pyspark.sql.functions as F
+
+        from sciencebeam_trainer_grobid_tools_spark.plans.curation import (
+            curate_corpus,
+        )
+        from sciencebeam_trainer_grobid_tools_spark.streaming.windows import (
+            stream_first_seen,
+        )
+
+        base = datetime.datetime(2026, 8, 1)
+        rows = []
+        for i in range(60):
+            url = "https://example.org/p%d" % (i % 15)
+            # recrawls carry a crawl marker so the first-seen choice is
+            # visible in the curated text; p0/p5/p10 are quality
+            # casualties (too short) in EVERY crawl
+            text = (
+                "short page"
+                if i % 15 % 5 == 0
+                else self.GOOD + "crawl %d of page %d. " % (i // 15, i % 15)
+                + "Mail admin%d@example.com today." % (i % 15)
+            )
+            rows.append((url, base + datetime.timedelta(minutes=i), text))
+        pages = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, text string"
+        )
+        stream_dir = tmp_path / "curation_stream"
+        pdf = pages.orderBy("warc_ts").toPandas()
+        per = len(pdf) // 4 + 1
+        for k in range(4):
+            chunk = pdf.iloc[k * per : (k + 1) * per]
+            if len(chunk):
+                spark.createDataFrame(chunk).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(str(stream_dir / ("chunk%d" % k)))
+        stream = (
+            spark.readStream.schema(pages.schema)
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(stream_dir))
+        )
+        out_dir = str(tmp_path / "curated_out")
+
+        def sink(bdf, _bid):
+            curate_corpus(bdf).write.mode("append").parquet(out_dir)
+
+        q = (
+            stream_first_seen(stream)
+            .writeStream.foreachBatch(sink)
+            .option(
+                "checkpointLocation", str(tmp_path / "curation_checkpoint")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        streamed = {
+            (r["url"], r["text"])
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        first_seen = pages.groupBy("url").agg(
+            F.min_by("text", "warc_ts").alias("text"),
+            F.min("warc_ts").alias("warc_ts"),
+        )
+        batch = {
+            (r["url"], r["text"])
+            for r in curate_corpus(first_seen).collect()
+        }
+        assert streamed == batch
+        # the composition did real work: quality dropped the short pages,
+        # the scrub replaced every planted email, first-seen kept crawl 0
+        assert len(streamed) == 12
+        assert all("@example.com" not in t for _, t in streamed)
+        assert all("crawl 0 of" in t for _, t in streamed)
