@@ -1020,6 +1020,14 @@ def q_docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         gopher={"min_words": 20, "min_stopword_hits": 1},
         clf_threshold=0.5,
     )
+    # curate ONCE and feed the pre-curated table into the training-prep
+    # plan (curation=None): the ten-stage fused curation expression tree
+    # is large, and letting prepare_training_data re-derive it per split
+    # per packing pass compounds the final plan into tens of MB of
+    # expression text — enough to break whole-stage codegen's 64 KB
+    # method limit and exhaust a default-sized (1 GiB) driver heap.
+    # prepare_training_data persists its split table, so every prep
+    # branch below reads one InMemoryRelation instead.
     curated = curate_corpus(planted, **stage_kwargs)
     null_s = F.lit(None).cast("string")
     null_l = F.lit(None).cast("long")
@@ -1037,13 +1045,14 @@ def q_docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_l.alias("n_toks"),
         null_l.alias("start_in_first"),
     )
-    # the composed training-prep plan over the same planted corpus; the
-    # gate leaves the per-split encoded tables persisted (sf-0.01-sized;
-    # the ContextCleaner reclaims them when the DataFrames drop)
+    # the composed training-prep plan over the same curated corpus; the
+    # gate leaves the split + per-split encoded tables persisted
+    # (sf-0.01-sized; the ContextCleaner reclaims them when the
+    # DataFrames drop)
     prep = prepare_training_data(
-        planted,
+        curated,
         seq_len=64,
-        curation=stage_kwargs,
+        curation=None,
         splits=[("train", 0.8), ("val", 0.2)],
         n_merges=0,
     )

@@ -240,6 +240,7 @@ def main() -> None:
     # records that evidence without re-measuring under unknown load
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
     for name in (
+        "quiet_scaling_r10.json",
         "quiet_scaling_r9.json",
         "quiet_scaling_r8.json",
         "quiet_scaling_r7.json",

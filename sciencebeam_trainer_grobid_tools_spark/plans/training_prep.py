@@ -78,8 +78,9 @@ __all__ = ["EOD", "TrainingPrepResult", "prepare_training_data"]
 class TrainingPrepResult:
     """Everything a training run consumes, plus the model artifacts.
 
-    ``encoded`` DataFrames are persisted (packing re-reads them);
-    call :meth:`unpersist` when the downstream work is done.
+    ``curated`` and the ``encoded`` DataFrames are persisted (each is
+    re-read by several downstream passes); call :meth:`unpersist` when
+    the downstream work is done.
     """
 
     curated: DataFrame  # curated rows + the split column
@@ -91,6 +92,7 @@ class TrainingPrepResult:
     manifests: Dict[str, DataFrame] = field(default_factory=dict)
 
     def unpersist(self) -> None:
+        self.curated.unpersist()
         for df in self.encoded.values():
             df.unpersist()
 
@@ -114,6 +116,7 @@ def prepare_training_data(
     seqs_per_shard: int = 1024,
     shard_mode: str = "error",
     persist_encoded: bool = True,
+    persist_curated: bool = True,
 ) -> TrainingPrepResult:
     """Raw page table -> per-split packed training sequences (and,
     when ``output_path`` is given, written shards + manifests).
@@ -155,6 +158,27 @@ def prepare_training_data(
         df, id_col=id_col, text_col=text_col, **dict(curation)
     )
     curated = host_split(curated, splits, url_col=url_col, salt=split_salt)
+    if persist_curated:
+        # everything downstream makes SEVERAL passes over this table
+        # (the BPE word-count pass, then a per-split encode, then
+        # packing's length/offset/fragment passes) — and, just as
+        # important, the lineage must be CUT here, not merely cached:
+        # each downstream branch's analyzed plan would otherwise embed
+        # its own full copy of the fused curation expression tree, and
+        # with a ten-stage curation config the union of split branches
+        # and packing passes compounds into tens of MB of expression
+        # tree — enough to break whole-stage codegen's 64 KB method
+        # limit and exhaust a default-sized (1 GiB) driver heap before
+        # a single row moves.  localCheckpoint(eager=False) replaces
+        # the plan with a materialized-RDD leaf at first action and
+        # stores the rows MEMORY_AND_DISK on the executors.  Caveat
+        # (documented Spark semantics): localCheckpoint storage is not
+        # fault-tolerant to executor loss — a production run at corpus
+        # scale should instead write the curated table to storage and
+        # read it back (the same explicit seam
+        # curate_corpus(persist_intermediate=...) documents), then call
+        # this with persist_curated=False.
+        curated = curated.localCheckpoint(eager=False)
 
     train = curated.filter(F.col("split") == names[0])
     learned = list(merges) if merges is not None else bpe_train_collected(

@@ -222,6 +222,35 @@ class TestTrainingPrep:
         }
         prep.unpersist()
 
+    def test_curated_lineage_is_cut(self, spark, corpus):
+        """persist_curated must TRUNCATE lineage, not merely cache: every
+        downstream branch (per-split encode, packing's multi-pass) would
+        otherwise embed its own full copy of the curation expression
+        tree, and a ten-stage config compounds the union plan into tens
+        of MB — enough to exhaust a default-sized (1 GiB) driver heap.
+        Pin that the packed plan reads a materialized-RDD leaf and that
+        its analyzed tree stays orders of magnitude below the blowup."""
+        prep = prepare_training_data(
+            corpus, seq_len=16, curation={}, splits=SPLITS, n_merges=0
+        )
+        for name in ("train", "val"):
+            analyzed = prep.packed[name]._jdf.queryExecution().analyzed()
+            text = analyzed.toString()
+            # the curation stages must NOT appear in the packed branch —
+            # the scrub placeholder is a curation-only literal
+            assert "<EMAIL>" not in text
+            # the hygiene-floor curation tree alone is ~100k chars; a
+            # per-branch copy would put each packed plan well above this
+            assert len(text) < 60_000, len(text)
+        # opting out keeps full lineage: curation appears per branch
+        raw = prepare_training_data(
+            corpus, seq_len=16, curation={}, splits=SPLITS, n_merges=0,
+            persist_curated=False,
+        )
+        t = raw.packed["train"]._jdf.queryExecution().analyzed().toString()
+        assert "<EMAIL>" in t
+        prep.unpersist()
+
     def test_vocab_ids_unique_and_reproducible(self, spark, corpus):
         a = prepare_training_data(
             corpus, seq_len=16, curation=None, splits=SPLITS, n_merges=4
