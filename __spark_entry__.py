@@ -1026,8 +1026,9 @@ def q_docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per packing pass compounds the final plan into tens of MB of
     # expression text — enough to break whole-stage codegen's 64 KB
     # method limit and exhaust a default-sized (1 GiB) driver heap.
-    # prepare_training_data persists its split table, so every prep
-    # branch below reads one InMemoryRelation instead.
+    # prepare_training_data cuts lineage at its split table
+    # (localCheckpoint), so every prep branch below reads one
+    # materialized leaf instead.
     curated = curate_corpus(planted, **stage_kwargs)
     null_s = F.lit(None).cast("string")
     null_l = F.lit(None).cast("long")
