@@ -1185,7 +1185,15 @@ def q_docs_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-id sum, first/last token — so boundary slicing, fragment
     ordering AND the eod insertion are all value-checked; DuckDB
     replays the pack closed-form with list functions over the same
-    window cumsum."""
+    window cumsum.
+
+    The ``shuffle`` variant pins :func:`packing.shuffle_sequences` —
+    the deterministic global pre-shard shuffle (window re-keyed to its
+    ``md5(salt:seq_id)`` rank): every packed window's summary row is
+    re-emitted under its SHUFFLED id, so the oracle's independent
+    ``row_number() OVER (ORDER BY md5...)`` replay hash-mismatches if
+    any window lands at the wrong rank, the permutation is not dense,
+    or a payload is disturbed in transit."""
     docs = _spread(_load(spark, sf_dir, "documents"), spark)
 
     nulls = [
@@ -1216,26 +1224,33 @@ def q_docs_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq_len=512,
         eod_id=999,
     )
-    pack = packed.select(
-        F.lit("pack").alias("mode"),
-        F.col("seq_id").alias("doc_id"),
-        F.lit(None).cast("string").alias("lang"),
-        "n_tokens",
-        "n_docs",
-        F.element_at("doc_spans", 1)["doc"].alias("first_doc"),
-        F.element_at("doc_spans", -1)["doc"].alias("last_doc"),
-        F.aggregate(
-            "token_ids",
-            F.lit(0).cast("long"),
-            lambda acc, t: acc + t,
-        ).alias("tok_sum"),
-        F.element_at("token_ids", 1).alias("first_token"),
-        F.element_at("token_ids", -1).alias("last_token"),
+    def window_rows(df: DataFrame, mode: str) -> DataFrame:
+        return df.select(
+            F.lit(mode).alias("mode"),
+            F.col("seq_id").alias("doc_id"),
+            F.lit(None).cast("string").alias("lang"),
+            "n_tokens",
+            "n_docs",
+            F.element_at("doc_spans", 1)["doc"].alias("first_doc"),
+            F.element_at("doc_spans", -1)["doc"].alias("last_doc"),
+            F.aggregate(
+                "token_ids",
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + t,
+            ).alias("tok_sum"),
+            F.element_at("token_ids", 1).alias("first_token"),
+            F.element_at("token_ids", -1).alias("last_token"),
+        )
+
+    pack = window_rows(packed, "pack")
+    shuffled = window_rows(
+        packing.shuffle_sequences(packed, salt="gate"), "shuffle"
     )
     return (
         kept("rate")
         .unionByName(kept("exact"))
         .unionByName(pack)
+        .unionByName(shuffled)
         .orderBy("mode", "doc_id")
     )
 
@@ -3164,10 +3179,23 @@ _DOCS_TOKEN_BUDGET_ORACLE_SQL = """
            n_tokens, n_docs, first_doc, last_doc, tok_sum,
            first_token, last_token
     FROM (%s)
+    UNION ALL
+    -- the shuffle variant: every pack window re-keyed to its global
+    -- md5('gate:'||seq_id) rank (dense, 0-based, id tie-break) — the
+    -- independent replay of operators/packing.py shuffle_sequences
+    SELECT 'shuffle',
+           CAST(row_number() OVER (
+               ORDER BY md5('gate:' || CAST(seq_id AS VARCHAR)), seq_id
+           ) - 1 AS BIGINT),
+           CAST(NULL AS VARCHAR),
+           n_tokens, n_docs, first_doc, last_doc, tok_sum,
+           first_token, last_token
+    FROM (%s)
     ORDER BY mode, doc_id
 """ % (
     _DOCS_TOKEN_BUDGET_RATE_ORACLE_SQL,
     _DOCS_TOKEN_BUDGET_EXACT_ORACLE_SQL,
+    _DOCS_TOKEN_BUDGET_PACK_ORACLE_SQL,
     _DOCS_TOKEN_BUDGET_PACK_ORACLE_SQL,
 )
 

@@ -44,7 +44,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["pack_sequences", "write_training_shards"]
+__all__ = ["pack_sequences", "shuffle_sequences", "write_training_shards"]
 
 
 def _default_buckets(spark) -> int:
@@ -272,6 +272,80 @@ def pack_sequences(
             ).otherwise(F.col("token_ids")),
         )
     return packed
+
+
+_SHUFFLE_HEX_PREFIX = 3  # 16^3 = 4096 fixed equal-width rank buckets
+
+
+def shuffle_sequences(
+    packed: DataFrame,
+    salt: str = "shuffle",
+    id_col: str = "seq_id",
+) -> DataFrame:
+    """Deterministic GLOBAL pseudo-shuffle of packed windows before
+    sharding: re-key ``id_col`` to the dense 0-based rank of
+    ``md5(salt:seq_id)`` over the whole table.  Trainers consume shards
+    in order, and :func:`pack_sequences` emits the token stream in
+    document order — adjacent windows share documents, hosts, and
+    crawl-time locality, so sharding the sequential ids would feed the
+    model highly correlated batches.  Shuffling the IDS (then sharding
+    with the unchanged ``seq_id // N`` rule) gives every shard an
+    unbiased global sample while keeping membership a pure function of
+    the data — re-running the job reproduces byte-identical shards, and
+    a different ``salt`` re-deals the whole permutation.
+
+    Spark-first shape — a global rank without a global sort bottleneck:
+
+    - the rank key is ``md5(salt:id)``; md5 is UNIFORM, so its first
+      3 hex chars define 4096 fixed equal-width buckets with NO
+      quantile/sampling pass (fixed-width lowercase hex compares
+      lexicographically == numerically, so bucketing is monotone in
+      key order and per-bucket ranks concatenate into the global
+      rank);
+    - per-bucket counts collect to the driver (<= 4096 rows, bounded
+      regardless of corpus size) and come back as broadcast base
+      offsets — the same two-pass prefix-sum shape as
+      :func:`pack_sequences`;
+    - the payload crosses the wire ONCE: a single Exchange on the
+      bucket key, ``row_number`` within each bucket (4096 independent
+      sorts, no single-partition window).
+
+    The input is evaluated twice (the slim count pass is pruned to
+    ``id_col`` only); persist upstream if the packed table is an
+    expensive in-flight plan.  ``id_col`` values must be unique and
+    non-null (pack_sequences ids are); ties beyond an md5 collision
+    are broken by the id itself, so the permutation is total and
+    deterministic either way.
+    """
+    spark = packed.sparkSession
+    key = F.md5(
+        F.concat(
+            F.lit("%s:" % salt), F.col(id_col).cast("string")
+        )
+    )
+    bucket = F.conv(
+        F.substring(key, 1, _SHUFFLE_HEX_PREFIX), 16, 10
+    ).cast("int")
+    with_key = packed.withColumn("_sk", key).withColumn("_sb", bucket)
+    counts = {
+        r["_sb"]: r["_c"]
+        for r in with_key.groupBy("_sb")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .collect()
+    }
+    base, bases = 0, []
+    for b in sorted(counts):
+        bases.append((b, base))
+        base += counts[b]
+    base_df = spark.createDataFrame(bases or [(0, 0)], "_sb int, _base long")
+    rn = F.row_number().over(
+        Window.partitionBy("_sb").orderBy("_sk", id_col)
+    )
+    return (
+        with_key.join(F.broadcast(base_df), "_sb")
+        .withColumn(id_col, (F.col("_base") + rn - 1).cast("long"))
+        .drop("_sk", "_sb", "_base")
+    )
 
 
 def write_training_shards(

@@ -65,7 +65,11 @@ from ..operators.bpe import (
     bpe_train_collected,
     bpe_vocab_table,
 )
-from ..operators.packing import pack_sequences, write_training_shards
+from ..operators.packing import (
+    pack_sequences,
+    shuffle_sequences,
+    write_training_shards,
+)
 from ..operators.urlfilter import host_split
 from .curation import curate_corpus
 
@@ -117,6 +121,7 @@ def prepare_training_data(
     shard_mode: str = "error",
     persist_encoded: bool = True,
     persist_curated: bool = True,
+    shuffle_salt: Optional[str] = None,
 ) -> TrainingPrepResult:
     """Raw page table -> per-split packed training sequences (and,
     when ``output_path`` is given, written shards + manifests).
@@ -148,6 +153,13 @@ def prepare_training_data(
     ``output_path`` writes ``<path>/<split>`` shard directories
     (``shard=N/`` partitions inside each) and returns the read-back
     manifests.
+
+    ``shuffle_salt`` re-keys each split's packed windows to their
+    global ``md5(salt:split:seq_id)`` rank before sharding
+    (:func:`~..operators.packing.shuffle_sequences`) so every shard is
+    an unbiased global sample of the split instead of a contiguous —
+    url-ordered, hence host- and crawl-time-correlated — slice of the
+    stream; deterministic, so a re-run reproduces identical shards.
     """
     names = [
         p[0] for p in (splits.items() if hasattr(splits, "items") else splits)
@@ -216,6 +228,14 @@ def prepare_training_data(
             pad_id=pad_id,
             drop_incomplete=drop_incomplete,
         )
+        if shuffle_salt is not None:
+            # re-key windows to their global md5 rank so shards sample
+            # the whole split instead of a contiguous (url-ordered,
+            # hence host/time-correlated) slice of the stream; the
+            # per-split salt keeps train/val permutations independent
+            result.packed[name] = shuffle_sequences(
+                result.packed[name], salt="%s:%s" % (shuffle_salt, name)
+            )
         if output_path is not None:
             result.manifests[name] = write_training_shards(
                 result.packed[name],

@@ -222,6 +222,43 @@ class TestTrainingPrep:
         }
         prep.unpersist()
 
+    def test_shuffle_salt_re_keys_per_split(self, spark, corpus):
+        """shuffle_salt re-keys each split's packed windows to a dense
+        md5-rank permutation (window CONTENT unchanged — same windows,
+        new ids), per-split salted so train and val permutations are
+        independent, and deterministic across runs."""
+        plain = prepare_training_data(
+            corpus, seq_len=16, curation=None, splits=SPLITS, n_merges=0
+        )
+        shuf = prepare_training_data(
+            corpus, seq_len=16, curation=None, splits=SPLITS, n_merges=0,
+            shuffle_salt="s",
+        )
+        again = prepare_training_data(
+            corpus, seq_len=16, curation=None, splits=SPLITS, n_merges=0,
+            shuffle_salt="s",
+        )
+        for name in ("train", "val"):
+            def windows(prep):
+                return {
+                    r["seq_id"]: list(r["token_ids"])
+                    for r in prep.packed[name].collect()
+                }
+
+            p, s, a = windows(plain), windows(shuf), windows(again)
+            assert s == a  # deterministic
+            assert sorted(s) == sorted(p) == list(range(len(p)))
+            # same multiset of windows, re-keyed (not a no-op when
+            # there is more than one window to permute)
+            assert sorted(map(tuple, s.values())) == sorted(
+                map(tuple, p.values())
+            )
+            if len(p) > 4:
+                assert s != p
+        plain.unpersist()
+        shuf.unpersist()
+        again.unpersist()
+
     def test_curated_lineage_is_cut(self, spark, corpus):
         """persist_curated must TRUNCATE lineage, not merely cache: every
         downstream branch (per-split encode, packing's multi-pass) would
