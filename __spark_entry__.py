@@ -1193,7 +1193,16 @@ def q_docs_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-emitted under its SHUFFLED id, so the oracle's independent
     ``row_number() OVER (ORDER BY md5...)`` replay hash-mismatches if
     any window lands at the wrong rank, the permutation is not dense,
-    or a payload is disturbed in transit."""
+    or a payload is disturbed in transit.
+
+    The ``mix`` variant pins :func:`textstats.mix_corpora` — the
+    multi-source mixture with epoch upsampling (en weight 1 vs fr
+    weight 3 at a 40k-token budget: en subsamples at e<1 while fr
+    REPEATS for ~8 epochs).  One row per (source, doc, epoch); the
+    oracle replays the per-source epoch arithmetic and the exact
+    md5 membership of each fractional epoch, so a wrong epoch count,
+    a duplicated/missing repetition, or a drifted draw all
+    hash-mismatch."""
     docs = _spread(_load(spark, sf_dir, "documents"), spark)
 
     nulls = [
@@ -1246,11 +1255,32 @@ def q_docs_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled = window_rows(
         packing.shuffle_sequences(packed, salt="gate"), "shuffle"
     )
+    mixed = textstats.mix_corpora(
+        {
+            "en": docs.filter(F.col("lang") == "en"),
+            "fr": docs.filter(F.col("lang") == "fr"),
+        },
+        {"en": 1.0, "fr": 3.0},
+        40000,
+        salt="gate",
+    ).select(
+        F.lit("mix").alias("mode"),
+        "doc_id",
+        F.col("source").alias("lang"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("epoch").cast("int").alias("n_docs"),
+        F.lit(None).cast("long").alias("first_doc"),
+        F.lit(None).cast("long").alias("last_doc"),
+        F.lit(None).cast("long").alias("tok_sum"),
+        F.lit(None).cast("int").alias("first_token"),
+        F.lit(None).cast("int").alias("last_token"),
+    )
     return (
         kept("rate")
         .unionByName(kept("exact"))
         .unionByName(pack)
         .unionByName(shuffled)
+        .unionByName(mixed)
         .orderBy("mode", "doc_id")
     )
 
@@ -3159,6 +3189,43 @@ _DOCS_TOKEN_BUDGET_PACK_ORACLE_SQL = """
     FROM sl GROUP BY seq_id
 """
 
+# DuckDB replica of the mix variant: per-source epoch arithmetic
+# (e = (budget * w / sum_w) / total_tokens, textually parallel to the
+# python float expression so IEEE doubles agree bit-for-bit), full
+# epochs unconditional, the fractional epoch by the exact md5-uniform
+# draw on 'gate:<source>:<n_full>:<doc_id>'
+_DOCS_TOKEN_BUDGET_MIX_ORACLE_SQL = """
+    WITH t AS (
+        SELECT doc_id, lang, LEN(string_split(text, ' ')) AS n_tok
+        FROM documents WHERE lang IN ('en', 'fr')
+    ),
+    par AS (
+        SELECT lang,
+               (40000.0 * CASE lang WHEN 'en' THEN 1.0 ELSE 3.0 END / 4.0)
+                   / CAST(SUM(n_tok) AS DOUBLE) AS e
+        FROM t GROUP BY lang
+    ),
+    joined AS (
+        -- pre-join before the unnest: DuckDB's binder cannot carry an
+        -- unnest output column out of a SELECT whose FROM is a join
+        SELECT t.doc_id, t.lang, t.n_tok,
+               CAST(FLOOR(p.e) AS INT) AS n_full,
+               p.e - FLOOR(p.e) AS frac
+        FROM t JOIN par p USING (lang)
+    ),
+    ex AS (
+        SELECT doc_id, lang, n_tok, n_full, frac,
+               unnest(generate_series(0, n_full)) AS epoch
+        FROM joined
+    )
+    SELECT doc_id, lang, n_tok, epoch
+    FROM ex
+    WHERE epoch < n_full
+       OR CAST('0x' || substr(md5('gate:' || lang || ':' ||
+              CAST(n_full AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)),
+              1, 8) AS BIGINT) / 4294967296.0 < frac
+"""
+
 _DOCS_TOKEN_BUDGET_ORACLE_SQL = """
     SELECT 'rate' AS mode, doc_id, lang,
            CAST(NULL AS INT) AS n_tokens, CAST(NULL AS INT) AS n_docs,
@@ -3191,12 +3258,19 @@ _DOCS_TOKEN_BUDGET_ORACLE_SQL = """
            n_tokens, n_docs, first_doc, last_doc, tok_sum,
            first_token, last_token
     FROM (%s)
+    UNION ALL
+    SELECT 'mix', doc_id, lang,
+           CAST(n_tok AS INT), CAST(epoch AS INT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS INT), CAST(NULL AS INT)
+    FROM (%s)
     ORDER BY mode, doc_id
 """ % (
     _DOCS_TOKEN_BUDGET_RATE_ORACLE_SQL,
     _DOCS_TOKEN_BUDGET_EXACT_ORACLE_SQL,
     _DOCS_TOKEN_BUDGET_PACK_ORACLE_SQL,
     _DOCS_TOKEN_BUDGET_PACK_ORACLE_SQL,
+    _DOCS_TOKEN_BUDGET_MIX_ORACLE_SQL,
 )
 
 

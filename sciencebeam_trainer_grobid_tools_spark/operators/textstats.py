@@ -528,6 +528,99 @@ def token_budget_sample(
     )
 
 
+def mix_corpora(
+    sources,
+    weights,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "mix",
+) -> "DataFrame":
+    """Deterministic multi-source mixture with epoch upsampling — the
+    data-mixing step between curation and packing (Pile/LLaMA-style
+    recipes: "train on B tokens, w_s of them from source s"; an
+    upweighted small source REPEATS, i.e. trains for multiple epochs,
+    rather than being impossible to sample enough of).
+
+    Per source ``s``: target budget ``B_s = budget_tokens * w_s /
+    sum(w)``; with ``T_s`` the source's total token count, the epoch
+    count is ``e_s = B_s / T_s`` — every document appears
+    ``floor(e_s)`` times (``epoch`` 0..floor-1) and once more, in
+    epoch ``floor(e_s)``, with probability ``frac(e_s)`` via the
+    repo's deterministic md5-uniform draw on
+    ``salt:source:epoch:id`` (token-unbiased in expectation, binomial
+    concentration — exact at web scale; DuckDB replays exact
+    membership).  Reproducible run-to-run; a new ``salt`` re-deals
+    only the fractional epoch.
+
+    Scale shape: per source, ONE column-pruned aggregate for ``T_s``
+    (driver scalar), then pure per-row codegen — the epoch explosion
+    is ``explode(sequence(...))`` in the scan stage and the
+    fractional-epoch filter is a codegen comparison; zero shuffles,
+    zero Python.  Output: each source's rows (schemas must match)
+    plus ``source``, ``epoch`` and ``n_tokens`` columns.
+
+    ``sources`` maps name -> DataFrame; ``weights`` maps the same
+    names to positive weights.  An empty source (or one with zero
+    tokens) contributes nothing — by definition it cannot fill any
+    budget; callers wanting an error should check ``T_s`` upstream.
+    """
+    names = list(sources)
+    if not names:
+        raise ValueError("sources must be non-empty")
+    if set(names) != set(weights):
+        raise ValueError(
+            "sources and weights must carry the same names: %r vs %r"
+            % (sorted(names), sorted(weights))
+        )
+    wsum = float(sum(weights.values()))
+    if wsum <= 0 or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative with a positive sum")
+
+    out = None
+    for name in names:
+        src = sources[name]
+        n_tok = whitespace_token_count(F.col(text_col))
+        total = src.select(n_tok.alias("_n")).agg(F.sum("_n")).first()[0]
+        if not total:
+            continue
+        epochs = (float(budget_tokens) * float(weights[name]) / wsum) / float(
+            total
+        )
+        n_full = int(epochs)
+        frac = epochs - n_full
+        draw = _hash_uniform(
+            F.concat(
+                F.lit("%s:%s:%d:" % (salt, name, n_full)),
+                F.col(id_col).cast("string"),
+            )
+        )
+        part = (
+            src.select(
+                "*",
+                n_tok.alias("n_tokens"),
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(n_full))
+                ).alias("epoch"),
+            )
+            .filter((F.col("epoch") < n_full) | (draw < F.lit(frac)))
+            .withColumn("source", F.lit(name))
+        )
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        # every source was empty: an empty frame with the contract schema
+        first = sources[names[0]]
+        return (
+            first.select(
+                "*",
+                F.lit(0).cast("int").alias("n_tokens"),
+                F.lit(0).cast("int").alias("epoch"),
+                F.lit("").alias("source"),
+            ).limit(0)
+        )
+    return out
+
+
 def _hash_uniform_open(col) -> "Column":
     """Deterministic uniform draw per id on the OPEN interval (0, 1):
     ``(x + 0.5) / 2^32`` over the md5-prefix integer — never exactly 0 or

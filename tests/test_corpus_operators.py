@@ -2112,6 +2112,136 @@ class TestTokenBudgetSample:
             assert {r["lang"] for r in kept} == {"en", None}, mode
 
 
+class TestMixCorpora:
+    def _sources(self, spark):
+        # 'big': 20 docs x 10 tokens = 200; 'small': 4 docs x 5 = 20
+        big = spark.createDataFrame(
+            [(i, " ".join("w%d" % j for j in range(10))) for i in range(20)],
+            "doc_id long, text string",
+        )
+        small = spark.createDataFrame(
+            [(100 + i, "a b c d e") for i in range(4)],
+            "doc_id long, text string",
+        )
+        return {"big": big, "small": small}
+
+    def test_matches_python_reference(self, spark):
+        """Epoch counts and fractional-epoch membership replayed with
+        hashlib: every (source, doc, epoch) row the operator emits is
+        exactly the reference's."""
+        import hashlib
+
+        from sciencebeam_trainer_grobid_tools_spark.operators import (
+            textstats as ts,
+        )
+
+        srcs = self._sources(spark)
+        weights = {"big": 1.0, "small": 1.0}
+        budget = 300  # per source 150: big e=0.75, small e=7.5
+        got = {
+            (r["source"], r["doc_id"], r["epoch"])
+            for r in ts.mix_corpora(srcs, weights, budget, salt="m").collect()
+        }
+        want = set()
+        for name, docs, total in (
+            ("big", [(i, 10) for i in range(20)], 200),
+            ("small", [(100 + i, 5) for i in range(4)], 20),
+        ):
+            e = (budget * 0.5) / total
+            n_full = int(e)
+            frac = e - n_full
+            for doc_id, _ in docs:
+                for ep in range(n_full):
+                    want.add((name, doc_id, ep))
+                u = int(
+                    hashlib.md5(
+                        ("m:%s:%d:%d" % (name, n_full, doc_id)).encode()
+                    ).hexdigest()[:8],
+                    16,
+                ) / float(16 ** 8)
+                if u < frac:
+                    want.add((name, doc_id, n_full))
+        assert got == want
+        # the upweighted small source actually repeats: epochs >= 7
+        assert max(ep for s, _, ep in got if s == "small") >= 7
+        # and the big source is subsampled, not exhausted
+        assert len([1 for s, _, ep in got if s == "big"]) < 20
+
+    def test_token_budget_hit_in_expectation(self, spark):
+        from sciencebeam_trainer_grobid_tools_spark.operators import (
+            textstats as ts,
+        )
+
+        srcs = self._sources(spark)
+        rows = ts.mix_corpora(
+            srcs, {"big": 3.0, "small": 1.0}, 400, salt="b"
+        ).collect()
+        tok = {}
+        for r in rows:
+            tok[r["source"]] = tok.get(r["source"], 0) + r["n_tokens"]
+        # big target 300 of 200 available -> 1 full epoch + half; small
+        # target 100 = 5 exact epochs of its 20 tokens
+        assert tok["small"] == 100
+        assert 200 <= tok["big"] <= 400  # full epoch + binomial half
+
+    def test_deterministic_and_salt_redeals_fraction_only(self, spark):
+        from sciencebeam_trainer_grobid_tools_spark.operators import (
+            textstats as ts,
+        )
+
+        srcs = self._sources(spark)
+        w = {"big": 1.0, "small": 1.0}
+
+        def rows(salt):
+            return sorted(
+                (r["source"], r["doc_id"], r["epoch"])
+                for r in ts.mix_corpora(srcs, w, 300, salt=salt).collect()
+            )
+
+        assert rows("x") == rows("x")
+        a, b = rows("x"), rows("y")
+        # full epochs are salt-independent; only the fractional epoch
+        # re-deals
+        full_a = [t for t in a if t[0] == "small" and t[2] < 7]
+        full_b = [t for t in b if t[0] == "small" and t[2] < 7]
+        assert full_a == full_b
+        assert a != b or len(a) == len(b)  # permutation of draws may tie
+
+    def test_zero_shuffle_plan(self, spark):
+        """After the totals collect, the mixture is pure codegen: the
+        per-source plans carry no Exchange at all."""
+        from sciencebeam_trainer_grobid_tools_spark.operators import (
+            textstats as ts,
+        )
+
+        srcs = self._sources(spark)
+        mixed = ts.mix_corpora(srcs, {"big": 1.0, "small": 1.0}, 300)
+        plan = mixed._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_validation_and_empty_source(self, spark):
+        import pytest as _pytest
+
+        from sciencebeam_trainer_grobid_tools_spark.operators import (
+            textstats as ts,
+        )
+
+        srcs = self._sources(spark)
+        with _pytest.raises(ValueError):
+            ts.mix_corpora({}, {}, 100)
+        with _pytest.raises(ValueError):
+            ts.mix_corpora(srcs, {"big": 1.0}, 100)
+        with _pytest.raises(ValueError):
+            ts.mix_corpora(srcs, {"big": -1.0, "small": 0.0}, 100)
+        empty = srcs["big"].limit(0)
+        out = ts.mix_corpora(
+            {"big": srcs["big"], "void": empty},
+            {"big": 1.0, "void": 1.0},
+            200,
+        )
+        assert {r["source"] for r in out.collect()} == {"big"}
+
+
 class TestWinnowing:
     def test_guarantee_and_identity(self, spark):
         """Winnowing's containment guarantee: any shared run of
