@@ -1676,24 +1676,30 @@ def q_align_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def align_batches(batches):
         for pdf in batches:
-            rows = []
-            for row in pdf.itertuples(index=False):
-                text = row.text
+            # columnar accumulation (lists -> one DataFrame) instead of a
+            # per-row dict list: the per-row pandas overhead was measurable
+            # next to the fuzzy kernel call itself (guide §4.2)
+            starts = []
+            ends = []
+            needles = []
+            for text in pdf["text"].tolist():
                 needle = text[100:140]
                 fm = fuzzy_search(text, needle, threshold=1.0)
                 if fm is None:
                     start, end = -1, -1
                 else:
                     start, end = fm.a_index_range()
-                rows.append(
-                    {
-                        "doc_id": row.doc_id,
-                        "span_start": start,
-                        "span_end": end,
-                        "needle": needle,
-                    }
-                )
-            yield pd.DataFrame(rows, columns=["doc_id", "span_start", "span_end", "needle"])
+                starts.append(start)
+                ends.append(end)
+                needles.append(needle)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "span_start": pd.Series(starts, dtype="int32"),
+                    "span_end": pd.Series(ends, dtype="int32"),
+                    "needle": needles,
+                }
+            )
 
     return docs.mapInPandas(
         align_batches, schema="doc_id long, span_start int, span_end int, needle string"

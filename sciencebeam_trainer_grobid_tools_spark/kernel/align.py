@@ -135,6 +135,21 @@ def local_matching_blocks(haystack: str, needle: str) -> MatchingBlocks:
     matching the contract of ``LocalSequenceMatcher.get_matching_blocks()``
     (reference: utils/fuzzy.py:198-202).
     """
+    # Exact-occurrence fast path: a score of 2*len(needle) (the attainable
+    # maximum — every needle char matched, no gap/mismatch penalties) is
+    # reached exactly by verbatim occurrences, and the max-cell scan
+    # tie-breaks to the smallest a index (leftmost end cell), so when the
+    # needle occurs verbatim the DP result is provably the FIRST occurrence
+    # as one block.  str.find performs the same code-point comparison at C
+    # speed, skipping the O(n*m) DP.  Guarded to the exact-DP regime so the
+    # MAX_DP_CELLS needle-truncation behavior is unchanged.
+    if needle and len(haystack) * len(needle) <= MAX_DP_CELLS:
+        idx = haystack.find(needle)
+        if idx >= 0:
+            return [
+                (idx, 0, len(needle)),
+                (len(haystack), len(needle), 0),
+            ]
     a_codes = np.frombuffer(haystack.encode("utf-32-le"), dtype=np.uint32)
     b_codes = np.frombuffer(needle.encode("utf-32-le"), dtype=np.uint32)
     if a_codes.shape[0] * b_codes.shape[0] > MAX_DP_CELLS:

@@ -385,14 +385,26 @@ class FuzzyScore:
 
 class MaskedString:
     """A string with some characters masked out, retaining an index back-map
-    (reference StringView: utils/fuzzy.py:104-129)."""
+    (reference StringView: utils/fuzzy.py:104-129).
 
-    __slots__ = ("original", "masked", "index_map")
+    The back-map is computed lazily for the whitespace-masked hot path: a
+    search that finds no match (or hits the exact-occurrence fast path and
+    then only reads two positions) should not pay for materializing it."""
 
-    def __init__(self, original: str, masked: str, index_map):
+    __slots__ = ("original", "masked", "_index_map")
+
+    def __init__(self, original: str, masked: str, index_map=None):
         self.original = original
         self.masked = masked
-        self.index_map = index_map
+        self._index_map = index_map
+
+    @property
+    def index_map(self):
+        if self._index_map is None:
+            codes = _codes(self.original)
+            keep = ~((codes == _SPACE_CODE) | (codes == 9) | (codes == 10))
+            self._index_map = np.flatnonzero(keep)
+        return self._index_map
 
     @staticmethod
     def from_keep_flags(original: str, keep: List[bool]) -> "MaskedString":
@@ -409,15 +421,18 @@ class MaskedString:
         )
 
 
+# str.translate deletion table for the space_is_junk character set — one
+# C pass over the string, no numpy round-trip
+_WS_DELETE_TABLE = {ord(" "): None, ord("\t"): None, ord("\n"): None}
+
+
 @lru_cache(maxsize=32)
 def _space_masked(original: str) -> MaskedString:
-    """Vectorized whitespace masking (the hot path: the full pending-sequence
-    haystack is masked per fuzzy search)."""
-    codes = _codes(original)
-    keep = ~((codes == _SPACE_CODE) | (codes == 9) | (codes == 10))
-    index_map = np.flatnonzero(keep)
-    masked = codes[keep].tobytes().decode("utf-32-le")
-    return MaskedString(original, masked, index_map)
+    """Whitespace masking (the hot path: the full pending-sequence haystack
+    is masked per fuzzy search).  The masked text comes from str.translate
+    (single C pass); the index back-map is materialized lazily on first
+    access (MaskedString.index_map)."""
+    return MaskedString(original, original.translate(_WS_DELETE_TABLE))
 
 
 def offset_blocks(blocks: MatchingBlocks, a_offset: int = 0, b_offset: int = 0) -> MatchingBlocks:
@@ -629,18 +644,37 @@ def fuzzy_search_chunks(
         return ChunkedMatch([fm])
     haystack_view = MaskedString.mask_junk(haystack, space_is_junk)
     needle_view = MaskedString.mask_junk(needle, space_is_junk)
-    max_length, stride = auto_window(
-        len(haystack_view.masked), len(needle_view.masked), threshold
-    )
-    raw_chunks = strided_matching_block_chunks(
-        haystack_view.masked,
-        needle_view.masked,
-        max_length=max_length,
-        stride=stride,
-        threshold=threshold,
-        max_chunks=max_chunks,
-        isjunk=isjunk or positional_is_junk,
-    )
+    raw_chunks: Optional[List[MatchingBlocks]] = None
+    # Exact-occurrence fast path for the SINGLE-WINDOW regime (masked
+    # haystack <= MIN_WINDOW_LENGTH, where auto_window returns one window
+    # covering the whole haystack): a verbatim masked occurrence is provably
+    # what the full path returns — the SW optimum over the single window is
+    # the FIRST occurrence as one block (see local_matching_blocks), and its
+    # acceptance score is exactly 1.0 (full needle coverage, no junk-free
+    # gaps), so any threshold <= 1.0 accepts it.  Multi-window haystacks
+    # must keep the strided scan (an earlier window's sub-threshold-exact
+    # fuzzy match may be accepted first), so the guard excludes them.
+    if (
+        needle_view.masked
+        and threshold <= 1.0
+        and len(haystack_view.masked) <= MIN_WINDOW_LENGTH
+    ):
+        first_at = haystack_view.masked.find(needle_view.masked)
+        if first_at >= 0:
+            raw_chunks = [[(first_at, 0, len(needle_view.masked))]]
+    if raw_chunks is None:
+        max_length, stride = auto_window(
+            len(haystack_view.masked), len(needle_view.masked), threshold
+        )
+        raw_chunks = strided_matching_block_chunks(
+            haystack_view.masked,
+            needle_view.masked,
+            max_length=max_length,
+            stride=stride,
+            threshold=threshold,
+            max_chunks=max_chunks,
+            isjunk=isjunk or positional_is_junk,
+        )
     if not raw_chunks:
         return None
     ha_map = haystack_view.index_map
