@@ -572,7 +572,14 @@ def extract_entity_spans(doc: TokenizedDoc) -> List[Dict[str, object]]:
     current: Optional[Dict[str, object]] = None
     current_value: Optional[str] = None
     for token in doc.iter_tokens():
-        prefix, value = split_tag_prefix(token.tag)
+        tag = token.tag
+        if not tag:
+            # untagged fast path: the overwhelming majority of tokens —
+            # skip the split_tag_prefix call entirely
+            current = None
+            current_value = None
+            continue
+        prefix, value = split_tag_prefix(tag)
         if not value:
             current = None
             current_value = None
@@ -594,7 +601,12 @@ def extract_sub_entity_spans(doc: TokenizedDoc) -> List[Dict[str, object]]:
     current: Optional[Dict[str, object]] = None
     current_value: Optional[str] = None
     for token in doc.iter_tokens():
-        prefix, value = split_tag_prefix(token.sub_tag)
+        sub_tag = token.sub_tag
+        if not sub_tag:
+            current = None
+            current_value = None
+            continue
+        prefix, value = split_tag_prefix(sub_tag)
         if not value:
             current = None
             current_value = None

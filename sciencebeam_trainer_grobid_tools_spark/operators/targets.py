@@ -28,6 +28,7 @@ import configparser
 import json
 import re
 import xml.etree.ElementTree as ET
+from collections import OrderedDict
 from itertools import chain
 from typing import Dict, List, Optional, Set, Tuple, Union
 
@@ -406,15 +407,23 @@ def _extract_sub_annotations(
     mapping: Dict[str, str],
     parent_key: str,
     ctx: XPathContext,
+    sub_extract_compiled: Optional[Dict[str, Optional["re.Pattern[str]"]]] = None,
 ) -> List[TargetAnnotation]:
     if not sub_xpaths:
         return []
     sub_annotations: List[TargetAnnotation] = []
     for sub_tag, sub_xpath in sub_xpaths.items():
-        extract_pattern = mapping.get(
-            parent_key + MappingSuffix.SUB + "." + sub_tag + MappingSuffix.EXTRACT_REGEX
-        )
-        compiled = re.compile(extract_pattern) if extract_pattern else None
+        if sub_extract_compiled is not None:
+            compiled = sub_extract_compiled.get(sub_tag)
+        else:
+            extract_pattern = mapping.get(
+                parent_key
+                + MappingSuffix.SUB
+                + "."
+                + sub_tag
+                + MappingSuffix.EXTRACT_REGEX
+            )
+            compiled = re.compile(extract_pattern) if extract_pattern else None
         for node in match_xpaths(parent_node, [sub_xpath], ctx):
             value: Union[str, List[str], None] = stripped_text_content(node)
             if value:
@@ -430,6 +439,95 @@ def _extract_sub_annotations(
 # main entry (target_annotation.py:330-448)
 
 
+class _FieldPlan:
+    """Per-field mapping configuration, pre-parsed once per mapping dict.
+
+    Everything here is a pure function of the mapping — regex compiles,
+    json.loads of the children config, xpath splitting and the sub-mapping
+    scans were previously recomputed for every DOCUMENT (hot on the flagship
+    path: ~6 fields x 50k docs); the plan caches them per mapping object."""
+
+    __slots__ = (
+        "field",
+        "match_multiple",
+        "bonding",
+        "require_next",
+        "unmatched_parent_text",
+        "ignore_xpaths",
+        "children_xpaths",
+        "children_concat",
+        "children_range",
+        "compiled",
+        "extract_compiled",
+        "priority",
+        "sub_xpaths",
+        "sub_extract_compiled",
+        "use_raw_text_config",
+        "xpaths",
+    )
+
+    def __init__(self, mapping: Dict[str, str], field: str):
+        def flag(suffix: str) -> bool:
+            return mapping.get(field + suffix) == "true"
+
+        self.field = field
+        self.match_multiple = flag(MappingSuffix.MATCH_MULTIPLE)
+        self.bonding = flag(MappingSuffix.BONDING)
+        self.require_next = flag(MappingSuffix.REQUIRE_NEXT)
+        self.unmatched_parent_text = flag(MappingSuffix.UNMATCHED_PARENT_TEXT)
+        self.ignore_xpaths = parse_xpaths(mapping.get(field + MappingSuffix.IGNORE))
+        self.children_xpaths = parse_xpaths(mapping.get(field + MappingSuffix.CHILDREN))
+        self.children_concat = json.loads(
+            mapping.get(field + MappingSuffix.CHILDREN_CONCAT) or "[]"
+        )
+        self.children_range = json.loads(
+            mapping.get(field + MappingSuffix.CHILDREN_RANGE) or "[]"
+        )
+        pattern = mapping.get(field + MappingSuffix.REGEX)
+        self.compiled = re.compile(pattern) if pattern else None
+        extract_pattern = mapping.get(field + MappingSuffix.EXTRACT_REGEX)
+        self.extract_compiled = re.compile(extract_pattern) if extract_pattern else None
+        self.priority = int(mapping.get(field + MappingSuffix.PRIORITY, "0"))
+        self.sub_xpaths = _get_sub_mapping(mapping, field)
+        self.sub_extract_compiled = {
+            sub_tag: (re.compile(p) if p else None)
+            for sub_tag in self.sub_xpaths
+            for p in (
+                mapping.get(
+                    field + MappingSuffix.SUB + "." + sub_tag + MappingSuffix.EXTRACT_REGEX
+                ),
+            )
+        }
+        use_raw_text_value = mapping.get(field + MappingSuffix.USE_RAW_TEXT)
+        self.use_raw_text_config = (
+            _parse_bool(use_raw_text_value, False) if use_raw_text_value else None
+        )
+        self.xpaths = parse_xpaths(mapping[field])
+
+
+# Keyed by id() of the mapping dict; each entry keeps a STRONG reference to
+# the mapping so a live cache key's id can never be reused by a new dict.
+# Bounded FIFO — mapping configs are tiny and few per process.
+_FIELD_PLAN_CACHE: "OrderedDict[int, Tuple[Dict[str, str], List[_FieldPlan]]]" = (
+    OrderedDict()
+)
+_FIELD_PLAN_CACHE_MAX = 16
+
+
+def _field_plans(mapping: Dict[str, str]) -> List[_FieldPlan]:
+    key = id(mapping)
+    hit = _FIELD_PLAN_CACHE.get(key)
+    if hit is not None and hit[0] is mapping:
+        return hit[1]
+    plans = [
+        _FieldPlan(mapping, field) for field in mapping.keys() if "." not in field
+    ]
+    _FIELD_PLAN_CACHE[key] = (mapping, plans)
+    while len(_FIELD_PLAN_CACHE) > _FIELD_PLAN_CACHE_MAX:
+        _FIELD_PLAN_CACHE.popitem(last=False)
+    return plans
+
+
 def xml_root_to_target_annotations(
     xml_root: ET.Element, xml_mapping: Dict[str, Dict[str, str]]
 ) -> List[TargetAnnotation]:
@@ -439,38 +537,32 @@ def xml_root_to_target_annotations(
             % (xml_root.tag, sorted(xml_mapping.keys()))
         )
     mapping = xml_mapping[xml_root.tag]
-    field_names = [k for k in mapping.keys() if "." not in k]
     ctx = XPathContext(xml_root)
 
-    def flag(key: str, suffix: str) -> bool:
-        return mapping.get(key + suffix) == "true"
-
     annotated: List[Tuple[Tuple, TargetAnnotation]] = []
-    for field in field_names:
-        match_multiple = flag(field, MappingSuffix.MATCH_MULTIPLE)
-        bonding = flag(field, MappingSuffix.BONDING)
-        require_next = flag(field, MappingSuffix.REQUIRE_NEXT)
-        unmatched_parent_text = flag(field, MappingSuffix.UNMATCHED_PARENT_TEXT)
-        ignore_xpaths = parse_xpaths(mapping.get(field + MappingSuffix.IGNORE))
-        children_xpaths = parse_xpaths(mapping.get(field + MappingSuffix.CHILDREN))
-        children_concat = json.loads(mapping.get(field + MappingSuffix.CHILDREN_CONCAT) or "[]")
-        children_range = json.loads(mapping.get(field + MappingSuffix.CHILDREN_RANGE) or "[]")
-        pattern = mapping.get(field + MappingSuffix.REGEX)
-        compiled = re.compile(pattern) if pattern else None
-        extract_pattern = mapping.get(field + MappingSuffix.EXTRACT_REGEX)
-        extract_compiled = re.compile(extract_pattern) if extract_pattern else None
-        priority = int(mapping.get(field + MappingSuffix.PRIORITY, "0"))
-        sub_xpaths = _get_sub_mapping(mapping, field)
-        use_raw_text_value = mapping.get(field + MappingSuffix.USE_RAW_TEXT)
-        use_raw_text_config = (
-            _parse_bool(use_raw_text_value, False) if use_raw_text_value else None
-        )
-        xpaths = parse_xpaths(mapping[field])
+    for plan in _field_plans(mapping):
+        field = plan.field
+        match_multiple = plan.match_multiple
+        bonding = plan.bonding
+        require_next = plan.require_next
+        unmatched_parent_text = plan.unmatched_parent_text
+        ignore_xpaths = plan.ignore_xpaths
+        children_xpaths = plan.children_xpaths
+        children_concat = plan.children_concat
+        children_range = plan.children_range
+        compiled = plan.compiled
+        extract_compiled = plan.extract_compiled
+        priority = plan.priority
+        sub_xpaths = plan.sub_xpaths
+        use_raw_text_config = plan.use_raw_text_config
+        xpaths = plan.xpaths
         if not xpaths:
             continue
         for node in match_xpaths(xml_root, xpaths, ctx):
             node_pos = ctx.doc_position(node)
-            sub_annotations = _extract_sub_annotations(node, sub_xpaths, mapping, field, ctx)
+            sub_annotations = _extract_sub_annotations(
+                node, sub_xpaths, mapping, field, ctx, plan.sub_extract_compiled
+            )
             # wildcard children on mixed-content nodes fall back to raw text
             # (annotation/target_annotation.py:150-168)
             use_raw_text = (
