@@ -516,14 +516,23 @@ def q_docs_web_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE projection over one scan; the classifier — the only aggregating
     family — is the plan's single join (LEFT: a zero-token document has
     no classifier row)."""
-    docs = _spread(
-        _load(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    # Sort the NARROW input instead of the wide output: a trailing orderBy
+    # would range-partition the projected rows, and range partitioning
+    # SAMPLES its child — executing the whole expensive projection twice
+    # (guide §2.4/§7.2; measured 1.83s vs 0.84s at sf1.0).  Range-sorting
+    # (doc_id, text) first yields the identical global doc_id order (unique
+    # key, range partitions concatenate in order) with the projection run
+    # once, and doubles as the under-partitioned-scan spread.
+    docs = (
+        _load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartitionByRange(spark.sparkContext.defaultParallelism, "doc_id")
+        .sortWithinPartitions("doc_id")
     )
     return (
         webfilters.web_filter_features(docs)
         .withColumn("c4_clean_md5", F.md5("clean_text"))
         .drop("clean_text")
-        .orderBy("doc_id")
     )
 
 

@@ -332,6 +332,32 @@ def web_filter_features(
     kept, clean, n_sentences, has_brace, has_lorem = _c4_parts(
         F.col(text_col), min_line_words=5
     )
+    if classifier and weights is None:
+        # derived-weight classifier: the weights are plan-time constants, so
+        # the whole query is ONE per-row projection over ONE scan — no
+        # explode, no aggregation shuffle, no join (guide §2.4).  NULL clf
+        # columns for zero-token documents replicate the LEFT-join absence.
+        # g_keep thresholds the same rounded stat expressions inline (the
+        # gopher_filter pattern), preserving the exact output column order
+        # of the join form.
+        clf_cols = inline_classifier_columns(
+            F.col(text_col), num_buckets=num_buckets, threshold=threshold
+        )
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            *(expr.alias(name) for name, expr in stats.items()),
+            F.size(F.split(F.col(text_col), "\n")).alias("c4_total_lines"),
+            F.size(kept).alias("c4_kept_lines"),
+            n_sentences.cast("int").alias("c4_sentences"),
+            has_brace.alias("c4_has_brace"),
+            has_lorem.alias("c4_has_lorem"),
+            ((n_sentences >= 3) & ~has_brace & ~has_lorem).alias("c4_keep"),
+            clean.alias("clean_text"),
+            _gopher_keep_expr(
+                stats, 50, 100_000, 3.0, 10.0, 0.1, 0.9, 0.3, 0.8, 2
+            ).alias("g_keep"),
+            *(expr.alias(name) for name, expr in clf_cols.items()),
+        )
     emitted = {name: F.col(name) for name in stats}
     out = df.select(
         F.col(id_col).alias("doc_id"),
@@ -369,6 +395,63 @@ def _bucket(tok: Column, num_buckets: int) -> Column:
         F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
         % F.lit(num_buckets)
     )
+
+
+def derived_bucket_weights_list(num_buckets: int) -> "list[float]":
+    """The :func:`derived_bucket_weight` values for buckets 0..num_buckets-1
+    computed driver-side: the derivation is a pure function of the bucket id
+    (md5 of 'w<bucket>', first 8 hex chars, uniform draw minus 0.5), so the
+    whole table is a plan-time constant.  Both sides are IEEE doubles from
+    the same integer / 16^8 - 0.5 arithmetic, so the values are bit-identical
+    to the SQL derivation."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(("w%d" % b).encode("utf-8")).hexdigest()[:8], 16)
+        / float(16 ** 8)
+        - 0.5
+        for b in range(num_buckets)
+    ]
+
+
+def inline_classifier_columns(
+    text_col: Column,
+    num_buckets: int = 64,
+    bias: float = 0.0,
+    threshold: float = 0.5,
+) -> "dict[str, Column]":
+    """The hashed-classifier outputs as PER-ROW column expressions — zero
+    shuffles, zero joins (guide §2.4: remove the exchange outright).
+
+    The derived bucket weights are plan-time constants
+    (:func:`derived_bucket_weights_list`), so the per-document mean weight
+    is an in-row array fold: one md5 per token (the bucket hash — the
+    explode form paid a second md5 per token for the weight) plus a
+    64-element literal-array lookup.  Values are identical to the explode +
+    aggregate + join form (verified element-wise at sf1.0); the only
+    difference is the float-addition order of the token-weight sum, which
+    is immaterial at the 6-decimal rounding both the operator and its
+    oracle apply.  Zero-token documents get NULL in all three columns —
+    exactly the LEFT-join absence of the aggregating form."""
+    weights = F.array(
+        *[F.lit(w) for w in derived_bucket_weights_list(num_buckets)]
+    )
+    words = _words(text_col)
+    n = F.size(words)
+    wsum = F.aggregate(
+        words,
+        F.lit(0.0),
+        lambda acc, t: acc
+        + F.element_at(weights, (_bucket(t, num_buckets) + 1).cast("int")),
+    )
+    raw = F.lit(bias) + wsum / n
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-raw))
+    nonempty = n > 0
+    return {
+        "clf_tokens": F.when(nonempty, n.cast("long")),
+        "clf_score": F.when(nonempty, F.round(score, 6)),
+        "clf_keep": F.when(nonempty, score >= F.lit(threshold)),
+    }
 
 
 def derived_bucket_weight(bucket: Column) -> Column:

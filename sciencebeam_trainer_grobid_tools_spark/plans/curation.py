@@ -43,7 +43,12 @@ from ..operators.robots import robots_blocked
 from ..operators.textstats import quality_features, token_budget_sample
 from ..operators.urlnorm import canonical_dedup_key, dedup_by_canonical_url
 from ..operators.urlfilter import filter_blocked_domains
-from ..operators.webfilters import c4_filter, gopher_filter, hashed_classifier_score
+from ..operators.webfilters import (
+    c4_filter,
+    gopher_filter,
+    hashed_classifier_score,
+    inline_classifier_columns,
+)
 
 _QUALITY_COLS = ("q_chars", "q_tokens", "q_mean_word_len", "q_punct_ratio", "q_passed")
 
@@ -178,22 +183,35 @@ def curate_corpus(
         )
         out = out.join(keep_ids, on=id_col, how="left_semi")
     if clf_threshold is not None:
-        # hashed linear quality classifier (one aggregation shuffle over
-        # (id, bucket) rows, then an id-only LEFT SEMI back) — placed after
-        # the cheap filters so it scores the fewest rows; a zero-token
-        # document has no classifier row and is dropped here by definition
-        clf_keep = (
-            hashed_classifier_score(
-                out.select(F.col(id_col), F.col(text_col)),
-                id_col=id_col,
-                text_col=text_col,
-                threshold=clf_threshold,
-                weights=clf_weights,
+        if clf_weights is None:
+            # derived-weight classifier: plan-time-constant weights make the
+            # score a pure per-row expression, so the stage is a codegen
+            # FILTER — no aggregation shuffle, no semi-join (guide §2.4).
+            # A zero-token document scores NULL and is dropped by the
+            # filter, exactly the aggregating form's absent-row semantics.
+            out = out.filter(
+                inline_classifier_columns(
+                    F.col(text_col), threshold=clf_threshold
+                )["clf_keep"]
             )
-            .filter(F.col("clf_keep"))
-            .select(F.col("doc_id").alias(id_col))
-        )
-        out = out.join(clf_keep, on=id_col, how="left_semi")
+        else:
+            # trained weights arrive as a table: keep the aggregation
+            # shuffle over (id, bucket) rows + id-only LEFT SEMI back —
+            # placed after the cheap filters so it scores the fewest rows;
+            # a zero-token document has no classifier row and is dropped
+            # here by definition
+            clf_keep = (
+                hashed_classifier_score(
+                    out.select(F.col(id_col), F.col(text_col)),
+                    id_col=id_col,
+                    text_col=text_col,
+                    threshold=clf_threshold,
+                    weights=clf_weights,
+                )
+                .filter(F.col("clf_keep"))
+                .select(F.col("doc_id").alias(id_col))
+            )
+            out = out.join(clf_keep, on=id_col, how="left_semi")
     if budget_tokens is not None:
         out = token_budget_sample(
             out,
