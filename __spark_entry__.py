@@ -544,9 +544,20 @@ def q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_docs_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates (kernel hash not SQL-portable: rows-only)."""
+    """MinHash+LSH near-dup candidates (kernel hash not SQL-portable: rows-only).
+
+    ``persist_intermediate=False``: the signature table feeds its three
+    consumers through ONE shuffle that Spark de-duplicates via
+    ReusedExchange, so an explicit cache only adds memory-serialization
+    cost here (measured 2.53s vs 1.73s noop at sf1.0) — and a per-invocation
+    persist in a repeatedly-run query leaks cached blocks (the gate variant
+    already runs uncached for the same reason).  A multi-stage production
+    pipeline materializes the signature table to storage instead
+    (documented on minhash_candidate_pairs)."""
     docs = _spread(_load(spark, sf_dir, "documents"), spark)
-    return dedup.minhash_candidate_pairs(docs, k=5, num_hashes=32, bands=8)
+    return dedup.minhash_candidate_pairs(
+        docs, k=5, num_hashes=32, bands=8, persist_intermediate=False
+    )
 
 
 def q_docs_minhash_xxhash_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
