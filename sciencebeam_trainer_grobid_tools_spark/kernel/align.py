@@ -215,6 +215,39 @@ def _split_offsets_and_words(s: str, separators: str) -> Tuple[List[int], List[s
     return offsets, words
 
 
+def _word_exact_fast_path(
+    haystack: str, needle: str, separators: str
+) -> Optional[MatchingBlocks]:
+    """First WORD-ALIGNED verbatim occurrence of ``needle`` in ``haystack``,
+    or None when there is none (caller falls back to the full matcher).
+
+    Equivalence to the difflib path: fragments are single separator chars or
+    maximal non-separator runs, so a contiguous fragment-list match of all of
+    ``needle``'s fragments is exactly a char occurrence whose ends are
+    fragment-aligned (a non-separator first/last needle char must not extend
+    a neighboring non-separator run).  Such a match has the maximal block
+    size len(b_words); ``SequenceMatcher.find_longest_match`` returns the
+    earliest maximal match and both flanks of a full-needle match are empty
+    on the b side, so ``get_matching_blocks`` yields exactly that single
+    block — with char offset = the occurrence position and size =
+    len(needle), which is what this returns without splitting the haystack."""
+    n = len(needle)
+    first_nonsep = needle[0] not in separators
+    last_nonsep = needle[-1] not in separators
+    start = 0
+    while True:
+        p = haystack.find(needle, start)
+        if p < 0:
+            return None
+        if (not first_nonsep or p == 0 or haystack[p - 1] in separators) and (
+            not last_nonsep
+            or p + n == len(haystack)
+            or haystack[p + n] in separators
+        ):
+            return [(p, 0, n)]
+        start = p + 1
+
+
 def word_matching_blocks(
     haystack: str, needle: str, separators: str = WORD_SEPARATORS
 ) -> MatchingBlocks:
@@ -225,6 +258,10 @@ def word_matching_blocks(
     total matched word characters (reference: utils/fuzzy.py:160-195).
     No terminator block is emitted (the reference's word path does not either).
     """
+    if needle and haystack:
+        fast = _word_exact_fast_path(haystack, needle, separators)
+        if fast is not None:
+            return fast
     a_offsets, a_words = _split_offsets_and_words(haystack, separators)
     b_offsets, b_words = _split_offsets_and_words(needle, separators)
     sm = SequenceMatcher(None, a_words, b_words, autojunk=False)

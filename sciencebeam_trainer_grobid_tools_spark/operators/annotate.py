@@ -33,13 +33,26 @@ B_PREFIX = "b-"
 I_PREFIX = "i-"
 
 
+# memo for split_tag_prefix: the distinct tag vocabulary is tiny (b-/i-
+# per field) while the call count is per-token per-pass — a dict hit
+# replaces two startswith calls and a slice on the hot path
+_SPLIT_TAG_CACHE: "dict[str, Tuple[Optional[str], str]]" = {}
+
+
 def split_tag_prefix(tag: Optional[str]) -> Tuple[Optional[str], Optional[str]]:
-    if tag:
+    if not tag:
+        return None, tag
+    hit = _SPLIT_TAG_CACHE.get(tag)
+    if hit is None:
         if tag.startswith(B_PREFIX):
-            return B_PREFIX, tag[len(B_PREFIX):]
-        if tag.startswith(I_PREFIX):
-            return I_PREFIX, tag[len(I_PREFIX):]
-    return None, tag
+            hit = (B_PREFIX, tag[len(B_PREFIX):])
+        elif tag.startswith(I_PREFIX):
+            hit = (I_PREFIX, tag[len(I_PREFIX):])
+        else:
+            hit = (None, tag)
+        if len(_SPLIT_TAG_CACHE) < 4096:
+            _SPLIT_TAG_CACHE[tag] = hit
+    return hit
 
 
 def strip_tag_prefix(tag: Optional[str]) -> Optional[str]:
