@@ -183,10 +183,37 @@ def pack_sequences(
         (F.col("_qk") > F.lit(c)).cast("int") for c in cuts
     ) if cuts else F.lit(0)
     lens = lens.withColumn("_pid", pid).drop("_qk")
-    totals = {
-        r["_pid"]: r["_t"]
-        for r in lens.groupBy("_pid").agg(F.sum("_len").alias("_t")).collect()
-    }
+    # the length pass doubles as the order-key contract check: a duplicate
+    # or NULL order key would fan out the _ord join below and corrupt
+    # offsets SILENTLY (equal keys share one offset row), so the already-
+    # running aggregate also counts rows vs non-null vs distinct keys and
+    # fails fast.  Duplicates of a key always share a bucket (the surrogate
+    # is deterministic), so per-bucket distinct counts are sufficient.
+    total_rows = (
+        lens.groupBy("_pid")
+        .agg(
+            F.sum("_len").alias("_t"),
+            F.count(F.lit(1)).alias("_n"),
+            F.count("_ord").alias("_nn"),
+            F.countDistinct("_ord").alias("_nd"),
+        )
+        .collect()
+    )
+    bad_null = sum(r["_n"] - r["_nn"] for r in total_rows)
+    if bad_null:
+        raise ValueError(
+            "pack_sequences: order_col %r has %d NULL key(s); the packing "
+            "order must be a unique non-null key" % (order_col, bad_null)
+        )
+    bad_dup = sum(r["_n"] - r["_nd"] for r in total_rows)
+    if bad_dup:
+        raise ValueError(
+            "pack_sequences: order_col %r has %d duplicate key row(s) "
+            "(e.g. mix_corpora epochs re-emit the same id — derive a "
+            "composite (key, source, epoch) order key first); duplicate "
+            "keys would corrupt stream offsets silently" % (order_col, bad_dup)
+        )
+    totals = {r["_pid"]: r["_t"] for r in total_rows}
     base, bases = 0, []
     for b in sorted(totals):
         bases.append((b, base))
@@ -341,9 +368,26 @@ def shuffle_sequences(
     rn = F.row_number().over(
         Window.partitionBy("_sb").orderBy("_sk", id_col)
     )
+    # LEFT join + fail-fast: the base offsets were collected from a separate
+    # evaluation of the input; if any upstream nondeterminism lands a row in
+    # a bucket the count pass never saw, an inner join would silently drop
+    # it and leave the ranks non-dense (silent shard corruption).  A missing
+    # _base now raises inside the payload pass instead.
+    guarded_base = F.coalesce(
+        F.col("_base"),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "shuffle_sequences: bucket unseen by the count pass "
+                    "(nondeterministic input between evaluations?): _sb="
+                ),
+                F.col("_sb").cast("string"),
+            )
+        ).cast("long"),
+    )
     return (
-        with_key.join(F.broadcast(base_df), "_sb")
-        .withColumn(id_col, (F.col("_base") + rn - 1).cast("long"))
+        with_key.join(F.broadcast(base_df), "_sb", "left")
+        .withColumn(id_col, (guarded_base + rn - 1).cast("long"))
         .drop("_sk", "_sb", "_base")
     )
 

@@ -576,6 +576,24 @@ def mix_corpora(
     wsum = float(sum(weights.values()))
     if wsum <= 0 or any(w < 0 for w in weights.values()):
         raise ValueError("weights must be non-negative with a positive sum")
+    # schema collision guard: the mixer APPENDS n_tokens/epoch via
+    # select('*', ...), so a source already carrying either would silently
+    # produce a DUPLICATE column (ambiguous downstream references) — raise.
+    # A pre-existing 'source' column is cleanly OVERWRITTEN (withColumn)
+    # with the mixture name — documented behavior the corpus tables rely on.
+    # id_col must exist for the fractional-epoch draw.
+    for name in names:
+        cols = set(sources[name].columns)
+        if id_col not in cols:
+            raise ValueError(
+                "mix_corpora: source %r has no id column %r" % (name, id_col)
+            )
+        clash = cols & {"n_tokens", "epoch"}
+        if clash:
+            raise ValueError(
+                "mix_corpora: source %r already has column(s) %s, which the "
+                "mixer appends; rename them first" % (name, sorted(clash))
+            )
 
     out = None
     for name in names:

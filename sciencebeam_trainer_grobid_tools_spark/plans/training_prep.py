@@ -82,9 +82,14 @@ __all__ = ["EOD", "TrainingPrepResult", "prepare_training_data"]
 class TrainingPrepResult:
     """Everything a training run consumes, plus the model artifacts.
 
-    ``curated`` and the ``encoded`` DataFrames are persisted (each is
-    re-read by several downstream passes); call :meth:`unpersist` when
-    the downstream work is done.
+    The ``encoded`` DataFrames (and, when shuffling, the pre-shuffle
+    ``packed`` inputs) are persisted — each is re-read by several
+    downstream passes; call :meth:`unpersist` when the downstream work is
+    done to release those cached blocks.  ``curated`` is materialized via
+    ``localCheckpoint``, whose storage is NOT released by
+    ``Dataset.unpersist`` — its checkpoint blocks are reclaimed by the
+    ContextCleaner once the DataFrame is garbage-collected (drop the
+    result reference), or by stopping the session.
     """
 
     curated: DataFrame  # curated rows + the split column
@@ -94,10 +99,14 @@ class TrainingPrepResult:
     encoded: Dict[str, DataFrame] = field(default_factory=dict)
     packed: Dict[str, DataFrame] = field(default_factory=dict)
     manifests: Dict[str, DataFrame] = field(default_factory=dict)
+    _packed_persisted: List[DataFrame] = field(default_factory=list)
 
     def unpersist(self) -> None:
-        self.curated.unpersist()
+        # curated.unpersist() is deliberately NOT called: localCheckpoint
+        # storage lives outside the cache manager (see class docstring)
         for df in self.encoded.values():
+            df.unpersist()
+        for df in self._packed_persisted:
             df.unpersist()
 
 
@@ -232,9 +241,14 @@ def prepare_training_data(
             # re-key windows to their global md5 rank so shards sample
             # the whole split instead of a contiguous (url-ordered,
             # hence host/time-correlated) slice of the stream; the
-            # per-split salt keeps train/val permutations independent
+            # per-split salt keeps train/val permutations independent.
+            # shuffle_sequences evaluates its input twice (count pass +
+            # payload pass), so persist the expensive multi-pass pack
+            # plan first — released by TrainingPrepResult.unpersist()
+            packed_cached = result.packed[name].persist()
+            result._packed_persisted.append(packed_cached)
             result.packed[name] = shuffle_sequences(
-                result.packed[name], salt="%s:%s" % (shuffle_salt, name)
+                packed_cached, salt="%s:%s" % (shuffle_salt, name)
             )
         if output_path is not None:
             result.manifests[name] = write_training_shards(

@@ -2113,6 +2113,37 @@ class TestTokenBudgetSample:
 
 
 class TestMixCorpora:
+    def test_schema_collision_raises(self, spark):
+        """The mixer APPENDS n_tokens/epoch/source and draws on id_col:
+        colliding or missing columns must raise, not silently duplicate
+        or overwrite (r10 ADVICE)."""
+        import pytest as _pytest
+
+        from sciencebeam_trainer_grobid_tools_spark.operators import (
+            textstats as ts,
+        )
+
+        ok = spark.createDataFrame(
+            [(1, "a b c")], "doc_id long, text string"
+        )
+        clash = spark.createDataFrame(
+            [(1, "a b c", 3)], "doc_id long, text string, n_tokens int"
+        )
+        with _pytest.raises(ValueError, match="n_tokens"):
+            ts.mix_corpora({"x": clash}, {"x": 1.0}, 10)
+        # a pre-existing 'source' column is cleanly overwritten, not an
+        # error (the driver's documents table carries one)
+        has_source = spark.createDataFrame(
+            [(1, "a b c", "web")], "doc_id long, text string, source string"
+        )
+        rows = ts.mix_corpora({"x": has_source}, {"x": 1.0}, 9).collect()
+        assert {r["source"] for r in rows} == {"x"}
+        no_id = spark.createDataFrame([("a b",)], "text string")
+        with _pytest.raises(ValueError, match="no id column"):
+            ts.mix_corpora({"x": no_id}, {"x": 1.0}, 10)
+        # the valid source still mixes
+        assert ts.mix_corpora({"x": ok}, {"x": 1.0}, 9).count() == 3
+
     def _sources(self, spark):
         # 'big': 20 docs x 10 tokens = 200; 'small': 4 docs x 5 = 20
         big = spark.createDataFrame(

@@ -386,3 +386,26 @@ class TestShards:
                 str(tmp_path / "x"),
                 seqs_per_shard=0,
             )
+
+
+class TestOrderKeyContract:
+    """pack_sequences' unique-non-null order-key precondition now fails
+    fast inside the already-running length aggregate instead of silently
+    corrupting offsets through the _ord join fan-out."""
+
+    def test_duplicate_order_keys_raise(self, spark):
+        df = make_df(spark, [(1, [10, 11]), (1, [20, 21]), (2, [30])])
+        with pytest.raises(ValueError, match="duplicate key"):
+            pack_sequences(df, 4).collect()
+
+    def test_null_order_keys_raise(self, spark):
+        df = spark.createDataFrame(
+            [(1, [10, 11]), (None, [20, 21])],
+            "doc_id long, token_ids array<int>",
+        )
+        with pytest.raises(ValueError, match="NULL key"):
+            pack_sequences(df, 4).collect()
+
+    def test_unique_keys_still_pack(self, spark):
+        rows = pack_sequences(make_df(spark, DOCS), 4).collect()
+        assert rows  # the guard must not reject valid input
