@@ -1733,8 +1733,21 @@ def q_align_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wrap the driver's documents table into the Common-Crawl-style input
     shape (url, warc_ts, html, text, lang, target_xml): html adds boilerplate
-    chrome around the text; the target title is the first 8 words."""
-    docs = _load(spark, sf_dir, "documents")
+    chrome around the text; the target title is the first 8 words.
+
+    The salted spread happens HERE, on the narrow (url, text, lang) rows,
+    BEFORE the html/target blobs are synthesized — the single-threaded
+    single-row-group scan then only builds and shuffle-writes ~15 MB of
+    text instead of ~100 MB of built html, and the blob construction runs
+    on all cores after the exchange (guide §8: move light rows, build heavy
+    bytes after the shuffle).  Same key (xxhash64(url)) and partition count
+    as annotate_documents' own spread, so row placement is unchanged —
+    callers skip the second repartition."""
+    docs = _load(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.col("text"),
+        F.col("lang"),
+    ).repartition(spark.sparkContext.defaultParallelism, F.xxhash64("url"))
     title = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ")
     html = F.concat(
         F.lit(
@@ -1752,7 +1765,7 @@ def _documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("</article-title></title-group></article-meta></front></article>"),
     )
     return docs.select(
-        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        "url",
         F.encode(html, "utf-8").alias("html"),
         F.col("text"),
         F.col("lang"),
@@ -1768,9 +1781,7 @@ def q_flagship_extract_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-identity of the extracted text are value-checked by the
     flagship_title_spans twin + pytest."""
     corpus = _documents_as_corpus(spark, sf_dir)
-    annotated = annotate_documents(
-        corpus, repartition=spark.sparkContext.defaultParallelism
-    )
+    annotated = annotate_documents(corpus)
     return annotated.select(
         "url",
         "n_lines",
@@ -1787,9 +1798,7 @@ def q_flagship_title_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     renders it at offset 0, so the emitted span must be exactly
     [0, len(first 8 words)) with the title text."""
     corpus = _documents_as_corpus(spark, sf_dir)
-    annotated = annotate_documents(
-        corpus, repartition=spark.sparkContext.defaultParallelism
-    )
+    annotated = annotate_documents(corpus)
     flat = spans_table(annotated)
     return (
         flat.filter(F.col("field") == "title")
@@ -1998,11 +2007,7 @@ def q_flagship_title_spans_complex(spark: SparkSession, sf_dir: str) -> DataFram
     just its unit tests: on the synthetic corpus both matchers must place
     the title at exactly [0, len(first 8 words))."""
     corpus = _documents_as_corpus(spark, sf_dir)
-    annotated = annotate_documents(
-        corpus,
-        repartition=spark.sparkContext.defaultParallelism,
-        matcher="complex",
-    )
+    annotated = annotate_documents(corpus, matcher="complex")
     flat = spans_table(annotated)
     return (
         flat.filter(F.col("field") == "title")
@@ -2098,9 +2103,7 @@ def q_tei_render_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     corpus = _documents_as_corpus(spark, sf_dir)
-    annotated = annotate_documents(
-        corpus, repartition=spark.sparkContext.defaultParallelism, render_tei=True
-    )
+    annotated = annotate_documents(corpus, render_tei=True)
 
     def extract_title(batches):
         for pdf in batches:
