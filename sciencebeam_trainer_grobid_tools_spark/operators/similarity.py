@@ -34,7 +34,13 @@ def embedding_norm(a: Column) -> Column:
 
 
 def _query_literal(query_vector: Sequence[float]) -> Column:
-    return F.array(*[F.lit(float(v)) for v in query_vector])
+    # one array literal in a single py4j call — the per-element F.array form
+    # cost ~65 driver round-trips per query construction at dim 64
+    values = [float(v) for v in query_vector]
+    try:
+        return F.lit(values)
+    except Exception:  # pragma: no cover - older Spark without list literals
+        return F.array(*[F.lit(v) for v in values])
 
 
 def cosine_topk(
