@@ -1082,10 +1082,38 @@ def q_docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prepare_training_data cuts lineage at its split table
     # (localCheckpoint), so every prep branch below reads one
     # materialized leaf instead.
-    curated = curate_corpus(planted, **stage_kwargs)
+    # persist_intermediate=True: cache the scrubbed intermediate so the
+    # statistics branches (repetition, sampling) and the training-prep
+    # legs read ONE materialized table — without it, predicate pushdown
+    # duplicates the full text-rewrite chain into every branch (a 1.4 MB
+    # optimized plan, thousands of regexp copies, 64 KB codegen fallback;
+    # 44 s -> 14 s measured at sf0.1).  Within-invocation cache only; the
+    # blocks are reclaimed by the ContextCleaner when the DataFrames drop
+    # (same contract as the prep tables below).
+    curated = curate_corpus(planted, persist_intermediate=True, **stage_kwargs)
     null_s = F.lit(None).cast("string")
     null_l = F.lit(None).cast("long")
-    curated_rows = curated.select(
+    # the composed training-prep plan over the same curated corpus; the
+    # gate leaves the split + per-split encoded tables persisted
+    # (sf-0.01-sized; the ContextCleaner reclaims them when the
+    # DataFrames drop)
+    prep = prepare_training_data(
+        curated,
+        seq_len=64,
+        curation=None,
+        splits=[("train", 0.8), ("val", 0.2)],
+        n_merges=0,
+    )
+    # The 'curated' variant reads the CHECKPOINTED curated table
+    # (prep.curated is host_split over the same rows — the split column is
+    # simply not selected) instead of re-embedding the ten-stage fused
+    # curation tree: the raw tree fused into the final union+sort stage
+    # blew whole-stage codegen past Janino's 64 KB method limit
+    # ("Code grows beyond 64 KB" on sort_addToSorter, five failed compiles
+    # per run, interpreted fallback) AND re-executed the whole curation a
+    # second time per collect.  Values are identical; the rows now come
+    # from the one materialized leaf every other branch reads.
+    curated_rows = prep.curated.select(
         F.lit("curated").alias("variant"),
         "doc_id",
         "lang",
@@ -1098,17 +1126,6 @@ def q_docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_l.alias("n_windows"),
         null_l.alias("n_toks"),
         null_l.alias("start_in_first"),
-    )
-    # the composed training-prep plan over the same curated corpus; the
-    # gate leaves the split + per-split encoded tables persisted
-    # (sf-0.01-sized; the ContextCleaner reclaims them when the
-    # DataFrames drop)
-    prep = prepare_training_data(
-        curated,
-        seq_len=64,
-        curation=None,
-        splits=[("train", 0.8), ("val", 0.2)],
-        n_merges=0,
     )
     prep_rows = None
     for name in ("train", "val"):

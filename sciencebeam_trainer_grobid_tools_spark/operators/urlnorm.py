@@ -131,11 +131,26 @@ def dedup_by_canonical_url(
         raise ValueError("keep must be latest/earliest, got %r" % keep)
     ts = F.col(ts_col).desc() if keep == "latest" else F.col(ts_col).asc()
     canon = canonical_url(F.col(url_col)) if key is None else key
-    w = Window.partitionBy(canon).orderBy(ts, F.col(url_col))
+    # Materialize the canonical key as a column BEFORE the window: a
+    # window partitioned by the raw expression re-evaluates it per row in
+    # the exchange hash, the sort-key codegen AND the frame comparison —
+    # and with the canonical_hint key (a large regexp/parse_url tree over
+    # url+html) the inlined sort codegen grew past Janino's 64 KB method
+    # limit, silently falling back to interpreted execution.  Values are
+    # unchanged (the key is deterministic); the helper column is dropped.
+    # The explicit repartition satisfies the window's distribution with the
+    # SAME single exchange (same key, same shuffle-partition count — no
+    # second shuffle), but moves the rank-limit pushdown's map-side sort
+    # from below the exchange (where it fused with the upstream projection
+    # into one codegen region that could exceed Janino's 64 KB method
+    # limit) to above it, where its child is just the shuffle read.
+    w = Window.partitionBy(F.col("_canon_key")).orderBy(ts, F.col(url_col))
     return (
-        df.withColumn("_rn", F.row_number().over(w))
+        df.withColumn("_canon_key", canon)
+        .repartition(F.col("_canon_key"))
+        .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        .drop("_rn", "_canon_key")
     )
 
 

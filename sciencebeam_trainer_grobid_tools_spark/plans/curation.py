@@ -159,6 +159,20 @@ def curate_corpus(
         # (``{}`` enables the published defaults; keys override them)
         out = c4_filter(out, text_col=text_col, **dict(c4))
     out = out.withColumn(text_col, scrub_pii(F.col(text_col)))
+    if persist_intermediate:
+        # The cache point sits DIRECTLY after the text rewrite, before the
+        # quality/gopher/classifier predicates: Catalyst's predicate
+        # pushdown substitutes a filtered alias's full defining expression
+        # into every pushed condition, so with the cache after those
+        # filters the materialized child plan carried thousands of
+        # duplicated regexp_replace copies (a 1.4 MB optimized plan whose
+        # fused stages blew Janino's 64 KB method limit and ran
+        # interpreted).  Caching the rewritten rows first keeps every
+        # expression single-copy in the materialized plan — measured 44 s
+        # -> 14 s for the full planted-corpus pipeline at sf0.1 — and the
+        # downstream statistics branches (repetition, sampling) still
+        # read the one cached intermediate.
+        out = out.persist()
     out = (
         quality_features(out, text_col=text_col)
         .filter(F.col("q_passed"))
@@ -168,8 +182,6 @@ def curate_corpus(
         # Gopher rules on the scrubbed text — another pure codegen
         # predicate, fuses with the quality filter into one span
         out = gopher_filter(out, text_col=text_col, **dict(gopher))
-    if persist_intermediate:
-        out = out.persist()
     if max_dup_ngram_frac is not None:
         keep_ids = (
             repetition_features(
