@@ -618,6 +618,34 @@ def _sqdist_expr(vec_slice: Column, centroid: Sequence[float]) -> Column:
     )
 
 
+def _float_sql(v: float) -> str:
+    """A double literal in SQL text — repr() is the shortest round-trip
+    form, so the parsed value is bit-identical to the Python float."""
+    return "CAST('%r' AS DOUBLE)" % float(v)
+
+
+def _sqdist_sql(vec_slice_sql: str, centroid: Sequence[float]) -> str:
+    """The :func:`_sqdist_expr` fold as SQL text — identical expression,
+    built in ONE driver call instead of ~30 py4j round-trips per
+    (subspace, code) pair (the column-API construction dominated the
+    PQ queries' driver time)."""
+    arr = ", ".join(_float_sql(c) for c in centroid)
+    return (
+        "aggregate(zip_with(%s, array(%s), (x, c) -> (x - c) * (x - c)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)" % (vec_slice_sql, arr)
+    )
+
+
+def _nested_double_lit(rows: Sequence[Sequence[float]]) -> Column:
+    """array<array<double>> literal in one expression call."""
+    return F.expr(
+        "array(%s)"
+        % ", ".join(
+            "array(%s)" % ", ".join(_float_sql(v) for v in row) for row in rows
+        )
+    )
+
+
 def pq_train(
     df: DataFrame,
     m: int = 8,
@@ -724,35 +752,22 @@ def pq_encode(
     if method == "auto":
         method = "expr" if m * n_codes * sub <= _PQ_EXPR_MAX_TERMS else "arrow"
     if method == "expr":
-        codes = F.array(
-            *[
-                (
-                    F.array_position(
-                        F.array(
-                            *[
-                                _sqdist_expr(
-                                    _sub_slice(F.col(vec_col), s, sub),
-                                    codebooks[s][c],
-                                )
-                                for c in range(n_codes)
-                            ]
-                        ),
-                        F.array_min(
-                            F.array(
-                                *[
-                                    _sqdist_expr(
-                                        _sub_slice(F.col(vec_col), s, sub),
-                                        codebooks[s][c],
-                                    )
-                                    for c in range(n_codes)
-                                ]
-                            )
-                        ),
-                    )
-                    - 1
-                ).cast("int")
+        # one SQL string instead of thousands of py4j Column calls (the
+        # column-API form cost ~3s of driver time per construction at
+        # m=8, n_codes=8, sub=8); the expression tree is identical
+        def dists_sql(s: int) -> str:
+            slice_sql = "slice(`%s`, %d, %d)" % (vec_col, s * sub + 1, sub)
+            return ", ".join(
+                _sqdist_sql(slice_sql, codebooks[s][c]) for c in range(n_codes)
+            )
+
+        codes = F.expr(
+            "array(%s)"
+            % ", ".join(
+                "CAST(array_position(array(%s), array_min(array(%s))) - 1 AS INT)"
+                % (dists_sql(s), dists_sql(s))
                 for s in range(m)
-            ]
+            )
         )
         return df.withColumn(out_col, codes)
     if method != "arrow":
@@ -818,7 +833,7 @@ def pq_adc_topk(
         ]
         for s in range(m)
     ]
-    lut_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+    lut_lit = _nested_double_lit(lut)
     dist = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
         F.lit(0.0),
@@ -851,9 +866,7 @@ def pq_residual_encode(
     the residual subtraction is a codegen ``zip_with``; encoding then
     reuses :func:`pq_encode` unchanged.  Null cells (null vectors) yield
     null codes."""
-    cent_lit = F.array(
-        *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
-    )
+    cent_lit = _nested_double_lit(centroids)
     res = F.zip_with(
         F.col(vec_col),
         F.element_at(cent_lit, F.col(cell_col) + 1),
@@ -914,7 +927,7 @@ def ivf_pq_topk(
             ]
             for s in range(m)
         ]
-        lut_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+        lut_lit = _nested_double_lit(lut)
         cell_dist = F.aggregate(
             F.sequence(F.lit(0), F.lit(m - 1)),
             F.lit(0.0),
