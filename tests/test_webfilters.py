@@ -214,7 +214,10 @@ class TestWebFilterFeatures:
         )
         assert "Exchange" not in plan and "Join" not in plan
 
-    def test_classifier_is_the_only_join(self, spark):
+    def test_derived_weight_plan_is_one_projection(self, spark):
+        """r11: with derived weights the classifier fold is in-row (the
+        weight table is a plan-time constant), so the WHOLE feature query
+        is one scan + one projection — no join, no Exchange, no Python."""
         df = _rows(spark, [(1, GOOD)])
         plan = (
             webfilters.web_filter_features(df)
@@ -222,5 +225,39 @@ class TestWebFilterFeatures:
             .executedPlan()
             .toString()
         )
-        assert plan.count("Join") <= 2  # one logical left join (+ AQE variants)
+        assert "Join" not in plan and "Exchange" not in plan
         assert "EvalPython" not in plan
+
+    def test_trained_weight_path_still_joins(self, spark):
+        """Trained weights arrive as data, so that path keeps the
+        aggregate + broadcast LEFT join shape."""
+        w = spark.createDataFrame([(0, 0.5)], "bucket long, weight double")
+        plan = (
+            webfilters.web_filter_features(_rows(spark, [(1, GOOD)]), weights=w)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Join") >= 1
+        assert "EvalPython" not in plan
+
+    def test_inline_matches_explode_classifier(self, spark):
+        """The in-row classifier fold must reproduce the explode+aggregate
+        form exactly (rounded score, token count, keep) on a corpus with
+        varied token counts incl. empties."""
+        rows = [(i, " ".join("w%d tok%d the" % (j, i * 7 + j) for j in range(i % 9)))
+                for i in range(40)]
+        df = _rows(spark, rows)
+        exploded = {
+            r["doc_id"]: (r["clf_tokens"], r["clf_score"], r["clf_keep"])
+            for r in webfilters.hashed_classifier_score(df).collect()
+        }
+        inline_cols = webfilters.inline_classifier_columns(F.col("text"))
+        inline = {
+            r["doc_id"]: (r["clf_tokens"], r["clf_score"], r["clf_keep"])
+            for r in df.select(
+                "doc_id", *(e.alias(n) for n, e in inline_cols.items())
+            ).collect()
+            if r["clf_tokens"] is not None
+        }
+        assert inline == exploded
