@@ -1757,8 +1757,14 @@ def q_align_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from sciencebeam_trainer_grobid_tools_spark.kernel.fuzzy import fuzzy_search
 
-    docs = _load(spark, sf_dir, "documents").filter(F.col("n_chars") >= 200).select(
-        "doc_id", "text"
+    # _spread: the single-row-group local table would otherwise feed the
+    # WHOLE per-document kernel to one scan task / one Python worker
+    # (measured: the map stage ran 1-way while 31 cores idled)
+    docs = _spread(
+        _load(spark, sf_dir, "documents").filter(F.col("n_chars") >= 200).select(
+            "doc_id", "text"
+        ),
+        spark,
     )
 
     def align_batches(batches):
@@ -2214,7 +2220,12 @@ def q_targets_predicate_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         xml_string_to_target_annotations,
     )
 
-    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    # _spread: the single-row-group local table would otherwise run the
+    # whole per-document Python stage on one scan task (same fix as
+    # align_exact_spans)
+    docs = _spread(
+        _load(spark, sf_dir, "documents").select("doc_id"), spark
+    )
     i = F.col("doc_id").cast("string")
     jats = F.concat(
         F.lit("<article><front><journal-meta>"
@@ -2289,7 +2300,12 @@ def _run_flavor_query(
     )
     from sciencebeam_trainer_grobid_tools_spark.sources.tei import load_tei_doc
 
-    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    # _spread: the single-row-group local table would otherwise run the
+    # whole per-document Python stage on one scan task (same fix as
+    # align_exact_spans)
+    docs = _spread(
+        _load(spark, sf_dir, "documents").select("doc_id"), spark
+    )
     mapping = parse_xml_mapping_string(mapping_text)
     matcher_config = MatcherConfig(
         use_sub_annotations=True,
@@ -2466,7 +2482,12 @@ def q_jats_fix_identifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         fix_jats_xml_column,
     )
 
-    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    # _spread: the single-row-group local table would otherwise run the
+    # whole per-document Python stage on one scan task (same fix as
+    # align_exact_spans)
+    docs = _spread(
+        _load(spark, sf_dir, "documents").select("doc_id"), spark
+    )
     i = F.col("doc_id").cast("string")
     url_a = F.concat(F.lit("https://doi.org/10.1/a"), i)
     url_b = F.concat(F.lit("https://doi.org/10.1/b"), i)
