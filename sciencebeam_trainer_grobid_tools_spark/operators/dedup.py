@@ -288,35 +288,32 @@ def portable_minhash_pairs(
     if persist_intermediate:
         shingled = shingled.persist()
     exploded = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+    # single-string expression construction (same rationale as the
+    # xxhash64 path: the per-function Column form crosses py4j per call)
     sig = exploded.groupBy("doc_id").agg(
         *[
-            F.min(
-                F.md5(F.concat_ws(":", F.lit(str(seed)), F.col("shingle")))
-            ).alias("h%d" % seed)
+            F.expr(
+                "min(md5(concat_ws(':', '%d', shingle))) AS h%d" % (seed, seed)
+            )
             for seed in range(num_hashes)
         ]
     )
+    band_structs = F.expr(
+        "array(%s)"
+        % ", ".join(
+            "struct(%d AS band, md5(concat_ws(',', %s)) AS band_key)"
+            % (
+                b,
+                ", ".join(
+                    "h%d" % (b * rows_per_band + r) for r in range(rows_per_band)
+                ),
+            )
+            for b in range(bands)
+        )
+    )
     buckets = sig.select(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("h%d" % (b * rows_per_band + r))
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("band_key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bucket"),
+        F.explode(band_structs).alias("bucket"),
     ).select("doc_id", "bucket.band", "bucket.band_key")
     pairs = (
         buckets.alias("l")
