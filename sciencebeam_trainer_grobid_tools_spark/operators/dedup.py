@@ -199,7 +199,25 @@ def minhash_candidate_pairs(
         # materialization the plan rebuilds it three times (in a multi-stage
         # production pipeline this is a written table)
         sig_shingles = sig_shingles.persist()
-    shingled = sig_shingles.select("doc_id", "shingles")
+    # Pruning barrier (uncached form): Catalyst duplicates the aggregate
+    # subtree into each of its three consumers and column-prunes each copy —
+    # the band copies keep only the 32 minima (HashAggregate) and the
+    # verification copies only collect_set (ObjectHashAggregate), so the
+    # corpus is shingled and aggregated TWICE even though AQE reuses
+    # byte-identical exchanges.  Keeping every copy's column set identical
+    # (each consumer referencing BOTH `shingles` and the whole `sig` through
+    # value-preserving zero terms below) makes all four exchange subtrees
+    # canonically equal, and AQE executes ONE shuffle stage + three
+    # ReusedExchange: the shingle pass runs once.  `least(0, size(shingles))`
+    # and `pmod(xxhash64(sig), 1)` are always 0 but not constant-foldable
+    # (plan-asserted in tests); if a future optimizer learns to fold them the
+    # plan gracefully degrades to today's two-pass shape, values unchanged.
+    shingled = sig_shingles.select(
+        "doc_id",
+        F.expr(
+            "slice(shingles, 1, size(shingles) + pmod(xxhash64(sig), 1)) AS shingles"
+        ),
+    )
     # band buckets carry ONLY (doc_id, band, band_hash): the heavy shingle
     # arrays never enter the band shuffle — at corpus scale that is the
     # difference between shuffling ids and shuffling the corpus.  The band
@@ -208,7 +226,7 @@ def minhash_candidate_pairs(
     band_structs = F.expr(
         "array(%s)"
         % ", ".join(
-            "struct(%d AS band, xxhash64(%s) AS band_hash)"
+            "struct(%d + least(0, size(shingles)) AS band, xxhash64(%s) AS band_hash)"
             % (
                 b,
                 ", ".join(

@@ -54,6 +54,45 @@ class TestDedup:
         near = pairs.get((0, 2)) or pairs.get((1, 2))
         assert near is not None and 0.3 < near < 1.0
 
+    def test_minhash_uncached_single_shingle_pass(self, spark, docs):
+        """Plan pin for the round-11 single-pass shape: with
+        ``persist_intermediate=False`` the pruning-barrier terms keep every
+        consumer's copy of the sig/shingles aggregate canonically identical,
+        so AQE executes ONE shuffle stage (the source is scanned and
+        shingled once) and the other consumers are ReusedExchange.  If a
+        future optimizer folds the zero terms this degrades to the two-pass
+        shape — this test is the tripwire."""
+        import re
+
+        # fresh rows, NOT the shared ``docs`` fixture: an earlier test's
+        # persist_intermediate=True run leaves a plan-keyed cache entry the
+        # CacheManager would substitute into this uncached plan
+        base = "one two three four five six seven eight nine ten"
+        local = spark.createDataFrame(
+            [(0, base), (1, base), (2, base.replace("ten", "eleven"))],
+            "doc_id long, text string",
+        )
+        df = dedup.minhash_candidate_pairs(
+            local, k=3, num_hashes=16, bands=8, persist_intermediate=False
+        )
+        df.collect()
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        final = plan.split("== Initial Plan ==")[0]
+        scans = len(re.findall(r"Scan ExistingRDD|LocalTableScan", final))
+        reused = len(re.findall(r"\bReusedExchange\b", final))
+        assert scans == 1, "corpus must be scanned once, saw %d:\n%s" % (
+            scans,
+            final,
+        )
+        assert reused >= 3, "expected >=3 ReusedExchange, saw %d:\n%s" % (
+            reused,
+            final,
+        )
+
     def test_ngram_jaccard_exact_baseline(self, docs):
         pairs = {
             (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
