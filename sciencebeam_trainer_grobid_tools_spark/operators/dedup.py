@@ -152,6 +152,90 @@ def shingle_hash_table(
     return pos.select("doc_id", g.alias("g"))
 
 
+def _minhash_pairs_sql(
+    id_col: str, text_col: str, k: int, num_hashes: int, bands: int
+) -> str:
+    """The whole uncached candidate-pair pipeline as ONE SQL string.
+
+    Expression-for-expression the same query the Column-API path below
+    builds (tokenize -> positional xxhash64 shingles -> combined
+    collect_set + per-seed-minima aggregate with the pruning-barrier zero
+    terms -> id-only band self-join -> exact-Jaccard verification), but a
+    single driver call: the Column form crossed py4j ~1,000 times and cost
+    ~0.2 s of driver time per construction (values identical — equality
+    pinned by test and oracle at three scale factors)."""
+    rows_per_band = num_hashes // bands
+    shingle_args = ", ".join("element_at(toks, i + %d)" % j for j in range(k))
+    mins = ", ".join(
+        "min(xxhash64(g, %d)) AS h%d" % (s, s) for s in range(num_hashes)
+    )
+    sig_array = ", ".join("h%d" % s for s in range(num_hashes))
+    band_structs = ", ".join(
+        "struct(%d + least(0, size(shingles)) AS band, xxhash64(%s) AS band_hash)"
+        % (
+            b,
+            ", ".join(
+                "element_at(sig, %d)" % (b * rows_per_band + r + 1)
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return """
+WITH toked AS (
+  SELECT `{id_col}` AS doc_id,
+         split(lower(replace(`{text_col}`, '\\n', ' ')), ' ') AS toks
+  FROM {{corpus}}
+),
+pos AS (
+  SELECT doc_id, toks, n,
+         explode(sequence(1, greatest(n - {km1}, 1))) AS i
+  FROM (SELECT doc_id, toks, size(toks) AS n FROM toked)
+),
+per_shingle AS (
+  SELECT doc_id,
+         CASE WHEN n >= {k} THEN xxhash64({shingle_args})
+              ELSE xxhash64(concat_ws(' ', toks)) END AS g
+  FROM pos
+),
+sig_shingles AS (
+  SELECT doc_id, shingles, array({sig_array}) AS sig
+  FROM (SELECT doc_id, collect_set(g) AS shingles, {mins}
+        FROM per_shingle GROUP BY doc_id)
+),
+buckets AS (
+  SELECT doc_id, bucket.band AS band, bucket.band_hash AS band_hash
+  FROM sig_shingles
+  LATERAL VIEW explode(array({band_structs})) t AS bucket
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b
+  FROM buckets l JOIN buckets r
+    ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+),
+shingled AS (
+  SELECT doc_id,
+         slice(shingles, 1, size(shingles) + pmod(xxhash64(sig), 1)) AS shingles
+  FROM sig_shingles
+)
+SELECT p.doc_id_a, p.doc_id_b,
+       round(size(array_intersect(sa.shingles, sb.shingles))
+             / size(array_union(sa.shingles, sb.shingles)), 6) AS jaccard
+FROM pairs p
+JOIN shingled sa ON p.doc_id_a = sa.doc_id
+JOIN shingled sb ON p.doc_id_b = sb.doc_id
+""".format(
+        id_col=id_col,
+        text_col=text_col,
+        k=k,
+        km1=k - 1,
+        shingle_args=shingle_args,
+        sig_array=sig_array,
+        mins=mins,
+        band_structs=band_structs,
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -168,6 +252,15 @@ def minhash_candidate_pairs(
     Jaccard over hashed shingles equals string-shingle Jaccard up to
     negligible collision probability, and the exploded construction stays
     inside whole-stage codegen (the array-HOF form was 38x slower)."""
+    if not persist_intermediate:
+        # the uncached pipeline is pure dataflow — build it as one SQL
+        # string (:func:`_minhash_pairs_sql`) for a single driver
+        # round-trip; the cached form below needs the DataFrame handle to
+        # persist the signature table mid-pipeline
+        return df.sparkSession.sql(
+            _minhash_pairs_sql(id_col, text_col, k, num_hashes, bands),
+            corpus=df,
+        )
     rows_per_band = num_hashes // bands
     per_shingle = shingle_hash_table(df, id_col=id_col, text_col=text_col, k=k)
     # ONE shuffle produces both the per-doc shingle SET (for the exact

@@ -54,6 +54,28 @@ class TestDedup:
         near = pairs.get((0, 2)) or pairs.get((1, 2))
         assert near is not None and 0.3 < near < 1.0
 
+    def test_minhash_sql_path_equals_column_path(self, spark, docs):
+        """The uncached form is built as one SQL string; the cached form
+        builds the same query through the Column API.  Same rows, columns
+        and jaccard values — the SQL text must stay expression-identical."""
+        a = sorted(
+            map(
+                tuple,
+                dedup.minhash_candidate_pairs(
+                    docs, k=3, num_hashes=16, bands=8, persist_intermediate=False
+                ).collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                dedup.minhash_candidate_pairs(
+                    docs, k=3, num_hashes=16, bands=8, persist_intermediate=True
+                ).collect(),
+            )
+        )
+        assert a == b and len(a) > 0
+
     def test_minhash_uncached_single_shingle_pass(self, spark, docs):
         """Plan pin for the round-11 single-pass shape: with
         ``persist_intermediate=False`` the pruning-barrier terms keep every
