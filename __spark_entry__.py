@@ -1803,10 +1803,19 @@ def q_align_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # flagship: full extraction + alignment pipeline
 
 
+_CORPUS_CACHE: "_OrderedDict[tuple, tuple]" = _OrderedDict()
+
+
 def _documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wrap the driver's documents table into the Common-Crawl-style input
     shape (url, warc_ts, html, text, lang, target_xml): html adds boilerplate
     chrome around the text; the target title is the first 8 words.
+
+    The HANDLE is memoized per (session, sf_dir) exactly like ``_load`` —
+    this is the synthesized input corpus six flagship-family queries share,
+    and rebuilding its expression tree cost ~0.05 s of py4j driver time per
+    query construction.  No data or results are cached; every action still
+    computes from the parquet scan.
 
     The salted spread happens HERE, on the narrow (url, text, lang) rows,
     BEFORE the html/target blobs are synthesized — the single-threaded
@@ -1816,6 +1825,10 @@ def _documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes after the shuffle).  Same key (xxhash64(url)) and partition count
     as annotate_documents' own spread, so row placement is unchanged —
     callers skip the second repartition."""
+    key = (id(spark), sf_dir.rstrip("/"))
+    hit = _CORPUS_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
     docs = _load(spark, sf_dir, "documents").select(
         F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
         F.col("text"),
@@ -1837,13 +1850,17 @@ def _documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         title,
         F.lit("</article-title></title-group></article-meta></front></article>"),
     )
-    return docs.select(
+    corpus = docs.select(
         "url",
         F.encode(html, "utf-8").alias("html"),
         F.col("text"),
         F.col("lang"),
         target_xml.alias("target_xml"),
     )
+    _CORPUS_CACHE[key] = (spark, corpus)
+    while len(_CORPUS_CACHE) > 16:
+        _CORPUS_CACHE.popitem(last=False)
+    return corpus
 
 
 def q_flagship_extract_align(spark: SparkSession, sf_dir: str) -> DataFrame:
