@@ -401,31 +401,85 @@ def portable_minhash_pairs(
     exploded = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
     # single-string expression construction (same rationale as the
     # xxhash64 path: the per-function Column form crosses py4j per call)
-    sig = exploded.groupBy("doc_id").agg(
-        *[
-            F.expr(
-                "min(md5(concat_ws(':', '%d', shingle))) AS h%d" % (seed, seed)
-            )
-            for seed in range(num_hashes)
-        ]
-    )
-    band_structs = F.expr(
-        "array(%s)"
-        % ", ".join(
-            "struct(%d AS band, md5(concat_ws(',', %s)) AS band_key)"
-            % (
-                b,
-                ", ".join(
-                    "h%d" % (b * rows_per_band + r) for r in range(rows_per_band)
-                ),
-            )
-            for b in range(bands)
+    if not persist_intermediate:
+        # Uncached form: ONE combined aggregate feeds banding AND
+        # verification, with the same value-preserving pruning-barrier zero
+        # terms as :func:`minhash_candidate_pairs` (see the comment there) —
+        # without them, column pruning splits the aggregate copies into a
+        # minima flavor and a collect_set flavor and the interpreted
+        # word_shingles projection executes once per consumer (three times;
+        # the gate entry composes this query twice, so six).  collect_set
+        # over the exploded DISTINCT shingles equals the word_shingles
+        # array as a set — array_intersect/array_union sizes, and therefore
+        # every jaccard value, are identical.  (A NULL-text document has a
+        # NULL shingle array, is dropped by the explode here as it always
+        # was from the signature table, and can never appear in a pair.)
+        sig_shingles = exploded.groupBy("doc_id").agg(
+            F.expr("collect_set(shingle) AS shingles"),
+            *[
+                F.expr(
+                    "min(md5(concat_ws(':', '%d', shingle))) AS h%d"
+                    % (seed, seed)
+                )
+                for seed in range(num_hashes)
+            ],
         )
-    )
-    buckets = sig.select(
-        "doc_id",
-        F.explode(band_structs).alias("bucket"),
-    ).select("doc_id", "bucket.band", "bucket.band_key")
+        all_h = ", ".join("h%d" % s for s in range(num_hashes))
+        band_structs = F.expr(
+            "array(%s)"
+            % ", ".join(
+                "struct(%d + least(0, size(shingles)) AS band,"
+                " md5(concat_ws(',', %s)) AS band_key)"
+                % (
+                    b,
+                    ", ".join(
+                        "h%d" % (b * rows_per_band + r)
+                        for r in range(rows_per_band)
+                    ),
+                )
+                for b in range(bands)
+            )
+        )
+        buckets = sig_shingles.select(
+            "doc_id",
+            F.explode(band_structs).alias("bucket"),
+        ).select("doc_id", "bucket.band", "bucket.band_key")
+        shingled = sig_shingles.select(
+            "doc_id",
+            F.expr(
+                "slice(shingles, 1, size(shingles)"
+                " + pmod(xxhash64(concat_ws(',', %s)), 1)) AS shingles"
+                % all_h
+            ),
+        )
+    else:
+        sig = exploded.groupBy("doc_id").agg(
+            *[
+                F.expr(
+                    "min(md5(concat_ws(':', '%d', shingle))) AS h%d"
+                    % (seed, seed)
+                )
+                for seed in range(num_hashes)
+            ]
+        )
+        band_structs = F.expr(
+            "array(%s)"
+            % ", ".join(
+                "struct(%d AS band, md5(concat_ws(',', %s)) AS band_key)"
+                % (
+                    b,
+                    ", ".join(
+                        "h%d" % (b * rows_per_band + r)
+                        for r in range(rows_per_band)
+                    ),
+                )
+                for b in range(bands)
+            )
+        )
+        buckets = sig.select(
+            "doc_id",
+            F.explode(band_structs).alias("bucket"),
+        ).select("doc_id", "bucket.band", "bucket.band_key")
     pairs = (
         buckets.alias("l")
         .join(
