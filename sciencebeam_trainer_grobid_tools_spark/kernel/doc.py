@@ -160,8 +160,21 @@ def join_with_index_ranges(
     """Join item strings with per-item whitespace (None -> sep; last item '')
     and return each item's index range in the joined string
     (matching_utils.py:116-142)."""
+    if whitespace_list is None:
+        # hot path (every RunsText build): constant separator — one C-level
+        # join, ranges from a running sum; identical output to the general
+        # loop below by construction
+        ranges = []
+        append = ranges.append
+        pos = 0
+        sep_len = len(sep)
+        for s in item_strings:
+            end = pos + len(s)
+            append((pos, end))
+            pos = end + sep_len
+        return sep.join(item_strings), ranges
     parts: List[str] = []
-    ranges: List[IndexRange] = []
+    ranges = []
     pos = 0
     n = len(item_strings)
     for i, s in enumerate(item_strings):
@@ -170,7 +183,7 @@ def join_with_index_ranges(
         pos += len(s)
         if i + 1 < n:
             ws = sep
-            if whitespace_list is not None and whitespace_list[i] is not None:
+            if whitespace_list[i] is not None:
                 ws = whitespace_list[i]  # type: ignore[assignment]
             parts.append(ws)
             pos += len(ws)

@@ -519,16 +519,35 @@ class SimpleMatcher:
         pending = PendingRuns.from_doc(doc)
         current_pending = pending
         current_block_name: Optional[str] = None
+        # The per-annotation RunsText depends only on the PendingRuns binding
+        # and the level-1 tag state of its tokens (sub_tag never feeds
+        # get_pending or joined text), and tags mutate only through
+        # _tag_tokens_in_range below — so the rebuilt text is identical until
+        # a match actually tags a token.  Memoize both shapes (lookahead and
+        # whole-doc rescan) on (source object identity, tag version); the
+        # source reference is held strongly, so identity cannot be a reused
+        # id.  Unmatched annotations then probe the SAME string object,
+        # which also keeps the masked-haystack lru caches downstream hot.
+        tag_version = 0
+        look_src = look_ver = look_text = None
+        full_ver = full_text = None
         for tag_name, grouped in groupby(target_annotations, key=lambda t: t.name):
             tag_block_name = self.config.get_tag_config(tag_name).block_name or "default"
             for target_annotation in list(grouped):
-                text = RunsText(
-                    current_pending.get_pending(limit=self.config.lookahead_sequence_count)
-                )
+                if look_text is None or look_src is not current_pending or look_ver != tag_version:
+                    look_text = RunsText(
+                        current_pending.get_pending(limit=self.config.lookahead_sequence_count)
+                    )
+                    look_src = current_pending
+                    look_ver = tag_version
+                text = look_text
                 index_ranges = list(self._iter_matching_index_ranges(text, target_annotation))
                 if not index_ranges and current_block_name != tag_block_name:
                     # block changed: rescan the whole document
-                    text = RunsText(pending.get_pending(limit=None))
+                    if full_text is None or full_ver != tag_version:
+                        full_text = RunsText(pending.get_pending(limit=None))
+                        full_ver = tag_version
+                    text = full_text
                     index_ranges = list(self._iter_matching_index_ranges(text, target_annotation))
                     if not index_ranges:
                         unmatched.append(target_annotation)
@@ -544,7 +563,8 @@ class SimpleMatcher:
                     index_range = self._apply_match_prefix_regex(
                         text, index_range, tag_name, target_annotation
                     )
-                    self._tag_tokens_in_range(text, index_range, tag_name)
+                    if self._tag_tokens_in_range(text, index_range, tag_name):
+                        tag_version += 1
                     if self.config.use_sub_annotations:
                         self._apply_sub_annotations(
                             text, index_range, target_annotation.sub_annotations
