@@ -91,6 +91,115 @@ def with_canonical_url(
     return df.withColumn(out_col, canonical_url(F.col(url_col)))
 
 
+def _with_staged_canonical(
+    df: DataFrame, src: Column, out_col: str, tmp_prefix: str
+) -> tuple:
+    """Append ``out_col`` = ``canonical_url(src)`` computed through staged
+    intermediate COLUMNS — value-identical to :func:`canonical_url` (same
+    functions, same dataflow), but each normalization step references the
+    previous step as an attribute instead of re-embedding its whole
+    expression tree.  The nested Column form duplicates every upstream
+    step at every reference (the case-fold step alone reads its input six
+    times), which grows the tree combinatorially: the canonical_hint dedup
+    key compiled past Janino's 64 KB method limit (whole-stage codegen
+    fell back to interpreted execution, where the duplicated subtrees are
+    re-evaluated per reference) and inflated driver-side analysis.  The
+    staged graph is linear; CollapseProject keeps multiply-referenced
+    non-cheap steps staged and only inlines single-reference ones, which
+    cannot duplicate work.  Returns ``(df, temp_col_names)`` — the caller
+    drops the temps."""
+    names = []
+
+    def add(name: str, expr: Column) -> Column:
+        nonlocal df
+        col = "%s_%s" % (tmp_prefix, name)
+        df = df.withColumn(col, expr)
+        names.append(col)
+        return F.col(col)
+
+    # 1. drop the fragment
+    u1 = add("u1", F.regexp_replace(src, r"#.*$", ""))
+    # 2. case-fold scheme and host (not userinfo)
+    auth_re = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://(?:([^/?#]*)@)?([^/?#@]*)"
+    scheme = add("sch", F.regexp_extract(u1, auth_re, 1))
+    userinfo = add("ui", F.regexp_extract(u1, auth_re, 2))
+    hostport = add("hp", F.regexp_extract(u1, auth_re, 3))
+    head_len = (
+        F.length(scheme)
+        + F.lit(3)
+        + F.when(userinfo == "", F.lit(0)).otherwise(F.length(userinfo) + 1)
+        + F.length(hostport)
+    )
+    tail = F.substring(u1, head_len + F.lit(1), F.length(u1))
+    folded = F.concat(
+        F.lower(scheme),
+        F.lit("://"),
+        F.when(userinfo == "", F.lit("")).otherwise(F.concat(userinfo, F.lit("@"))),
+        F.lower(hostport),
+        tail,
+    )
+    u2 = add("u2", F.when(scheme == "", u1).otherwise(folded))
+    # 3. drop explicit default ports
+    u3 = add(
+        "u3",
+        F.regexp_replace(
+            F.regexp_replace(u2, r"^(http://[^/:?#]*):80(?=[/?#]|$)", r"$1"),
+            r"^(https://[^/:?#]*):443(?=[/?#]|$)",
+            r"$1",
+        ),
+    )
+    # 4. drop tracking parameters from the query string only
+    qpos = add("qp", F.instr(u3, "?"))
+    head = F.when(qpos == 0, u3).otherwise(F.substring(u3, F.lit(1), qpos - 1))
+    qs = add(
+        "qs",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.substring(u3, qpos + 1, F.length(u3)),
+                r"(?:^|&)" + _TRACKING_PARAM_RE,
+                "",
+            ),
+            r"^&",
+            "",
+        ),
+    )
+    u4 = add("u4", F.when((qpos == 0) | (qs == ""), head).otherwise(F.concat(head, F.lit("?"), qs)))
+    # 5. drop a trailing slash on a non-root path
+    df = df.withColumn(
+        out_col,
+        F.regexp_replace(
+            u4, r"^([a-z][a-z0-9+.-]*://[^/?#]+(?:/[^?#]*[^/?#]))/(\?[^#]*)?$", r"$1$2"
+        ),
+    )
+    return df, names
+
+
+def _with_staged_dedup_key(
+    df: DataFrame, url_col: str, html_col: Optional[str], out_col: str
+) -> tuple:
+    """Append the dedup key of :func:`canonical_dedup_key` (html hint
+    mode) or :func:`canonical_url` (url mode) as ``out_col`` via the
+    staged column graph.  Returns ``(df, temp_col_names)``."""
+    temps = []
+    if html_col is not None:
+        from .htmlmeta import canonical_hint
+
+        df = df.withColumn("_ck_rawhint", canonical_hint(F.col(html_col)))
+        temps.append("_ck_rawhint")
+        df, c = _with_staged_canonical(df, F.col("_ck_rawhint"), "_ck_hintc", "_ckh")
+        temps += c + ["_ck_hintc"]
+        df, c = _with_staged_canonical(df, F.col(url_col), "_ck_urlc", "_cku")
+        temps += c + ["_ck_urlc"]
+        df = df.withColumn(
+            out_col,
+            F.coalesce(F.nullif(F.col("_ck_hintc"), F.lit("")), F.col("_ck_urlc")),
+        )
+    else:
+        df, c = _with_staged_canonical(df, F.col(url_col), out_col, "_cku")
+        temps += c
+    return df, temps
+
+
 def canonical_dedup_key(url: Column, html: Column) -> Column:
     """The page-declared dedup key: the canonicalized
     ``<link rel=canonical>`` hint when the page declares one, else the
@@ -116,41 +225,52 @@ def dedup_by_canonical_url(
     ts_col: str = "warc_ts",
     keep: str = "latest",
     key: Optional[Column] = None,
+    html_col: Optional[str] = None,
 ) -> DataFrame:
     """One row per canonical URL — the CC recrawl/variant dedup.
 
     ``keep='latest'`` keeps the newest ``warc_ts`` (recrawl wins),
     ``'earliest'`` the oldest; ties break on the raw url (deterministic).
     One shuffle, keyed by the canonical string; the window carries the
-    full row only within its own key group.  ``key`` overrides the
-    grouping expression (default ``canonical_url(url_col)``) — pass
-    :func:`canonical_dedup_key` to fold on the page-declared canonical
-    when an html column is available.
+    full row only within its own key group.  ``html_col`` switches the
+    grouping key to the page-declared canonical (the
+    :func:`canonical_dedup_key` composition), built through the staged
+    column graph; ``key`` overrides the grouping expression entirely
+    (an opaque caller Column — no staging).
     """
     if keep not in ("latest", "earliest"):
         raise ValueError("keep must be latest/earliest, got %r" % keep)
+    if key is not None and html_col is not None:
+        raise ValueError("pass either key or html_col, not both")
     ts = F.col(ts_col).desc() if keep == "latest" else F.col(ts_col).asc()
-    canon = canonical_url(F.col(url_col)) if key is None else key
     # Materialize the canonical key as a column BEFORE the window: a
     # window partitioned by the raw expression re-evaluates it per row in
-    # the exchange hash, the sort-key codegen AND the frame comparison —
-    # and with the canonical_hint key (a large regexp/parse_url tree over
-    # url+html) the inlined sort codegen grew past Janino's 64 KB method
-    # limit, silently falling back to interpreted execution.  Values are
-    # unchanged (the key is deterministic); the helper column is dropped.
+    # the exchange hash, the sort-key codegen AND the frame comparison.
+    # The key is built through STAGED intermediate columns
+    # (_with_staged_dedup_key): the nested Column form re-embedded each
+    # normalization step at every reference, and the resulting tree blew
+    # Janino's 64 KB method limit (interpreted fallback) when fused into
+    # one codegen region.  Values are unchanged (the key is
+    # deterministic); the helper columns are dropped and column pruning
+    # keeps them out of the exchange.
     # The explicit repartition satisfies the window's distribution with the
     # SAME single exchange (same key, same shuffle-partition count — no
     # second shuffle), but moves the rank-limit pushdown's map-side sort
     # from below the exchange (where it fused with the upstream projection
-    # into one codegen region that could exceed Janino's 64 KB method
-    # limit) to above it, where its child is just the shuffle read.
+    # into one codegen region) to above it, where its child is just the
+    # shuffle read.
+    temps: list = []
+    if key is not None:
+        keyed = df.withColumn("_canon_key", key)
+    else:
+        keyed, temps = _with_staged_dedup_key(df, url_col, html_col, "_canon_key")
     w = Window.partitionBy(F.col("_canon_key")).orderBy(ts, F.col(url_col))
     return (
-        df.withColumn("_canon_key", canon)
+        keyed
         .repartition(F.col("_canon_key"))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "_canon_key")
+        .drop("_rn", "_canon_key", *temps)
     )
 
 

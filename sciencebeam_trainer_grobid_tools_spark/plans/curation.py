@@ -41,7 +41,7 @@ from ..operators.dedup import repetition_features, with_common_lines_removed
 from ..operators.pii import scrub_pii
 from ..operators.robots import robots_blocked
 from ..operators.textstats import quality_features, token_budget_sample
-from ..operators.urlnorm import canonical_dedup_key, dedup_by_canonical_url
+from ..operators.urlnorm import dedup_by_canonical_url
 from ..operators.urlfilter import filter_blocked_domains
 from ..operators.webfilters import (
     c4_filter,
@@ -137,15 +137,18 @@ def curate_corpus(
                 raise ValueError(
                     "curate_corpus(dedup_key='canonical_hint') requires html_col"
                 )
-            key = canonical_dedup_key(F.col(url_col), F.col(html_col))
+            hint_col: Optional[str] = html_col
         elif dedup_key == "url":
-            key = None
+            hint_col = None
         else:
             raise ValueError(
                 "dedup_key must be url/canonical_hint, got %r" % dedup_key
             )
+        # html_col (instead of a prebuilt key Column) lets the dedup build
+        # the canonical_dedup_key composition through its staged column
+        # graph — same values, linear expression tree (see urlnorm)
         out = dedup_by_canonical_url(
-            out, url_col=url_col, ts_col=ts_col, keep=keep, key=key
+            out, url_col=url_col, ts_col=ts_col, keep=keep, html_col=hint_col
         )
     if min_line_docs is not None:
         # boilerplate line removal BEFORE scrubbing/quality: chrome lines

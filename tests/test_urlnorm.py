@@ -227,3 +227,89 @@ class TestCanonicalDedupKey:
             .toString()
         )
         assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+class TestStagedCanonicalKey:
+    """The staged column graph must be value-identical to the nested
+    Column form it replaces (the nested canonical_hint key blew Janino's
+    64 KB method limit when fused into one codegen region — the staged
+    graph exists purely so the stage compiles; values may never drift)."""
+
+    _URLS = [
+        "http://WWW.Example.COM/x/y/",
+        "https://host.com:443/p?a=1&utm_source=z&b=2",
+        "http://host.com:80/p?gclid=g",
+        "http://user:PA@ss@HOST.com/q?fbclid=f&k=1#frag",
+        "HTTPS://a.b.c.de/?utm_x=1",
+        "not a url at all",
+        "ftp://Mixed.Case/path/",
+        "http://h.com/p?&a=1",
+        "http://h.com/p?",
+        "http://h.com/",
+    ]
+    _HTMLS = [
+        "",
+        "<html><head><LINK REL=canonical "
+        "HREF='http://WWW.Foo.com/x/?utm_campaign=c'></head>",
+        '<link rel="canonical" href="HTTPS://bar.COM:443/y?gclid=1&k=2#z">',
+        "<link rel=stylesheet href=/css><link rel=canonical href=http://q.com/a/>",
+        "<p>no link</p>",
+    ]
+
+    def _df(self, spark):
+        rows = [
+            (i, u, h, i % 3)
+            for i, (u, h) in enumerate(
+                (u, h) for u in self._URLS for h in self._HTMLS
+            )
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, url string, html string, warc_ts long"
+        )
+
+    def test_staged_canonical_equals_nested(self, spark):
+        df = self._df(spark)
+        staged, _ = urlnorm._with_staged_canonical(
+            df, F.col("url"), "staged", "_t"
+        )
+        bad = (
+            staged.withColumn("nested", urlnorm.canonical_url(F.col("url")))
+            .filter(~F.col("staged").eqNullSafe(F.col("nested")))
+            .count()
+        )
+        assert bad == 0
+
+    def test_staged_hint_key_equals_nested(self, spark):
+        df = self._df(spark)
+        keyed, _ = urlnorm._with_staged_dedup_key(df, "url", "html", "k")
+        bad = (
+            keyed.withColumn(
+                "nested",
+                urlnorm.canonical_dedup_key(F.col("url"), F.col("html")),
+            )
+            .filter(~F.col("k").eqNullSafe(F.col("nested")))
+            .count()
+        )
+        assert bad == 0
+
+    def test_dedup_html_col_matches_key_path(self, spark):
+        df = self._df(spark)
+        a = urlnorm.dedup_by_canonical_url(df, html_col="html").orderBy(
+            "doc_id"
+        ).collect()
+        b = urlnorm.dedup_by_canonical_url(
+            df, key=urlnorm.canonical_dedup_key(F.col("url"), F.col("html"))
+        ).orderBy("doc_id").collect()
+        assert a == b
+        # schema unchanged: no staged temp columns leak
+        assert [f.name for f in urlnorm.dedup_by_canonical_url(
+            df, html_col="html"
+        ).schema.fields] == ["doc_id", "url", "html", "warc_ts"]
+
+    def test_key_and_html_col_mutually_exclusive(self, spark):
+        df = self._df(spark)
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            urlnorm.dedup_by_canonical_url(
+                df, key=F.col("url"), html_col="html"
+            )
